@@ -1,0 +1,54 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() forces the full plan; the
+driver-side result stays tiny) and timed wall-clock after a warmup of
+the session + parquet footers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from unilever_scraping_etl_spark.plans.registry import QUERIES
+from unilever_scraping_etl_spark.session import get_session
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("bench")
+
+    # Warm the session: JVM, parquet footers, Arrow path.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, spec in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            spec.spark(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep benching; surface at the end
+            failures[name] = f"{type(exc).__name__}: {exc}"
+
+    result = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result))
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,235 @@
+"""Deduplication operators for the LLM-data-pipeline surface
+(SURVEY.md §2.10 L1/L2; driver north star). Four families:
+
+- exact        : hash groupBy on the dedup key (one shuffle)
+- minhash LSH  : shingle → k minhashes → bands → bucket join (near-dup
+                 at 100 TB without the O(n²) pair space)
+- simhash      : 64-bit sign fingerprint, hamming-ball candidates
+- n-gram Jaccard : exact pairwise Jaccard over token shingles, the
+                 verifier for LSH candidates (and oracle-checkable)
+
+All pure DataFrame ops — shingling/hashing with built-in functions
+(xxhash64 is JVM-side and seed-stable), so everything stays in codegen
+and scales by shuffle, not by Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str],
+                id_col: str) -> DataFrame:
+    """L1 — exact dedup keeping the smallest id per key group.
+    min() instead of dropDuplicates: dropDuplicates keeps an *arbitrary*
+    row (first seen per partition), which is non-deterministic under
+    shuffle; min(id) is reproducible and oracle-checkable. Same cost:
+    one partial-agg shuffle."""
+    return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+
+
+def shingles(text_col, n: int = 3) -> "F.Column":
+    """Word n-gram shingles of lowercased text, distinct per doc."""
+    toks = F.split(F.lower(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per document: explode shingles once, take
+    min(xxhash64(shingle, seed_h)) per doc per hash function. The seeds
+    are just h appended to the input — xxhash64 is deterministic across
+    the cluster. One explode + one groupBy shuffle; signature width
+    num_hashes stays in a single row afterwards."""
+    sh = df.select(id_col, F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(h))).alias(f"mh_{h}")
+        for h in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 16, bands: int = 4,
+                       shingle_n: int = 3) -> DataFrame:
+    """L2 — LSH banding: split the signature into ``bands`` bands of
+    r = num_hashes/bands rows; docs sharing any band-hash are candidate
+    near-dup pairs. The candidate join is an equi self-join on
+    (band_id, band_hash) — a standard shuffle join, NEVER an O(n²)
+    cross — which is the whole point at 100 TB."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    r = num_hashes // bands
+    band_cols = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias("bh"))
+        for b in range(bands)
+    ])
+    banded = (sig.select(F.col(id_col), F.explode(band_cols).alias("band_key"))
+                 .select(id_col, "band_key.band", "band_key.bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (left.join(right, [F.col("l.band") == F.col("r.band"),
+                               F.col("l.bh") == F.col("r.bh"),
+                               F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+                 .select(F.col(f"l.{id_col}").alias("id_a"),
+                         F.col(f"r.{id_col}").alias("id_b"))
+                 .distinct())
+    return pairs
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_n: int = 3, threshold: float = 0.8,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity between doc pairs sharing ≥1
+    shingle. With ``candidates`` (e.g. from minhash_candidates) the pair
+    space is pre-pruned; without, the shared-shingle equi-join bounds the
+    pair space to actually-overlapping docs (still never a cross join).
+    Returns (id_a, id_b, jaccard ≥ threshold)."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.col("inter").cast("double")
+                        / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash: per token take xxhash64, then per bit position sum
+    +1/-1 across tokens; the sign of each sum is that bit of the
+    fingerprint. Implemented as explode + 64 conditional sums in ONE hash
+    aggregation (map-side combined), then bit-assembled with shiftleft.
+    """
+    toks = (df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"))
+              .withColumn("h", F.xxhash64("tok")))
+    aggs = [
+        F.sum(F.when(
+            F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1)
+            .otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates by SimHash: band the 64-bit fingerprint into
+    4×16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), equi
+    self-join per chunk, verify hamming with bit_count(xor). Bucketed
+    join keeps the pair space linear-ish at scale."""
+    fps = simhash64(df, id_col, text_col)
+    chunk = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF).cast("long")).alias("ck"))
+        for c in range(4)
+    ])
+    banded = fps.select(id_col, "simhash", F.explode(chunk).alias("b")).select(
+        id_col, "simhash", "b.chunk", "b.ck")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (l.join(r, [F.col("l.chunk") == F.col("r.chunk"),
+                       F.col("l.ck") == F.col("r.ck"),
+                       F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming)
+             .distinct())
+
+
+def embedding_near_pairs(emb: DataFrame, id_col: str, vec_col: str,
+                         threshold: float = 0.95,
+                         block_col: str | None = None,
+                         round_digits: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup pairs via an expression-level pair join.
+    Oracle-identical float semantics (sequential fold dot product), but
+    O(pairs * dim) inside codegen — prefer embedding_near_pairs_gemm for
+    bulk work. Pass ``block_col`` (e.g. an LSH bucket from
+    similarity.hyperplane_bucket) to turn the cross into a blocked
+    equi-join at production scale."""
+    from ..functions.vectors import cosine
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    x = emb.select(*cols)
+    a, b = x.alias("a"), x.alias("b")
+    cond = [F.col("a.id") < F.col("b.id")]
+    if block_col:
+        cond.append(F.col("a.blk") == F.col("b.blk"))
+    # Round BEFORE thresholding: makes the pair set stable under float
+    # accumulation-order differences (and oracle-comparable).
+    return (a.join(b, cond)
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.round(cosine(F.col("a.v"), F.col("b.v")), round_digits).alias("cos"))
+             .filter(F.col("cos") >= threshold))
+
+
+def embedding_near_pairs_gemm(emb: DataFrame, id_col: str, vec_col: str,
+                              threshold: float = 0.95,
+                              round_digits: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup pairs as a blocked matrix product: the
+    corpus is L2-normalized once, the smaller side is broadcast (here:
+    the whole corpus — a dim-table-sized 64-dim float matrix), and each
+    partition computes a numpy GEMM block against it, emitting only
+    pairs above threshold. This is the 100 TB shape: pairwise similarity
+    = block-outer product, never a per-pair expression — each executor
+    does one BLAS call per (partition x broadcast-block) instead of
+    2 x dim array ops per pair.
+
+    At larger-than-broadcast corpus sizes the same kernel runs per
+    (block_i, block_j) grid cell; the broadcast here is the degenerate
+    1-block grid."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    small = emb.select(id_col, vec_col).toPandas()
+    ids_all = small[id_col].to_numpy()
+    m_all = np.vstack(small[vec_col].to_numpy()).astype("float64")
+    m_all /= np.maximum(np.linalg.norm(m_all, axis=1, keepdims=True), 1e-300)
+    bc = spark.sparkContext.broadcast((ids_all, m_all))
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def gen(batches):
+        ids_b, m_b = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_a = pdf[id_col].to_numpy()
+            m_a = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            m_a /= np.maximum(np.linalg.norm(m_a, axis=1, keepdims=True), 1e-300)
+            sim = np.round(m_a @ m_b.T, round_digits)
+            ia, ib = np.nonzero(sim >= threshold)
+            keep = ids_a[ia] < ids_b[ib]
+            yield pd.DataFrame({
+                "id_a": ids_a[ia[keep]].astype("int64"),
+                "id_b": ids_b[ib[keep]].astype("int64"),
+                "cos": sim[ia[keep], ib[keep]],
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, out_schema)

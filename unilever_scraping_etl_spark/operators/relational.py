@@ -1,0 +1,80 @@
+"""Relational operator builders the reference implies but Spark lacks as
+single calls (SURVEY.md §2.3-2.6): as-of join, top-k per group,
+day-over-day churn, and the page-validity aggregations that replace the
+reference's hand-rolled counting loops.
+
+Scale notes are attached per operator — these run on the snapshot table
+which at 100 TB is Parquet partitioned by date, so every one of them
+benefits from partition pruning before its shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str], order_by: list[Column],
+                   k: int, rank_col: str = "rn") -> DataFrame:
+    """W4 — k cheapest/most-X rows per group via row_number + filter.
+    At scale this is a single shuffle on the group key; Spark pushes a
+    per-partition top-k (WindowGroupLimit) below the shuffle since 3.5,
+    so the shuffle carries only k rows per group per map task."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+              .filter(F.col(rank_col) <= k))
+
+
+def asof_latest(df: DataFrame, key_cols: list[str], time_col: str,
+                tiebreak: list[Column] | None = None) -> DataFrame:
+    """J7 — latest row per key as of the max time: the day-over-day
+    price-compare the reference's snapshot-append model exists for
+    (SURVEY.md §1.1). row_number over (key ORDER BY time DESC) then
+    rn=1. One shuffle on the key; with the snapshot table date-partitioned,
+    an upper time bound prunes partitions before the shuffle."""
+    order = [F.col(time_col).desc()] + (tiebreak or [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def churn(prev: DataFrame, curr: DataFrame, key_cols: list[str]) -> DataFrame:
+    """O4 — appeared/disappeared keys between two snapshots, labeled.
+    Implemented as two left-anti joins (cheaper than exceptAll when only
+    keys are needed: anti join skips the full-row comparison)."""
+    p = prev.select(*key_cols)
+    c = curr.select(*key_cols)
+    appeared = c.join(p, key_cols, "left_anti").withColumn("change", F.lit("appeared"))
+    disappeared = p.join(c, key_cols, "left_anti").withColumn("change", F.lit("disappeared"))
+    return appeared.unionByName(disappeared)
+
+
+def valid_count(cards: DataFrame, page_col: str, invalid_col: str) -> DataFrame:
+    """A2 — per-page (valid, invalid) product counts, the declarative
+    form of the reference's product_validity_count loop
+    (scrap_tokopedia.py:131-151: valid = len(all) - len(invalid)).
+    One hash aggregation with map-side partial agg."""
+    return (cards.groupBy(page_col).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col(invalid_col), 1).otherwise(0)).cast("long").alias("invalid"))
+        .withColumn("valid", (F.col("total") - F.col("invalid")).cast("long")))
+
+
+def last_valid_page(page_stats: DataFrame, page_col: str = "page",
+                    valid_col: str = "valid") -> DataFrame:
+    """A3 — greatest page with ≥1 valid product: the declarative core of
+    the reference's step-probe search (scrap_tokopedia.py:153-186). The
+    adaptive probe loop itself lives in sources/ingest.py (driver-side,
+    SURVEY.md §7.4); over a materialized stats table it is just a max."""
+    return page_stats.agg(
+        F.max(F.when(F.col(valid_col) > 0, F.col(page_col))).alias("last_valid_page"))
+
+
+def page_sequence(spark, base_url: str, last_page: int) -> DataFrame:
+    """S4 — the catalog scan worklist [base, base/page/2, ...]
+    (scrap_tokopedia.py:301) as a range scan — no data movement, and at
+    any fan-out it parallelizes by slicing the range."""
+    from ..functions.scalars import page_url
+    return (spark.range(1, last_page + 1).withColumnRenamed("id", "page")
+            .withColumn("page", F.col("page").cast("int"))
+            .withColumn("url", page_url(F.lit(base_url), F.col("page"))))

@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10 L3).
+
+Two paths:
+- brute-force top-k (the correctness baseline, oracle-checkable):
+  queries × corpus join with cosine, then top-k per query. The corpus
+  side is broadcast when small; at scale the join shuffles on nothing
+  (cross of Q×N) so Q must be bounded — that's what the ANN path is for.
+- IVF-style bucketed ANN (the 100 TB path): deterministic coarse
+  quantizer (first ``nlist`` vectors as centroids — no RNG, reproducible
+  across runs), each corpus vector assigned to its nearest centroid
+  (broadcast centroids, narrow map), queries probe ``nprobe`` nearest
+  buckets; the candidate join is an equi-join on bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot, norm
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_digits: int | None = 4) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self).
+    Scores are optionally rounded BEFORE ranking so the ranking is
+    stable under float-accumulation-order differences (ties broken by
+    neighbor id) — this is what makes the operator oracle-comparable."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+                .withColumn("cos", cosine(F.col("qv"), F.col("cv"))))
+    if round_digits is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_digits))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+def assign_ivf_buckets(emb: DataFrame, nlist: int = 16,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF coarse quantizer. Centroids = the nlist lowest-id
+    vectors (reproducible; a production build would run k-means — the
+    assignment plumbing is identical). Returns (centroids, corpus with
+    ``bucket``). Assignment broadcasts the centroid table and picks
+    argmax cosine per row — a narrow map over the corpus, no shuffle."""
+    cent = (emb.orderBy(id_col).limit(nlist)
+               .withColumn("bucket", F.row_number().over(Window.orderBy(id_col)) - 1)
+               .select("bucket", F.col(vec_col).alias("centroid")))
+    assigned = (emb.join(F.broadcast(cent))
+                .withColumn("sim", cosine(F.col(vec_col), F.col("centroid")))
+                .withColumn("rn", F.row_number().over(
+                    Window.partitionBy(F.col(id_col)).orderBy(
+                        F.col("sim").desc(), F.col("bucket"))))
+                .filter(F.col("rn") == 1)
+                .select(*emb.columns, "bucket"))
+    return cent, assigned
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, nlist: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: probe the ``nprobe`` closest IVF buckets per query,
+    brute-force inside them. Candidate join is an equi-join on bucket —
+    at 100 TB the corpus is bucketed+sorted on this key so the probe is
+    a partition-pruned scan, not a shuffle."""
+    cent, assigned = assign_ivf_buckets(corpus, nlist, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probes = (q.join(F.broadcast(cent))
+                .withColumn("sim", cosine(F.col("qv"), F.col("centroid")))
+                .withColumn("rn", F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("sim").desc(), F.col("bucket"))))
+                .filter(F.col("rn") <= nprobe)
+                .select("query_id", "qv", "bucket"))
+    cand = (probes.join(assigned.select(F.col(id_col).alias("neighbor_id"),
+                                        F.col(vec_col).alias("cv"), "bucket"),
+                        "bucket")
+                  .filter(F.col("query_id") != F.col("neighbor_id"))
+                  .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 64,
+                      seed: int = 42):
+    """Random-hyperplane LSH bucket id (deterministic: plane weights are
+    a fixed arithmetic pattern keyed by ``seed``, not RNG state). Use as
+    ``block_col`` for dedup.embedding_near_pairs at scale."""
+    bits = []
+    for p in range(n_planes):
+        # Fixed pseudo-weights w_ij = cos(seed + p*dim + j) pattern via
+        # deterministic arithmetic; avoids shipping a weight matrix.
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, j: x.cast("double")
+                * F.cos((F.lit(float(seed + p * 131)) + j.cast("double") * 0.7)),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj > 0, F.lit(1) << p).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out

@@ -1,0 +1,876 @@
+"""Query registry — the driver contract (SURVEY.md §2 inventory).
+
+Every operator the engine claims is registered here as a ``QuerySpec``:
+a Spark callable ``(spark, sf_dir) -> DataFrame`` and, when the
+semantics are SQL-expressible, the equivalent DuckDB oracle SQL over the
+same parquet tables. The driver hash-compares the two at sf0.01
+(order-insensitive, column-name-sorted), so:
+
+- every computed column is aliased identically on both sides;
+- per-row float expressions use identical operation trees (IEEE doubles
+  are then bit-identical across engines — no rounding needed);
+- aggregates over floats are rounded on BOTH sides (summation order
+  differs between engines);
+- rankings order by rounded scores with explicit id tiebreaks.
+
+Queries marked ``oracle=None`` are non-SQL-expressible (approx sketches,
+LSH candidates, ANN) and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import scalars, text, vectors
+from ..operators import dedup, relational, similarity
+from ..schemas import load_table
+from ..sources import ingest, multimodal
+from . import fixtures
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: SparkQuery
+    oracle: str | None
+    doc: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None, doc: str = ""):
+    def register(fn: SparkQuery) -> SparkQuery:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Deterministic timestamp semantics regardless of the
+            # driver session's JVM default zone.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = QuerySpec(name, wrapped, oracle, doc)
+        return wrapped
+
+    return register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# §2.4 Aggregations
+# ===========================================================================
+
+@q("agg_price_stats", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""", doc="Flagship pricing summary (A4): the reference's price/discount "
+         "analytics (scrap_tokopedia.py:256-264) transposed onto lineitem; "
+         "TPC-H Q1 shape. Filter pushed to parquet scan; one partial-agg "
+         "shuffle over 6 groups.")
+def agg_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                   F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                   F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                   F.round(F.sum(disc * (F.lit(1) + F.col("l_tax"))), 2).alias("sum_charge"),
+                   F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                   F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                   F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                   F.count(F.lit(1)).alias("count_order")))
+
+
+@q("agg_distinct", """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+""", doc="A5 exact distinct census per group (two-phase distinct agg).")
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                 F.countDistinct("l_suppkey").alias("n_supps")))
+
+
+@q("agg_approx_distinct", None,
+   doc="A5 approx distinct (HLL++). Sketch estimates are engine-specific "
+       "-> rows-only check; at 100 TB this replaces exact distinct for "
+       "census queries at a fraction of the shuffle.")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey").alias("n_parts_approx")))
+
+
+@q("agg_rollup", """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""", doc="A6 hierarchical rollup (status -> priority -> grand total).")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "orders")
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+
+
+@q("agg_cube", """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""", doc="A6 cube over flag x status.")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+@q("valid_count", """
+SELECT user_id,
+       count(*) AS total,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS invalid,
+       count(*) - CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS valid
+FROM events GROUP BY user_id
+""", doc="A2 conditional count difference — product_validity_count "
+         "(scrap_tokopedia.py:131-151) as one hash agg: valid = total - invalid.")
+def valid_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_invalid", F.col("event_type") == "error")
+    out = relational.valid_count(ev, "user_id", "is_invalid")
+    return out.select("user_id", "total", "invalid", "valid")
+
+
+@q("last_valid_page", """
+SELECT max(CASE WHEN valid > 0 THEN user_id END) AS last_valid_page
+FROM (SELECT user_id,
+             count(*) - CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS valid
+      FROM events GROUP BY user_id)
+""", doc="A3 max-over-predicate — the declarative core of "
+         "find_last_valid_page (scrap_tokopedia.py:153-186).")
+def last_valid_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_invalid", F.col("event_type") == "error")
+    stats = relational.valid_count(ev, "user_id", "is_invalid")
+    return relational.last_valid_page(stats, page_col="user_id", valid_col="valid")
+
+
+# ===========================================================================
+# §2.1/2.2 Scans, projections, filters
+# ===========================================================================
+
+@q("page_sequence", """
+SELECT CAST(p AS INTEGER) AS page,
+       CASE WHEN p = 1 THEN 'https://www.tokopedia.com/unilever'
+            ELSE 'https://www.tokopedia.com/unilever/page/' || p END AS url
+FROM generate_series(1, 25) t(p)
+""", doc="S4 page-sequence generator (scrap_tokopedia.py:301) as a range scan.")
+def page_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.page_sequence(spark, "https://www.tokopedia.com/unilever", 25)
+
+
+@q("project_links", f"""
+SELECT card_id, href FROM {fixtures.values_sql(fixtures.CARD_CASES,
+    ["card_id", "href", "has_shadow"], {"card_id": "INTEGER"})}
+WHERE NOT has_shadow
+""", doc="P2+P3 — href projection of non-shadow cards "
+         "(scrap_tokopedia.py:199-203).")
+def project_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cards = spark.createDataFrame(
+        fixtures.CARD_CASES, "card_id int, href string, has_shadow boolean")
+    return cards.filter(~F.col("has_shadow")).select("card_id", "href")
+
+
+@q("filter_empty_pages", f"""
+SELECT page_id, name, price FROM {fixtures.values_sql(fixtures.EMPTY_PAGE_CASES,
+    ["page_id", "name", "price"], {"page_id": "INTEGER", "price": "BIGINT"})}
+WHERE name IS NOT NULL AND price IS NOT NULL
+""", doc="P4 null-required predicate: page empty iff name or price NULL "
+         "(scrap_tokopedia.py:211-229); returns the kept pages.")
+def filter_empty_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = spark.createDataFrame(
+        fixtures.EMPTY_PAGE_CASES, "page_id int, name string, price bigint")
+    return pages.filter(F.col("name").isNotNull() & F.col("price").isNotNull())
+
+
+# ===========================================================================
+# §2.3 Joins
+# ===========================================================================
+
+@q("join_inner", """
+SELECT n_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""", doc="J1 inner equi-join chain; nation broadcast, customer-orders "
+         "shuffled on the key.")
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy("n_name")
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                  F.count(F.lit(1)).alias("n_orders")))
+
+
+@q("join_broadcast", """
+SELECT p_brand,
+       count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""", doc="J2 explicit broadcast of the part dim against the lineitem fact "
+         "— zero shuffle on the fact side until the final 25-group agg.")
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .groupBy("p_brand")
+              .agg(F.count(F.lit(1)).alias("n_items"),
+                   F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
+
+
+@q("join_outer", """
+SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""", doc="J3 left outer join preserving order-less customers (count=0).")
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+             .groupBy("c_custkey")
+             .agg(F.count("o_orderkey").alias("n_orders")))
+
+
+@q("join_semi", """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+""", doc="J4 left semi (EXISTS): customers with at least one large order.")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .select("c_custkey", "c_mktsegment"))
+
+
+@q("anti_join_invalid", """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+""", doc="J5/P3 left anti (NOT EXISTS) — the child-exists anti-filter of "
+         "scrap_tokopedia.py:199-203 generalized: keep rows with no "
+         "matching 'invalid marker' on the right side.")
+def anti_join_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+@q("join_range", f"""
+SELECT band,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price
+FROM part JOIN {fixtures.values_sql(fixtures.PRICE_BANDS,
+    ["band", "lo", "hi"], {"lo": "DOUBLE", "hi": "DOUBLE"})}
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+""", doc="J6 theta/range join against a broadcast band table (banded "
+         "nested loop; at scale the small side is always broadcast).")
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        fixtures.PRICE_BANDS, "band string, lo double, hi double")
+    cond = (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi"))
+    return (p.join(F.broadcast(bands), cond)
+             .groupBy("band")
+             .agg(F.count(F.lit(1)).alias("n_parts"),
+                  F.round(F.avg("p_retailprice"), 4).alias("avg_price")))
+
+
+@q("asof_price_change", """
+SELECT l_partkey,
+       strftime(l_shipdate, '%Y-%m-%d') AS last_ship_date,
+       l_extendedprice AS last_price
+FROM (SELECT l_partkey, l_shipdate, l_extendedprice,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate DESC, l_orderkey DESC,
+                                         l_linenumber DESC) AS rn
+      FROM lineitem)
+WHERE rn = 1
+""", doc="J7 as-of (latest snapshot <= now) per part — the day-over-day "
+         "price compare the snapshot-append model implies (SURVEY.md §1.1). "
+         "At 100 TB the date-partitioned snapshot prunes before the shuffle.")
+def asof_price_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    latest = relational.asof_latest(
+        li, ["l_partkey"], "l_shipdate",
+        tiebreak=[F.col("l_orderkey").desc(), F.col("l_linenumber").desc()])
+    return latest.select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("last_ship_date"),
+        F.col("l_extendedprice").alias("last_price"))
+
+
+# ===========================================================================
+# §2.5 Window functions
+# ===========================================================================
+
+@q("window_rank", """
+SELECT c_nationkey, c_custkey,
+       CAST(rank() OVER (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC) AS INTEGER) AS rnk
+FROM customer QUALIFY rnk <= 10
+""", doc="W1 ranking within partition; WindowGroupLimit pushes the top-10 "
+         "below the shuffle.")
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return (c.withColumn("rnk", F.rank().over(w))
+             .filter(F.col("rnk") <= 10)
+             .select("c_nationkey", "c_custkey", "rnk"))
+
+
+@q("window_lag_price", """
+SELECT l_partkey, l_orderkey, l_linenumber,
+       l_extendedprice - lag(l_extendedprice) OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS price_delta
+FROM lineitem
+""", doc="W2 lag: shipment-over-shipment price delta per part — the "
+         "discount-history analysis the reference's snapshot model exists "
+         "for (SURVEY.md §2.5 W2). Exact doubles: per-row subtraction only.")
+def window_lag_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_partkey", "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") - F.lag("l_extendedprice").over(w)).alias("price_delta"))
+
+
+@q("window_moving_avg", """
+SELECT event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+FROM events
+""", doc="W3 frame aggregate: trailing 7-row moving average per user.")
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return ev.select("event_id", F.round(F.avg("value").over(w), 4).alias("mov_avg"))
+
+
+@q("topk_per_group", """
+SELECT p_brand, p_partkey, p_retailprice,
+       CAST(row_number() OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
+FROM part QUALIFY rn <= 3
+""", doc="W4 top-k per group (k=3 priciest parts per brand), deterministic "
+         "id tiebreak.")
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    out = relational.topk_per_group(
+        p, ["p_brand"], [F.col("p_retailprice").desc(), F.col("p_partkey")], 3)
+    return out.select("p_brand", "p_partkey", "p_retailprice", "rn")
+
+
+# ===========================================================================
+# §2.6 Sorts / limits / set ops
+# ===========================================================================
+
+@q("sort_limit", """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""", doc="O2 global top-N (TakeOrderedAndProject — no full sort at scale).")
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "orders")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(100)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+@q("union_shops", """
+SELECT 'shop_a' AS src, c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT 'shop_b' AS src, c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+""", doc="O3 UNION ALL of per-shop scrapes (scrap_tokopedia.py:324-328 "
+         "runs shops sequentially; one unioned frame instead).")
+def union_shops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    parts = [
+        c.filter(F.col("c_mktsegment") == seg)
+         .select(F.lit(tag).alias("src"), "c_custkey")
+        for tag, seg in [("shop_a", "BUILDING"), ("shop_b", "MACHINERY")]
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+@q("set_churn", """
+WITH prev AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-02'),
+     curr AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-03')
+SELECT user_id, 'appeared' AS change FROM (SELECT user_id FROM curr EXCEPT SELECT user_id FROM prev)
+UNION ALL
+SELECT user_id, 'disappeared' AS change FROM (SELECT user_id FROM prev EXCEPT SELECT user_id FROM curr)
+UNION ALL
+SELECT user_id, 'retained' AS change FROM (SELECT user_id FROM prev INTERSECT SELECT user_id FROM curr)
+""", doc="O4 day-over-day churn (appeared/disappeared/retained purchasers) "
+         "— the product-census diff implied by the snapshot model.")
+def set_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    day = lambda d: (ev.filter(F.to_date("ts") == F.lit(d).cast("date"))
+                       .select("user_id").distinct())
+    prev, curr = day("2024-01-02"), day("2024-01-03")
+    moved = relational.churn(prev, curr, ["user_id"])
+    retained = prev.join(curr, "user_id", "left_semi") \
+                   .withColumn("change", F.lit("retained"))
+    return moved.unionByName(retained)
+
+
+# ===========================================================================
+# §2.7 Scalar functions
+# ===========================================================================
+
+@q("fn_parse_rupiah", f"""
+SELECT case_id,
+       TRY_CAST(replace(replace(trim(raw), 'Rp', ''), '.', '') AS BIGINT) AS price
+FROM {fixtures.values_sql(fixtures.RUPIAH_CASES, ["case_id", "raw"],
+                          {"case_id": "INTEGER"})}
+""", doc="F2 Rupiah parser ('Rp12.345' -> 12345, scrap_tokopedia.py:256).")
+def fn_parse_rupiah(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(fixtures.RUPIAH_CASES, "case_id int, raw string")
+    return df.select("case_id", scalars.parse_rupiah(F.col("raw")).alias("price"))
+
+
+@q("fn_parse_percent", f"""
+SELECT case_id,
+       TRY_CAST(replace(trim(raw), '%', '') AS DOUBLE) / 100.0 AS fraction
+FROM {fixtures.values_sql(fixtures.PERCENT_CASES, ["case_id", "raw"],
+                          {"case_id": "INTEGER"})}
+""", doc="F3 percent parser ('5%' -> 0.05, scrap_tokopedia.py:262).")
+def fn_parse_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(fixtures.PERCENT_CASES, "case_id int, raw string")
+    return df.select("case_id", scalars.parse_percent(F.col("raw")).alias("fraction"))
+
+
+@q("fn_date_format", """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day
+FROM orders
+""", doc="F4 date stamping as yyyy-MM-dd (scrap_tokopedia.py:23,266).")
+def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day")))
+
+
+@q("fn_discount_check", """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS disc_price,
+       l_discount >= 0.0 AND l_discount <= 0.1 AS discount_in_range
+FROM lineitem
+""", doc="F9 derived-consistency math over the price/discount fields "
+         "(scrap_tokopedia.py:256-264). Per-row IEEE ops — exact match, "
+         "no rounding.")
+def fn_discount_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("disc_price"),
+        ((F.col("l_discount") >= 0.0) & (F.col("l_discount") <= 0.1)).alias("discount_in_range"))
+
+
+@q("fn_explode_links", """
+SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part
+""", doc="F10/U2 explode of an extracted array column "
+         "(link lists, scrap_tokopedia.py:197-204).")
+def fn_explode_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "part")
+            .select("p_partkey", F.explode(F.split("p_name", " ")).alias("word")))
+
+
+@q("fn_json_props", """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""", doc="F10 JSON field extraction from the events.props payload.")
+def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "events")
+            .select("event_id",
+                    F.get_json_object("props", "$.k").try_cast("long").alias("k")))
+
+
+# ===========================================================================
+# §2.9 Extraction UDFs (golden-fixture oracle)
+# ===========================================================================
+
+def _expected_products_sql() -> str:
+    rows = []
+    for url, _, exp in fixtures.PRODUCT_PAGE_CASES:
+        if exp is None:
+            continue
+        name, detail, price, oprice, disc = exp
+        rows.append((url, name, detail, price, oprice, disc, "tokopedia"))
+    return fixtures.values_sql(
+        rows, ["url", "name", "detail", "price", "originalprice",
+               "discountpercentage", "platform"],
+        {"price": "BIGINT", "originalprice": "BIGINT",
+         "discountpercentage": "DOUBLE"})
+
+
+@q("parse_product", f"""
+SELECT url, name, detail, price, originalprice, discountpercentage, platform
+FROM {_expected_products_sql()}
+""", doc="U1 product-page field extraction (scrap_tokopedia.py:231-277) "
+         "over golden HTML fixtures; Arrow-batched DOM walk emits raw "
+         "strings, JVM expressions do the typing, quarantine drops rows "
+         "missing required fields. Oracle = hand-computed expected rows.")
+def parse_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = spark.createDataFrame(
+        [(u, h) for u, h, _ in fixtures.PRODUCT_PAGE_CASES], "url string, html string")
+    parsed = ingest.parse_products(pages)
+    valid = parsed.filter(F.col("name").isNotNull() & F.col("price").isNotNull())
+    return valid.select("url", "name", "detail", "price", "originalprice",
+                        "discountpercentage", "platform")
+
+
+# ===========================================================================
+# §2.8 Streaming-window operators (batch-mode oracles)
+# ===========================================================================
+
+_BUCKET10 = ("make_timestamp((CAST(floor(epoch(ts)/600) AS BIGINT)*600)"
+             "*1000000)")
+_BUCKET5 = ("make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT)*300)"
+            "*1000000)")
+
+
+@q("stream_tumbling", f"""
+SELECT strftime({_BUCKET10}, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""", doc="ST1 tumbling 10-min window agg; identical plan serves batch and "
+         "readStream (unified Structured Streaming model).")
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import tumbling_counts
+    return tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+@q("stream_sliding", f"""
+WITH b AS (SELECT {_BUCKET5} AS s5 FROM events)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events
+FROM (SELECT s5 AS ws FROM b
+      UNION ALL SELECT s5 - INTERVAL 5 MINUTE AS ws FROM b)
+GROUP BY ws
+""", doc="ST2 sliding window (10 min width / 5 min slide): every event in "
+         "exactly width/slide windows.")
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import sliding_counts
+    return sliding_counts(_t(spark, sf_dir, "events"))
+
+
+@q("stream_session", """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""", doc="ST3 session windows (5-min gap) per user; batch semantics equal "
+         "the gaps-and-islands SQL, which is the oracle.")
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import session_counts
+    return session_counts(_t(spark, sf_dir, "events"))
+
+
+@q("stream_watermark", f"""
+SELECT strftime({_BUCKET10}, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events
+FROM events GROUP BY 1
+""", doc="ST4 watermarked tumbling agg — watermark bounds state in "
+         "streaming mode and is a no-op in batch, so the oracle applies.")
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import watermarked_tumbling
+    return watermarked_tumbling(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# §2.10 LLM-data-pipeline operators
+# ===========================================================================
+
+@q("dedup_exact", """
+SELECT lang, source, min(doc_id) AS doc_id
+FROM documents GROUP BY lang, source
+""", doc="L1 exact dedup on (lang, source), deterministic min-id survivor "
+         "(dropDuplicates keeps an arbitrary row; min is reproducible).")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], "doc_id")
+
+
+@q("dedup_near", None,
+   doc="L2 MinHash LSH near-dup candidates (16 hashes, 4 bands) verified "
+       "with exact 3-gram Jaccard >= 0.5. Banded equi-join keeps the pair "
+       "space linear-ish — the 100 TB path. LSH is seed-dependent -> "
+       "rows-only check.")
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_candidates(docs, "doc_id", "text")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                     threshold=0.5, candidates=cand)
+
+
+@q("dedup_simhash", None,
+   doc="SimHash-64 near-dup pairs (hamming <= 8) via 4x16-bit band join; "
+       "hash banding is engine-specific -> rows-only check.")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8)
+
+
+@q("dedup_ngram", """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+        FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.12
+""", doc="L2 exact n-gram (3-token shingle) Jaccard pairs >= 0.12 — the "
+         "exact verifier behind MinHash, oracle-checked. Shared-shingle "
+         "equi-join bounds the pair space (never a cross join).")
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.12)
+
+
+_COS = ("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) "
+        "* sqrt(list_dot_product(b.e, b.e)))")
+
+
+@q("dedup_embedding", f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings)
+SELECT id_a, id_b, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 4) AS cos
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cos >= 0.4
+""", doc="L2 embedding-cosine near-dup pairs (rounded cosine >= 0.4), "
+         "computed as a blocked numpy GEMM against the broadcast "
+         "normalized corpus — one BLAS call per partition instead of a "
+         "per-pair expression (the 100 TB block-grid shape).")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_pairs_gemm(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4)
+
+
+@q("sim_topk", f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, round({_COS}, 4) AS cos
+  FROM (SELECT * FROM v WHERE vec_id < 8) a
+  JOIN v b ON b.vec_id != a.vec_id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= 5
+""", doc="L3 brute-force cosine top-k (k=5) for 8 query vectors — the "
+         "exact baseline; ranking on rounded scores with id tiebreak is "
+         "deterministic cross-engine.")
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.brute_force_topk(queries, emb, k=5)
+
+
+@q("sim_ann_ivf", None,
+   doc="L3 ANN: IVF-bucketed top-k (nlist=16, nprobe=4) — deterministic "
+       "coarse quantizer, bucket equi-join probe; the 100 TB scale path. "
+       "Approximate by construction -> rows-only check.")
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(queries, emb, k=5)
+
+
+# ===========================================================================
+# Text analysis (L4 + north-star text ops)
+# ===========================================================================
+
+@q("text_tokens", """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+GROUP BY word
+""", doc="L4 tokenize + global word counts (explode -> hash agg).")
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "documents")
+            .select(F.explode(text.tokens(F.col("text"))).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("text_stats", """
+SELECT doc_id,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS bpe_tokens,
+       CAST(n_chars AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+           AS avg_token_len
+FROM documents
+""", doc="L4 per-doc stats: whitespace token count, BPE-ish estimate "
+         "(~4 chars/token), average token length.")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = text.token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        text.bpe_token_estimate(F.col("n_chars")).alias("bpe_tokens"),
+        (F.col("n_chars").cast("double") / n_tokens.cast("double")).alias("avg_token_len"))
+
+
+def _stop_list_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + "]"
+
+
+@q("text_quality", f"""
+WITH x AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              t -> list_contains({_stop_list_sql()}, t))) AS BIGINT) AS stop_hits,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, stop_hits,
+       CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+       (least(1.0, CAST(n_chars AS DOUBLE) / 500.0)
+        + least(1.0, CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0)) / 2.0
+           AS quality
+FROM x
+""", doc="North-star quality scoring: stopword ratio + saturating length "
+         "component; pure per-row arithmetic, exact cross-engine.")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.marker_hits(F.col("text"), text.STOPWORDS).alias("stop_hits"),
+        text.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        text.quality_score(F.col("text"), F.col("n_chars")).alias("quality"))
+
+
+def _markers_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang]) + "]"
+
+
+@q("lang_id", f"""
+WITH hits AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              t -> list_contains({_markers_sql('en')}, t))) AS BIGINT) AS en,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              t -> list_contains({_markers_sql('es')}, t))) AS BIGINT) AS es,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              t -> list_contains({_markers_sql('de')}, t))) AS BIGINT) AS de
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+            WHEN es >= de AND es > 0 THEN 'es'
+            WHEN de > 0 THEN 'de'
+            ELSE 'und' END AS lang_pred
+FROM hits
+""", doc="North-star language-ID: marker-word argmax with deterministic "
+         "tie order (heuristic stand-in for a fastText Pandas UDF).")
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@q("doc_fingerprint", """
+SELECT doc_id, CAST(sum(ord(c) * i) AS BIGINT) AS fp
+FROM (SELECT doc_id,
+             unnest(string_split(substr(text, 1, 64), '')) AS c,
+             unnest(generate_series(1, len(substr(text, 1, 64)))) AS i
+      FROM documents)
+GROUP BY doc_id
+""", doc="North-star document fingerprint: position-weighted codepoint "
+         "sum over the first 64 chars — exact int64, commutative, so "
+         "engine- and order-independent (unlike xxhash64 seeds).")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+@q("multimodal_meta", """
+SELECT doc_id AS media_id,
+       CAST(1 + strlen(text) % 640 AS INTEGER) AS width,
+       CAST(1 + (strlen(text) // 640) % 480 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels
+FROM documents
+""", doc="L5 multimodal plumbing: binary payload column + mapInPandas "
+         "decode stub (deterministic fake — no codec libs here; see "
+         "sources/multimodal.py). Oracle recomputes the fake's metadata "
+         "from payload byte length.")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthetic_media_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_images(media).select(
+        "media_id", "width", "height", "n_channels")
+
+
+# Convenience exports ---------------------------------------------------------
+
+def spark_queries() -> dict[str, SparkQuery]:
+    return {name: spec.spark for name, spec in QUERIES.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items()
+            if spec.oracle is not None}

@@ -1,0 +1,209 @@
+"""The scrape pipeline as ONE lazy DataFrame plan (SURVEY.md §3.1).
+
+Reference architecture (scrap_tokopedia.py:299-328): a per-shop Python
+loop, two levels of nested ProcessPoolExecutor(5), per-row INSERTs.
+Spark-first architecture here:
+
+    seed shops ──▶ explode page sequence ──▶ mapInPandas(fetch)
+      ──▶ extract links (Arrow UDF) ──▶ explode ──▶ mapInPandas(fetch)
+      ──▶ extract raw fields (Arrow UDF) ──▶ JVM-side parse/typing
+      ──▶ quarantine split ──▶ partitioned parquet snapshot / JDBC
+
+Every stage is narrow (no shuffle until a sink repartition), fetch
+parallelism is governed by partition count instead of hardcoded pool
+widths, and row-level tolerance is an explicit quarantine split instead
+of scattered try/except (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import scalars
+from ..operators.quarantine import quarantine_split, required_fields_rules
+from .extraction import (DEFAULT_SPEC, ExtractionSpec, extract_links,
+                         extract_product_raw, page_stats)
+from .fetcher import Fetcher
+
+FETCH_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("status", T.IntegerType()),
+    T.StructField("html", T.StringType()),
+    T.StructField("fetcher", T.StringType()),
+])
+
+
+def fetch_pages(urls: DataFrame, fetcher: Fetcher, url_col: str = "url",
+                partitions: int | None = None) -> DataFrame:
+    """Fetch every URL in the frame via mapInPandas. Parallelism = the
+    frame's partition count (the politeness knob that replaces the
+    reference's hardcoded 5×5 pools); other columns pass through."""
+    if partitions:
+        urls = urls.repartition(partitions)
+    passthrough = [f for f in urls.schema.fields if f.name != url_col]
+    out_schema = T.StructType(list(FETCH_SCHEMA.fields) + passthrough)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                res = fetcher(row[url_col])
+                rec = {"url": res.url, "status": res.status,
+                       "html": res.html, "fetcher": res.fetcher}
+                for f in passthrough:
+                    rec[f.name] = row[f.name]
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return urls.mapInPandas(run, out_schema)
+
+
+LINKS_TYPE = T.ArrayType(T.StringType())
+STATS_TYPE = T.StructType([
+    T.StructField("valid", T.IntegerType()),
+    T.StructField("invalid", T.IntegerType()),
+    T.StructField("page_ok", T.BooleanType()),
+])
+RAW_PRODUCT_TYPE = T.StructType([
+    T.StructField("name_raw", T.StringType()),
+    T.StructField("detail_raw", T.StringType()),
+    T.StructField("price_raw", T.StringType()),
+    T.StructField("originalprice_raw", T.StringType()),
+    T.StructField("discount_raw", T.StringType()),
+])
+
+
+def _links_udf(spec: ExtractionSpec):
+    @F.pandas_udf(LINKS_TYPE)
+    def links(html: pd.Series) -> pd.Series:
+        return html.map(lambda h: extract_links(h, spec))
+    return links
+
+
+def _stats_udf(spec: ExtractionSpec):
+    @F.pandas_udf(STATS_TYPE)
+    def stats(html: pd.Series) -> pd.DataFrame:
+        vals = html.map(lambda h: page_stats(h, spec))
+        return pd.DataFrame(
+            vals.tolist(), columns=["valid", "invalid", "page_ok"], index=html.index)
+    return stats
+
+
+def _product_udf(spec: ExtractionSpec):
+    @F.pandas_udf(RAW_PRODUCT_TYPE)
+    def product(html: pd.Series) -> pd.DataFrame:
+        recs = html.map(lambda h: extract_product_raw(h, spec))
+        return pd.DataFrame(recs.tolist(), index=html.index)
+    return product
+
+
+def catalog_links(pages: DataFrame, spec: ExtractionSpec = DEFAULT_SPEC) -> DataFrame:
+    """Fetched catalog pages -> one row per active product link
+    (SURVEY.md §3.2). Empty/failed catalogs yield zero rows and never
+    abort siblings."""
+    return (pages
+            .withColumn("links", _links_udf(spec)(F.col("html")))
+            .withColumn("link", F.explode("links"))
+            .drop("links", "html"))
+
+
+def catalog_page_stats(pages: DataFrame, spec: ExtractionSpec = DEFAULT_SPEC) -> DataFrame:
+    """Fetched catalog pages -> (page, valid, invalid, page_ok) stats
+    table driving last_valid_page (SURVEY.md A2/A3)."""
+    return (pages.withColumn("s", _stats_udf(spec)(F.col("html")))
+            .select(*[c for c in pages.columns if c != "html"], "s.*"))
+
+
+def parse_products(pages: DataFrame, spec: ExtractionSpec = DEFAULT_SPEC,
+                   platform: str = "tokopedia") -> DataFrame:
+    """Fetched product pages -> typed rows matching the reference's
+    tr_raw_scrap_data (scrap_tokopedia.py:80-91). Raw strings come out
+    of the Arrow UDF; Rupiah/percent/date typing happens in JVM
+    expressions (functions/scalars.py)."""
+    raw = pages.withColumn("p", _product_udf(spec)(F.col("html")))
+    return raw.select(
+        F.col("url"),
+        F.trim(F.col("p.name_raw")).alias("name"),
+        F.trim(F.col("p.detail_raw")).alias("detail"),
+        scalars.parse_rupiah(F.col("p.price_raw")).alias("price"),
+        scalars.parse_rupiah(F.col("p.originalprice_raw")).alias("originalprice"),
+        scalars.parse_percent(F.col("p.discount_raw")).alias("discountpercentage"),
+        F.lit(platform).alias("platform"),
+        scalars.scrape_date().alias("createdate"),
+    )
+
+
+def scrape_to_snapshot(spark: SparkSession, shops: list[str], fetcher: Fetcher,
+                       last_pages: dict[str, int],
+                       spec: ExtractionSpec = DEFAULT_SPEC,
+                       fetch_partitions: int | None = None
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Full pipeline: shops -> catalog pages -> links -> product rows,
+    split into (valid, quarantined). UNION-of-shops is inherent: all
+    shops live in one frame (SURVEY.md O3) instead of the reference's
+    sequential loop (scrap_tokopedia.py:324-328)."""
+    seed = spark.createDataFrame([(s, last_pages[s]) for s in shops],
+                                 "shop string, last_page int")
+    pages = seed.select(
+        "shop", F.explode(F.sequence(F.lit(1), F.col("last_page"))).alias("page"))
+    pages = pages.withColumn(
+        "url", scalars.page_url(F.concat(F.lit("https://www.tokopedia.com/"),
+                                         F.col("shop")), F.col("page")))
+    fetched_catalogs = fetch_pages(pages, fetcher, partitions=fetch_partitions)
+    links = catalog_links(fetched_catalogs, spec)
+    product_urls = links.withColumn("url", scalars.product_url(F.col("link")))
+    fetched_products = fetch_pages(
+        product_urls.select("shop", "url"), fetcher, partitions=fetch_partitions)
+    products = parse_products(fetched_products, spec)
+    valid, quarantined = quarantine_split(
+        products, required_fields_rules("name", "price"))
+    return valid, quarantined
+
+
+def write_snapshot(df: DataFrame, path: str) -> None:
+    """Snapshot sink: parquet partitioned by createdate so as-of /
+    day-over-day queries partition-prune (SURVEY.md §7.1). At 100 TB
+    add bucketing on the product key for co-located as-of joins."""
+    df.write.mode("append").partitionBy("createdate").parquet(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str,
+               properties: dict[str, str] | None = None,
+               batchsize: int = 10_000) -> None:
+    """JDBC sink — batched, replacing the reference's one-transaction-
+    per-row data_insert (scrap_tokopedia.py:279-297)."""
+    props = {"batchsize": str(batchsize)}
+    props.update(properties or {})
+    df.write.mode("append").options(**props).jdbc(url, table)
+
+
+def find_last_valid_page(spark: SparkSession, base_url: str, fetcher: Fetcher,
+                         spec: ExtractionSpec = DEFAULT_SPEC, step: int = 10,
+                         max_pages: int = 1000) -> int:
+    """Driver-side bounded boundary search (SURVEY.md §7.4), replacing
+    the reference's sequential probe (scrap_tokopedia.py:153-186, which
+    can loop forever on a dead page). Spark-first twist: each phase
+    probes a BATCH of candidate pages in one job (they're independent),
+    so the search is 2 jobs instead of O(last/step) sequential fetches.
+    """
+    from ..operators.relational import page_sequence
+
+    def stats_for(page_nums: list[int]) -> dict[int, int]:
+        urls = spark.createDataFrame([(p,) for p in page_nums], "page int") \
+            .withColumn("url", scalars.page_url(F.lit(base_url), F.col("page")))
+        fetched = fetch_pages(urls, fetcher)
+        rows = catalog_page_stats(fetched, spec).select("page", "valid").collect()
+        return {r["page"]: r["valid"] for r in rows}
+
+    probes = list(range(step, max_pages + 1, step))
+    coarse = stats_for([1] + probes)
+    valid_pages = [p for p, v in coarse.items() if v > 0]
+    if not valid_pages:
+        return 0
+    lo = max(valid_pages)
+    fine = stats_for(list(range(lo + 1, min(lo + step, max_pages) + 1)))
+    valid_fine = [p for p, v in fine.items() if v > 0]
+    return max([lo] + valid_fine)

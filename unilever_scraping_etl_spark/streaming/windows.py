@@ -1,0 +1,78 @@
+"""Windowed event-time operators (SURVEY.md §2.8, ST1-ST5).
+
+Each builder takes a DataFrame that may be a batch frame OR a streaming
+frame (``readStream``) — Structured Streaming's unified model means the
+same plan serves both; batch mode is what the DuckDB oracle checks, and
+the streaming tests drive the same builders with a file source +
+``availableNow`` trigger.
+
+Window starts are returned as formatted strings (UTC session) so
+results are engine-portable; watermarking bounds state at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes",
+                    ts_col: str = "ts") -> DataFrame:
+    """ST1 — tumbling window count+sum per event_type."""
+    return (events
+            .groupBy(F.window(ts_col, width).alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.date_format("w.start", TS_FMT).alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes",
+                   slide: str = "5 minutes", ts_col: str = "ts") -> DataFrame:
+    """ST2 — sliding window: each event lands in width/slide windows."""
+    return (events
+            .groupBy(F.window(ts_col, width, slide).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.date_format("w.start", TS_FMT).alias("window_start"),
+                    "n_events"))
+
+
+def session_counts(events: DataFrame, gap: str = "5 minutes",
+                   key_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """ST3 — session windows per user with a fixed inactivity gap.
+    Batch-mode semantics match the classic gaps-and-islands SQL (session
+    start = first event; a gap > ``gap`` starts a new session), which is
+    exactly what the oracle computes."""
+    return (events
+            .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col(key_col),
+                    F.date_format("w.start", TS_FMT).alias("session_start"),
+                    "n_events"))
+
+
+def watermarked_tumbling(events: DataFrame, width: str = "10 minutes",
+                         watermark: str = "10 minutes",
+                         ts_col: str = "ts") -> DataFrame:
+    """ST4 — watermark + tumbling agg: late data beyond the watermark is
+    dropped and state is bounded; in batch mode withWatermark is a no-op
+    so the oracle still applies."""
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, width).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.date_format("w.start", TS_FMT).alias("window_start"),
+                    "n_events"))
+
+
+def stateful_dedup(events: DataFrame, keys: list[str],
+                   watermark: str = "10 minutes",
+                   ts_col: str = "ts") -> DataFrame:
+    """ST5 — stateful streaming dedup: drop repeats of the key within
+    the watermark horizon (state auto-expires). Batch mode falls back to
+    dropDuplicates on the same keys."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark) \
+                     .dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
