@@ -1,0 +1,119 @@
+"""End-to-end scrape pipeline tests with injected fixture fetchers
+(SURVEY.md §7.1: the network is never touched in tests — the fetcher is
+the seam, as in the reference's requests_page_get/driver_maker split,
+scrap_tokopedia.py:98-114).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unilever_scraping_etl_spark.plans.fixtures import catalog_html, product_html
+from unilever_scraping_etl_spark.sources import ingest
+from unilever_scraping_etl_spark.sources.fetcher import (FallbackFetcher,
+                                                         FetchResult,
+                                                         FixtureFetcher)
+
+
+@pytest.fixture()
+def shop_fixture():
+    """One shop, 2 catalog pages, 3 valid products (one shadow card, one
+    product page missing its price -> quarantined)."""
+    base = "https://www.tokopedia.com/shopx"
+    pages = {
+        base: catalog_html([("shopx/p1", False), ("shopx/p2", True)]),
+        f"{base}/page/2": catalog_html([("shopx/p3", False), ("shopx/p4", False)]),
+        "https://www.tokopedia.com/shopx/p1":
+            product_html("Item One", "Rp10.000", "first", "Rp12.500", "20%"),
+        "https://www.tokopedia.com/shopx/p3":
+            product_html("Item Three", "Rp30.000"),
+        "https://www.tokopedia.com/shopx/p4":
+            product_html("Item Four", None),  # missing price
+    }
+    return base, FixtureFetcher(pages)
+
+
+def test_scrape_to_snapshot_end_to_end(spark, shop_fixture):
+    _, fetcher = shop_fixture
+    valid, quarantined = ingest.scrape_to_snapshot(
+        spark, ["shopx"], fetcher, {"shopx": 2})
+    rows = {r["name"]: r for r in valid.collect()}
+    assert set(rows) == {"Item One", "Item Three"}
+    assert rows["Item One"]["price"] == 10000
+    assert rows["Item One"]["originalprice"] == 12500
+    assert rows["Item One"]["discountpercentage"] == 0.20
+    assert rows["Item One"]["platform"] == "tokopedia"
+    assert rows["Item Three"]["detail"] is None
+
+    bad = quarantined.collect()
+    assert len(bad) == 1
+    assert bad[0]["quarantine_reason"] == ["missing_price"]
+
+
+def test_catalog_stats_and_links(spark, shop_fixture):
+    base, fetcher = shop_fixture
+    urls = spark.createDataFrame([(1, base), (2, f"{base}/page/2")], "page int, url string")
+    fetched = ingest.fetch_pages(urls, fetcher)
+    stats = {r["page"]: (r["valid"], r["invalid"], r["page_ok"])
+             for r in ingest.catalog_page_stats(fetched).collect()}
+    assert stats == {1: (1, 1, True), 2: (2, 0, True)}
+    links = sorted(r["link"] for r in ingest.catalog_links(fetched).collect())
+    assert links == ["shopx/p1", "shopx/p3", "shopx/p4"]
+
+
+def test_find_last_valid_page_batched_probe(spark):
+    """Boundary search (scrap_tokopedia.py:153-186 reimagined as two
+    batch jobs): valid catalogs up to page 23, empty-state beyond."""
+    base = "https://www.tokopedia.com/shopy"
+    def page_html(p):
+        if p <= 23:
+            return catalog_html([(f"shopy/i{p}", False)])
+        return catalog_html([], empty_state=True)
+    pages = {base: page_html(1)}
+    for p in range(2, 200):
+        pages[f"{base}/page/{p}"] = page_html(p)
+    last = ingest.find_last_valid_page(
+        spark, base, FixtureFetcher(pages), step=10, max_pages=100)
+    assert last == 23
+
+
+def test_find_last_valid_page_no_valid_pages(spark):
+    last = ingest.find_last_valid_page(
+        spark, "https://x.com/none", FixtureFetcher({}), step=10, max_pages=30)
+    assert last == 0
+
+
+def test_fallback_fetcher_uses_secondary_result():
+    """The reference's evident intent (scrap_tokopedia.py:240-250) —
+    including the fixed HTTP!=200 branch whose fallback result the
+    reference accidentally discards (scrap_tokopedia.py:137-138)."""
+    good = product_html("X", "Rp1.000")
+    primary = FixtureFetcher({}, name="http")          # 404 for everything
+    secondary = FixtureFetcher({"u": good}, name="browser")
+    fb = FallbackFetcher(primary, secondary)
+    res = fb("u")
+    assert res.status == 200
+    assert res.html == good
+    assert res.fetcher == "fallback:browser"
+
+
+def test_fallback_on_empty_page():
+    empty = product_html(None, None)
+    good = product_html("X", "Rp1.000")
+    from unilever_scraping_etl_spark.sources.extraction import is_page_empty
+    fb = FallbackFetcher(FixtureFetcher({"u": empty}),
+                         FixtureFetcher({"u": good}),
+                         is_empty=is_page_empty)
+    assert fb("u").html == good
+
+
+def test_write_snapshot_partitioned(spark, shop_fixture, tmp_path):
+    _, fetcher = shop_fixture
+    valid, _ = ingest.scrape_to_snapshot(spark, ["shopx"], fetcher, {"shopx": 2})
+    path = str(tmp_path / "snap")
+    ingest.write_snapshot(valid, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    # partition column survives the round trip
+    assert "createdate" in back.columns

@@ -1,0 +1,79 @@
+"""Structured Streaming tests (SURVEY.md §2.8): the window builders run
+in REAL streaming mode — file source, availableNow trigger, memory sink
+— and must agree with their batch-mode results (unified model).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unilever_scraping_etl_spark.schemas import load_table
+from unilever_scraping_etl_spark.streaming import windows as W
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_stream_source(spark, tmp_path_factory):
+    """Re-materialize events as a parquet dir Spark can stream from
+    (readStream needs a directory + explicit schema)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    batch = load_table(spark, SF_SMOKE, "events")
+    batch.write.mode("overwrite").parquet(path)
+    return path, batch
+
+
+def _run_stream(spark, stream_df, name):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _assert_same(batch_df, stream_df):
+    b = sorted(map(tuple, batch_df.collect()))
+    s = sorted(map(tuple, stream_df.collect()))
+    assert b == s
+
+
+def test_tumbling_stream_equals_batch(spark, events_stream_source):
+    path, batch = events_stream_source
+    src = spark.readStream.schema(batch.schema).parquet(path)
+    out = _run_stream(spark, W.tumbling_counts(src), "t_tumbling")
+    _assert_same(W.tumbling_counts(batch), out)
+
+
+def test_session_window_stream_equals_batch(spark, events_stream_source):
+    path, batch = events_stream_source
+    src = spark.readStream.schema(batch.schema).parquet(path)
+    out = _run_stream(spark, W.session_counts(src), "t_session")
+    _assert_same(W.session_counts(batch), out)
+
+
+def test_watermarked_stream_runs(spark, events_stream_source):
+    path, batch = events_stream_source
+    src = spark.readStream.schema(batch.schema).parquet(path)
+    wm = W.watermarked_tumbling(src)
+    q = (wm.writeStream.format("memory").queryName("t_wm")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with a single
+    # availableNow batch the final window may be withheld — size bound:
+    n_stream = spark.table("t_wm").count()
+    n_batch = W.watermarked_tumbling(batch).count()
+    assert 0 <= n_stream <= n_batch
+
+
+def test_stateful_dedup_stream(spark, events_stream_source):
+    path, batch = events_stream_source
+    src = spark.readStream.schema(batch.schema).parquet(path)
+    dd = W.stateful_dedup(src, ["user_id", "event_type"])
+    q = (dd.writeStream.format("memory").queryName("t_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("t_dedup").count()
+    exact = batch.dropDuplicates(["user_id", "event_type"]).count()
+    # within-watermark dedup can only keep >= the exact-distinct count
+    assert got >= exact
+    assert got <= batch.count()

@@ -865,6 +865,89 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height", "n_channels")
 
 
+# ===========================================================================
+# Additional relational surface (J8, grouping sets, pivot, running agg)
+# ===========================================================================
+
+@q("join_cross", """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""", doc="J8 cross/nested-loop join — small dims only (5 x 25).")
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "region").select("r_name")
+            .crossJoin(_t(spark, sf_dir, "nation").select("n_name")))
+
+
+@q("agg_grouping_sets", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""", doc="A6 explicit grouping sets (status-only, priority-only, total).")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+@q("pivot_event_types", """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error
+FROM events GROUP BY user_id
+""", doc="Pivot event_type into per-user count columns (explicit value "
+         "list — no extra pass to discover keys, the scale-safe form).")
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = ["view", "click", "purchase", "signup", "error"]
+    return (_t(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, types))
+
+
+@q("window_running_sum", """
+SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_value
+FROM events
+""", doc="W3 cumulative sum per user (unbounded-preceding frame).")
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return ev.select("event_id",
+                     F.round(F.sum("value").over(w), 4).alias("running_value"))
+
+
+def _expected_quarantine_sql() -> str:
+    rows = [("missing_name", 1), ("missing_price", 1)]
+    return fixtures.values_sql(rows, ["quarantine_reason", "n_rows"],
+                               {"n_rows": "BIGINT"})
+
+
+@q("quarantine_stats", f"""
+SELECT quarantine_reason, n_rows FROM {_expected_quarantine_sql()}
+""", doc="F6 quarantine split — the engine's explicit replacement for "
+         "the reference's silent drop-and-log tolerance "
+         "(scrap_tokopedia.py:268-277,293-297): per-reason reject counts "
+         "over the golden product pages. Oracle = hand-computed counts.")
+def quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quarantine import quarantine_split, required_fields_rules
+    pages = spark.createDataFrame(
+        [(u, h) for u, h, _ in fixtures.PRODUCT_PAGE_CASES], "url string, html string")
+    parsed = ingest.parse_products(pages)
+    _, quarantined = quarantine_split(parsed, required_fields_rules("name", "price"))
+    return (quarantined
+            .select(F.explode("quarantine_reason").alias("quarantine_reason"))
+            .groupBy("quarantine_reason")
+            .agg(F.count(F.lit(1)).alias("n_rows")))
+
+
 # Convenience exports ---------------------------------------------------------
 
 def spark_queries() -> dict[str, SparkQuery]:
