@@ -14,6 +14,9 @@ import os
 import sys
 import time
 
+import pandas as pd
+from pyspark.sql import functions as F
+
 from unilever_scraping_etl_spark.plans.registry import QUERIES
 from unilever_scraping_etl_spark.session import get_session
 
@@ -23,8 +26,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("bench")
 
-    # Warm the session: JVM, parquet footers, Arrow path.
+    # Warm the session: JVM, parquet footers, and the Python/Arrow UDF
+    # worker pool (first pandas_udf call pays multi-second worker spawn;
+    # steady-state per-query numbers are what the benchmark measures).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+    spark.range(10).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

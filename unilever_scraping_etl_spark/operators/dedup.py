@@ -83,10 +83,24 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_n: int = 3, threshold: float = 0.8,
                         candidates: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity between doc pairs sharing ≥1
-    shingle. With ``candidates`` (e.g. from minhash_candidates) the pair
-    space is pre-pruned; without, the shared-shingle equi-join bounds the
-    pair space to actually-overlapping docs (still never a cross join).
-    Returns (id_a, id_b, jaccard ≥ threshold)."""
+    shingle. With ``candidates`` (e.g. from minhash_candidates) the
+    verification joins the candidate pairs back to the per-doc shingle
+    sets and intersects them per pair (array_intersect — no re-join of
+    the full shingle table). Without candidates, the shared-shingle
+    equi-join bounds the pair space to actually-overlapping docs (still
+    never a cross join). Returns (id_a, id_b, jaccard ≥ threshold)."""
+    if candidates is not None:
+        sets = df.select(F.col(id_col).alias("id"),
+                         shingles(F.col(text_col), shingle_n).alias("sh"))
+        a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (candidates.join(a, "id_a").join(b, "id_b")
+                .withColumn("jaccard",
+                            inter.cast("double") / union.cast("double"))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
     sh = df.select(F.col(id_col).alias("id"),
                    F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -96,8 +110,6 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     & (F.col("a.id") < F.col("b.id")))
               .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
               .agg(F.count(F.lit(1)).alias("inter")))
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
     return (inter.join(sa, "id_a").join(sb, "id_b")

@@ -38,6 +38,21 @@ def asof_latest(df: DataFrame, key_cols: list[str], time_col: str,
               .filter(F.col("__rn") == 1).drop("__rn"))
 
 
+def asof_latest_agg(df: DataFrame, key_cols: list[str], time_col: str,
+                    tiebreak_cols: list[str],
+                    value_cols: list[str]) -> DataFrame:
+    """As-of via one hash aggregation: max_by(values, (time, tiebreaks)).
+    Same semantics as asof_latest when the order tuple is unique, but
+    partial-aggregates map-side — at scale this beats the window form
+    (no per-partition sort, shuffle carries one row per key per map
+    task instead of every row)."""
+    ord_struct = F.struct(F.col(time_col), *[F.col(c) for c in tiebreak_cols])
+    val_struct = F.struct(F.col(time_col), *[F.col(c) for c in value_cols])
+    agg = df.groupBy(*key_cols).agg(F.max_by(val_struct, ord_struct).alias("__v"))
+    return agg.select(*key_cols, F.col(f"__v.{time_col}").alias(time_col),
+                      *[F.col(f"__v.{c}").alias(c) for c in value_cols])
+
+
 def churn(prev: DataFrame, curr: DataFrame, key_cols: list[str]) -> DataFrame:
     """O4 — appeared/disappeared keys between two snapshots, labeled.
     Implemented as two left-anti joins (cheaper than exceptAll when only

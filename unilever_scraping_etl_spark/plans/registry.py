@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from functools import reduce
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -330,12 +331,15 @@ FROM (SELECT l_partkey, l_shipdate, l_extendedprice,
 WHERE rn = 1
 """, doc="J7 as-of (latest snapshot <= now) per part — the day-over-day "
          "price compare the snapshot-append model implies (SURVEY.md §1.1). "
-         "At 100 TB the date-partitioned snapshot prunes before the shuffle.")
+         "Computed as a max_by hash agg (map-side partial, no sort) — "
+         "equivalent to the window form because the order tuple is unique; "
+         "at 100 TB the date-partitioned snapshot prunes before the shuffle.")
 def asof_price_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    latest = relational.asof_latest(
+    latest = relational.asof_latest_agg(
         li, ["l_partkey"], "l_shipdate",
-        tiebreak=[F.col("l_orderkey").desc(), F.col("l_linenumber").desc()])
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_extendedprice"])
     return latest.select(
         "l_partkey",
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("last_ship_date"),
@@ -946,6 +950,25 @@ def quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.explode("quarantine_reason").alias("quarantine_reason"))
             .groupBy("quarantine_reason")
             .agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+@q("udaf_weighted_avg", """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+           AS weighted_avg_price
+FROM lineitem GROUP BY l_returnflag
+""", doc="U3 grouped-agg pandas UDAF (Arrow-batched numpy) — quantity-"
+         "weighted average price per flag; rounded both sides because "
+         "vectorized summation order differs from the oracle's.")
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(wavg("l_extendedprice", "l_quantity"), 4)
+                 .alias("weighted_avg_price")))
 
 
 # Convenience exports ---------------------------------------------------------
