@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..schemas import local_df
+
 # --- scalar parsing cases (FIXTURES.md §A4; literals match the forms the
 # reference handles at scrap_tokopedia.py:256,262) ---------------------------
 RUPIAH_CASES: list[tuple[int, str | None]] = [
@@ -87,7 +89,7 @@ def values_sql(rows: list[tuple], columns: list[str],
 
 
 def spark_fixture(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 # --- golden HTML pages (FIXTURES.md §A2/A3), built against the selector

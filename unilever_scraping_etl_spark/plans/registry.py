@@ -200,8 +200,8 @@ WHERE NOT has_shadow
 """, doc="P2+P3 — href projection of non-shadow cards "
          "(scrap_tokopedia.py:199-203).")
 def project_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cards = spark.createDataFrame(
-        fixtures.CARD_CASES, "card_id int, href string, has_shadow boolean")
+    cards = fixtures.spark_fixture(
+        spark, fixtures.CARD_CASES, "card_id int, href string, has_shadow boolean")
     return cards.filter(~F.col("has_shadow")).select("card_id", "href")
 
 
@@ -212,8 +212,8 @@ WHERE name IS NOT NULL AND price IS NOT NULL
 """, doc="P4 null-required predicate: page empty iff name or price NULL "
          "(scrap_tokopedia.py:211-229); returns the kept pages.")
 def filter_empty_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = spark.createDataFrame(
-        fixtures.EMPTY_PAGE_CASES, "page_id int, name string, price bigint")
+    pages = fixtures.spark_fixture(
+        spark, fixtures.EMPTY_PAGE_CASES, "page_id int, name string, price bigint")
     return pages.filter(F.col("name").isNotNull() & F.col("price").isNotNull())
 
 
@@ -310,8 +310,8 @@ GROUP BY band
          "nested loop; at scale the small side is always broadcast).")
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
-        fixtures.PRICE_BANDS, "band string, lo double, hi double")
+    bands = fixtures.spark_fixture(
+        spark, fixtures.PRICE_BANDS, "band string, lo double, hi double")
     cond = (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi"))
     return (p.join(F.broadcast(bands), cond)
              .groupBy("band")
@@ -473,7 +473,7 @@ FROM {fixtures.values_sql(fixtures.RUPIAH_CASES, ["case_id", "raw"],
                           {"case_id": "INTEGER"})}
 """, doc="F2 Rupiah parser ('Rp12.345' -> 12345, scrap_tokopedia.py:256).")
 def fn_parse_rupiah(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame(fixtures.RUPIAH_CASES, "case_id int, raw string")
+    df = fixtures.spark_fixture(spark, fixtures.RUPIAH_CASES, "case_id int, raw string")
     return df.select("case_id", scalars.parse_rupiah(F.col("raw")).alias("price"))
 
 
@@ -484,7 +484,7 @@ FROM {fixtures.values_sql(fixtures.PERCENT_CASES, ["case_id", "raw"],
                           {"case_id": "INTEGER"})}
 """, doc="F3 percent parser ('5%' -> 0.05, scrap_tokopedia.py:262).")
 def fn_parse_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame(fixtures.PERCENT_CASES, "case_id int, raw string")
+    df = fixtures.spark_fixture(spark, fixtures.PERCENT_CASES, "case_id int, raw string")
     return df.select("case_id", scalars.parse_percent(F.col("raw")).alias("fraction"))
 
 
@@ -560,8 +560,9 @@ FROM {_expected_products_sql()}
          "strings, JVM expressions do the typing, quarantine drops rows "
          "missing required fields. Oracle = hand-computed expected rows.")
 def parse_product(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = spark.createDataFrame(
-        [(u, h) for u, h, _ in fixtures.PRODUCT_PAGE_CASES], "url string, html string")
+    pages = fixtures.spark_fixture(
+        spark, [(u, h) for u, h, _ in fixtures.PRODUCT_PAGE_CASES],
+        "url string, html string")
     parsed = ingest.parse_products(pages)
     valid = parsed.filter(F.col("name").isNotNull() & F.col("price").isNotNull())
     return valid.select("url", "name", "detail", "price", "originalprice",
@@ -942,8 +943,9 @@ SELECT quarantine_reason, n_rows FROM {_expected_quarantine_sql()}
          "over the golden product pages. Oracle = hand-computed counts.")
 def quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quarantine import quarantine_split, required_fields_rules
-    pages = spark.createDataFrame(
-        [(u, h) for u, h, _ in fixtures.PRODUCT_PAGE_CASES], "url string, html string")
+    pages = fixtures.spark_fixture(
+        spark, [(u, h) for u, h, _ in fixtures.PRODUCT_PAGE_CASES],
+        "url string, html string")
     parsed = ingest.parse_products(pages)
     _, quarantined = quarantine_split(parsed, required_fields_rules("name", "price"))
     return (quarantined

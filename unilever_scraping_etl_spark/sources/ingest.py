@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 
 from ..functions import scalars
 from ..operators.quarantine import quarantine_split, required_fields_rules
+from ..schemas import local_df
 from .extraction import (DEFAULT_SPEC, ExtractionSpec, extract_links,
                          extract_product_raw, page_stats)
 from .fetcher import Fetcher
@@ -145,8 +146,8 @@ def scrape_to_snapshot(spark: SparkSession, shops: list[str], fetcher: Fetcher,
     split into (valid, quarantined). UNION-of-shops is inherent: all
     shops live in one frame (SURVEY.md O3) instead of the reference's
     sequential loop (scrap_tokopedia.py:324-328)."""
-    seed = spark.createDataFrame([(s, last_pages[s]) for s in shops],
-                                 "shop string, last_page int")
+    seed = local_df(spark, [(s, last_pages[s]) for s in shops],
+                    "shop string, last_page int")
     pages = seed.select(
         "shop", F.explode(F.sequence(F.lit(1), F.col("last_page"))).alias("page"))
     pages = pages.withColumn(
@@ -192,7 +193,7 @@ def find_last_valid_page(spark: SparkSession, base_url: str, fetcher: Fetcher,
     from ..operators.relational import page_sequence
 
     def stats_for(page_nums: list[int]) -> dict[int, int]:
-        urls = spark.createDataFrame([(p,) for p in page_nums], "page int") \
+        urls = local_df(spark, [(p,) for p in page_nums], "page int") \
             .withColumn("url", scalars.page_url(F.lit(base_url), F.col("page")))
         fetched = fetch_pages(urls, fetcher)
         rows = catalog_page_stats(fetched, spec).select("page", "valid").collect()
