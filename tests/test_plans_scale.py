@@ -76,3 +76,79 @@ def test_topk_window_group_limit_pushdown(spark):
     # Spark >=3.5 pushes a per-partition top-k below the window shuffle.
     plan = _plan(QUERIES["topk_per_group"].spark(spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan
+
+
+def test_snapshot_partition_pruning(spark, tmp_path):
+    """A createdate filter on the date-partitioned snapshot must prune
+    partitions at the scan (the property that makes as-of queries cheap
+    on a 100 TB snapshot table)."""
+    from unilever_scraping_etl_spark.sources.ingest import write_snapshot
+
+    snap = (load_table(spark, SF_SMOKE, "orders")
+            .select(F.col("o_orderkey").alias("id"),
+                    F.col("o_totalprice").alias("price"),
+                    F.to_date("o_orderdate").alias("createdate"))
+            .filter(F.col("createdate") < "1995-02-01"))
+    path = str(tmp_path / "snap")
+    write_snapshot(snap, path)
+
+    one_day = snap.agg(F.min("createdate")).collect()[0][0]
+    df = spark.read.parquet(path).filter(F.col("createdate") == F.lit(one_day))
+    plan = _plan(df)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "createdate" in pf
+    # pruned scan must actually read fewer files than the full snapshot
+    read_files = df.select(F.input_file_name()).distinct().count()
+    all_files = len(spark.read.parquet(path).inputFiles())
+    assert 0 < read_files < all_files
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with NO
+    Exchange on either side — the co-located-join contract bucketing
+    exists for (at 100 TB this removes the dominant shuffle)."""
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey") \
+        .option("path", str(tmp_path / "b_orders")) \
+        .mode("overwrite").saveAsTable("b_orders")
+    li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey") \
+        .option("path", str(tmp_path / "b_lineitem")) \
+        .mode("overwrite").saveAsTable("b_lineitem")
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bl.join(bo.hint("merge"),
+                         bl.l_orderkey == bo.o_orderkey)
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be result-transparent: same rows as the plain join."""
+    from unilever_scraping_etl_spark.operators.relational import salted_join
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_linenumber")
+    orders = (load_table(spark, SF_SMOKE, "orders")
+              .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"))
+    salted = salted_join(li, orders, on=["l_orderkey"],
+                         salt_by=["l_orderkey", "l_linenumber"], buckets=8)
+    plain = li.join(orders, "l_orderkey")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_gemm_topk_equals_expression_topk(spark):
+    """The GEMM kernel must reproduce the expression-level brute force
+    exactly (rounded scores, id tiebreak)."""
+    from unilever_scraping_etl_spark.operators.similarity import (
+        brute_force_topk, brute_force_topk_gemm)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    a = brute_force_topk(queries, emb, k=5)
+    b = brute_force_topk_gemm(queries, emb, k=5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -65,6 +65,25 @@ def test_watermarked_stream_runs(spark, events_stream_source):
     assert 0 <= n_stream <= n_batch
 
 
+def test_apply_in_pandas_with_state_running_totals(spark, events_stream_source):
+    """Custom stateful operator: the streaming path's final per-user
+    state must equal the batch groupBy (one availableNow batch sees all
+    rows, so 'update' output has exactly one row per user)."""
+    from unilever_scraping_etl_spark.streaming.stateful import running_user_totals
+
+    path, batch = events_stream_source
+    src = spark.readStream.schema(batch.schema).parquet(path)
+    q = (running_user_totals(src).writeStream.format("memory")
+         .queryName("t_state").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
+           for r in spark.table("t_state").collect()}
+    want = {r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
+            for r in running_user_totals(batch).collect()}
+    assert got == want
+
+
 def test_stateful_dedup_stream(spark, events_stream_source):
     path, batch = events_stream_source
     src = spark.readStream.schema(batch.schema).parquet(path)

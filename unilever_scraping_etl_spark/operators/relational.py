@@ -53,6 +53,28 @@ def asof_latest_agg(df: DataFrame, key_cols: list[str], time_col: str,
                       *[F.col(f"__v.{c}").alias(c) for c in value_cols])
 
 
+def salted_join(big: DataFrame, small: DataFrame, on: list[str],
+                salt_by: list[str], buckets: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: the big side gets a deterministic salt from
+    ``salt_by`` (row-distinguishing columns, e.g. its primary key — NOT
+    the join key, which is constant within a hot group), the small side
+    is exploded across all ``buckets`` salts, and the join key becomes
+    (on + salt) so one hot key spreads over ``buckets`` reducers.
+    Results are identical to ``big.join(small, on, how)``.
+
+    AQE's skew-join split handles most cases for free; this operator is
+    for the residual ones — skew in a key whose partitions AQE can't
+    split (e.g. a subsequent aggregation on the same key) or a
+    deliberately pinned non-AQE plan."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_by]),
+                  F.lit(buckets)).cast("int")
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
+    return b.join(s, on + ["__salt"], how).drop("__salt")
+
+
 def churn(prev: DataFrame, curr: DataFrame, key_cols: list[str]) -> DataFrame:
     """O4 — appeared/disappeared keys between two snapshots, labeled.
     Implemented as two left-anti joins (cheaper than exceptAll when only

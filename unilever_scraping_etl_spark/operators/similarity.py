@@ -39,6 +39,59 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
                   .select("query_id", "neighbor_id", "cos", "rank"))
 
 
+def brute_force_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          round_digits: int = 4) -> DataFrame:
+    """Exact top-k cosine as a blocked matrix product: the corpus is
+    L2-normalized once and broadcast; each partition of queries does ONE
+    numpy GEMM against it and emits its top-k rows. Same results as
+    brute_force_topk (rounded scores, id tiebreak) at a fraction of the
+    cost — per-pair expression work becomes a BLAS call per (partition x
+    corpus block). This is the 100 TB shape: with a larger-than-broadcast
+    corpus the identical kernel runs per (query-block x corpus-block)
+    grid cell with a top-k merge per query."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = queries.sparkSession
+    small = corpus.select(id_col, vec_col).toPandas()
+    ids_all = small[id_col].to_numpy()
+    m_all = np.vstack(small[vec_col].to_numpy()).astype("float64")
+    m_all /= np.maximum(np.linalg.norm(m_all, axis=1, keepdims=True), 1e-300)
+    bc = spark.sparkContext.broadcast((ids_all, m_all))
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+
+    def gen(batches):
+        ids_c, m_c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_q = pdf[id_col].to_numpy()
+            m_q = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            m_q /= np.maximum(np.linalg.norm(m_q, axis=1, keepdims=True), 1e-300)
+            sim = np.round(m_q @ m_c.T, round_digits)
+            for qi in range(len(ids_q)):
+                row = sim[qi]
+                mask = ids_c != ids_q[qi]          # exclude self
+                order = np.lexsort((ids_c[mask], -row[mask]))[:k]
+                nids = ids_c[mask][order]
+                yield pd.DataFrame({
+                    "query_id": np.full(len(order), ids_q[qi], dtype="int64"),
+                    "neighbor_id": nids.astype("int64"),
+                    "cos": row[mask][order],
+                    "rank": np.arange(1, len(order) + 1, dtype="int32"),
+                })
+
+    return queries.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
 def assign_ivf_buckets(emb: DataFrame, nlist: int = 16,
                        id_col: str = "vec_id", vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF coarse quantizer. Centroids = the nlist lowest-id

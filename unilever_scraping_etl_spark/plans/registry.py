@@ -319,6 +319,26 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.avg("p_retailprice"), 4).alias("avg_price")))
 
 
+@q("join_salted", """
+SELECT o_orderpriority, count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""", doc="J1 variant for skewed keys: deterministic salt from the big "
+         "side's primary key spreads one hot join key over N reducers; "
+         "the small side is exploded across all salts. Result-identical "
+         "to the plain inner join (same oracle shape as join_inner) — "
+         "the escape hatch when AQE's skew split can't apply.")
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = relational.salted_join(
+        li.select("l_orderkey", "l_linenumber"), orders,
+        on=["l_orderkey"], salt_by=["l_orderkey", "l_linenumber"], buckets=8)
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items")))
+
+
 @q("asof_price_change", """
 SELECT l_partkey,
        strftime(l_shipdate, '%Y-%m-%d') AS last_ship_date,
@@ -641,6 +661,22 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return watermarked_tumbling(_t(spark, sf_dir, "events"))
 
 
+@q("stream_running_totals", """
+SELECT user_id, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id
+""", doc="ST5+ custom stateful operator (applyInPandasWithState): per-"
+         "user running (count, sum) with one fixed-width state row per "
+         "key. Batch mode is the equivalent one-shot groupBy (unified "
+         "model); tests/test_streaming.py asserts the streaming path's "
+         "final state agrees.")
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import running_user_totals
+    out = running_user_totals(_t(spark, sf_dir, "events"))
+    return out.select("user_id", "n_events",
+                      F.round("sum_value", 4).alias("sum_value"))
+
+
 # ===========================================================================
 # §2.10 LLM-data-pipeline operators
 # ===========================================================================
@@ -748,6 +784,28 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_topk(queries, emb, k=5)
+
+
+@q("sim_topk_gemm", f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, round({_COS}, 4) AS cos
+  FROM (SELECT * FROM v WHERE vec_id < 8) a
+  JOIN v b ON b.vec_id != a.vec_id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= 5
+""", doc="L3 brute-force top-k as a blocked numpy GEMM against the "
+         "broadcast L2-normalized corpus — one BLAS call per partition "
+         "instead of a per-pair codegen expression; identical results "
+         "to sim_topk (same oracle).")
+def sim_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.brute_force_topk_gemm(queries, emb, k=5)
 
 
 # ===========================================================================
@@ -868,6 +926,21 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthetic_media_from_documents(_t(spark, sf_dir, "documents"))
     return multimodal.decode_images(media).select(
         "media_id", "width", "height", "n_channels")
+
+
+@q("multimodal_decode", None,
+   doc="L5 full decode path: binary payload -> mapInPandas decode stub "
+       "-> fixed-width feature vector (deterministic fake; real codecs "
+       "slot into _fake_decode unchanged). Feature extraction is byte-"
+       "level and not SQL-expressible -> rows-only check.")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthetic_media_from_documents(_t(spark, sf_dir, "documents"))
+    decoded = multimodal.decode_images(media)
+    return decoded.select(
+        "media_id", "width", "height",
+        F.round(F.aggregate("feature", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 4)
+         .alias("feature_sum"))
 
 
 # ===========================================================================
