@@ -103,7 +103,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                 .select("id_a", "id_b", "jaccard"))
     sh = df.select(F.col(id_col).alias("id"),
                    F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # Per-doc set size is a narrow map over the docs (no shuffle) — the
+    # shingle array is already distinct, so size(array) == |set|.
+    sizes = df.select(F.col(id_col).alias("id"),
+                      F.size(shingles(F.col(text_col), shingle_n)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

@@ -124,6 +124,22 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.approx_count_distinct("l_partkey").alias("n_parts_approx")))
 
 
+@q("agg_percentile", """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90
+FROM events GROUP BY event_type
+""", doc="A4+ exact percentiles (linear interpolation) per event type; "
+         "Spark's percentile() and DuckDB's quantile_cont share the "
+         "continuous-quantile definition. At 100 TB swap in "
+         "approx_percentile: same plan shape, sketch-sized shuffle.")
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.round(F.percentile("value", 0.5), 4).alias("p50"),
+                 F.round(F.percentile("value", 0.9), 4).alias("p90")))
+
+
 @q("agg_rollup", """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
@@ -414,6 +430,24 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", F.round(F.avg("value").over(w), 4).alias("mov_avg"))
 
 
+@q("window_range_frame", """
+SELECT event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW), 4) AS mov_avg_1h
+FROM events
+""", doc="W3 time-range frame: trailing 1-hour moving average per user "
+         "(rangeBetween on epoch seconds — value-based frames, the form "
+         "rowsBetween can't express when event spacing is irregular).")
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-3600, 0))
+    return ev.select("event_id",
+                     F.round(F.avg("value").over(w), 4).alias("mov_avg_1h"))
+
+
 @q("topk_per_group", """
 SELECT p_brand, p_partkey, p_retailprice,
        CAST(row_number() OVER (PARTITION BY p_brand
@@ -480,6 +514,28 @@ def set_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     retained = prev.join(curr, "user_id", "left_semi") \
                    .withColumn("change", F.lit("retained"))
     return moved.unionByName(retained)
+
+
+@q("set_intersect_except", """
+WITH mon AS (SELECT DISTINCT user_id FROM events
+             WHERE CAST(ts AS DATE) = DATE '2024-01-01'),
+     tue AS (SELECT DISTINCT user_id FROM events
+             WHERE CAST(ts AS DATE) = DATE '2024-01-02')
+SELECT user_id, 'both' AS tag
+FROM (SELECT user_id FROM mon INTERSECT SELECT user_id FROM tue)
+UNION ALL
+SELECT user_id, 'only_mon' AS tag
+FROM (SELECT user_id FROM mon EXCEPT SELECT user_id FROM tue)
+""", doc="O4 literal INTERSECT / EXCEPT physical operators (set_churn "
+         "implements the same semantics with anti/semi joins; this pins "
+         "the built-in set-op path).")
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = lambda d: (ev.filter(F.to_date("ts") == F.lit(d).cast("date"))
+                       .select("user_id").distinct())
+    mon, tue = day("2024-01-01"), day("2024-01-02")
+    return (mon.intersect(tue).withColumn("tag", F.lit("both"))
+            .unionByName(mon.exceptAll(tue).withColumn("tag", F.lit("only_mon"))))
 
 
 # ===========================================================================
@@ -753,6 +809,55 @@ SELECT id_a, id_b, cos FROM (
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_pairs_gemm(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4)
+
+
+@q("dedup_editdist", """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 8
+""", doc="L2 edit-distance near-dup over product names, blocked on "
+         "(brand, size) so the pair space is per-block quadratic, never "
+         "corpus-quadratic — the blocking-key pattern that keeps "
+         "string-similarity dedup feasible at 100 TB. levenshtein() is "
+         "JVM-side codegen.")
+def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a, b = p.alias("a"), p.alias("b")
+    return (a.join(b, [F.col("a.p_brand") == F.col("b.p_brand"),
+                       F.col("a.p_size") == F.col("b.p_size"),
+                       F.col("a.p_partkey") < F.col("b.p_partkey")])
+            .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+            .filter(F.col("dist") <= 8)
+            .select(F.col("a.p_partkey").alias("id_a"),
+                    F.col("b.p_partkey").alias("id_b"), "dist"))
+
+
+@q("sql_revenue_topn", """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""", doc="SQL entry surface: the same engine via spark.sql over temp "
+         "views (TPC-H Q3-shaped revenue top-N) — proves users can run "
+         "plain SQL against registered tables and get the identical "
+         "Catalyst plan the DataFrame API produces.")
+def sql_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS order_day
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10""")
 
 
 @q("sim_topk", f"""
