@@ -108,6 +108,17 @@ def test_fallback_on_empty_page():
     assert fb("u").html == good
 
 
+def test_jdbc_options_from_credential_fields():
+    """S6 parity with create_url (unilever_scraping_pipeline.py:21-34):
+    the credential.json field names map to a JDBC url + properties."""
+    url, props = ingest.jdbc_options({
+        "conn_type": "postgresql", "host": "db-host", "port": 5432,
+        "schema": "warehouse", "login": "etl", "password": "s3cret"})
+    assert url == "jdbc:postgresql://db-host:5432/warehouse"
+    assert props == {"user": "etl", "password": "s3cret",
+                     "driver": "org.postgresql.Driver"}
+
+
 def test_write_snapshot_partitioned(spark, shop_fixture, tmp_path):
     _, fetcher = shop_fixture
     valid, _ = ingest.scrape_to_snapshot(spark, ["shopx"], fetcher, {"shopx": 2})

@@ -41,11 +41,12 @@ def asof_latest(df: DataFrame, key_cols: list[str], time_col: str,
 def asof_latest_agg(df: DataFrame, key_cols: list[str], time_col: str,
                     tiebreak_cols: list[str],
                     value_cols: list[str]) -> DataFrame:
-    """As-of via one hash aggregation: max_by(values, (time, tiebreaks)).
+    """As-of via one aggregation: max_by(values, (time, tiebreaks)).
     Same semantics as asof_latest when the order tuple is unique, but
     partial-aggregates map-side — at scale this beats the window form
-    (no per-partition sort, shuffle carries one row per key per map
-    task instead of every row)."""
+    because the shuffle carries one row per key per map task instead of
+    every row. (Struct-ordered max_by plans as SortAggregate — a sort on
+    the grouping key only — which the shuffle-volume win dominates.)"""
     ord_struct = F.struct(F.col(time_col), *[F.col(c) for c in tiebreak_cols])
     val_struct = F.struct(F.col(time_col), *[F.col(c) for c in value_cols])
     agg = df.groupBy(*key_cols).agg(F.max_by(val_struct, ord_struct).alias("__v"))

@@ -171,6 +171,26 @@ def write_snapshot(df: DataFrame, path: str) -> None:
     df.write.mode("append").partitionBy("createdate").parquet(path)
 
 
+def jdbc_options(conn: dict) -> tuple[str, dict[str, str]]:
+    """S6 — connection-config source: the engine's form of the
+    reference's create_url (unilever_scraping_pipeline.py:21-34, fed by
+    etc/apache_airflow/credential.json via add_connection.py:11-27).
+    Takes the same field names the reference's credential JSON uses
+    (conn_type, host, port, schema, login, password) and returns the
+    (jdbc_url, properties) pair spark.read/write.jdbc consumes. Secrets
+    stay in config, never in code."""
+    url = (f"jdbc:{conn['conn_type']}://{conn['host']}:{conn['port']}"
+           f"/{conn['schema']}")
+    props = {"user": str(conn.get("login", "")),
+             "password": str(conn.get("password", ""))}
+    if conn.get("driver"):
+        props["driver"] = conn["driver"]
+    elif conn["conn_type"] == "postgresql":
+        # the reference's driver map {"postgresql": "psycopg2"} analog
+        props["driver"] = "org.postgresql.Driver"
+    return url, props
+
+
 def write_jdbc(df: DataFrame, url: str, table: str,
                properties: dict[str, str] | None = None,
                batchsize: int = 10_000) -> None:
