@@ -141,6 +141,23 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_prefix_filter_jaccard_equals_naive(spark):
+    """Prefix filtering must be result-transparent at any threshold
+    (the filter only prunes candidates that provably can't reach t)."""
+    from unilever_scraping_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs, ngram_jaccard_pairs_prefix)
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for t in (0.12, 0.5, 0.8):
+        naive = {(r.id_a, r.id_b): round(r.jaccard, 9)
+                 for r in ngram_jaccard_pairs(docs, "doc_id", "text",
+                                              threshold=t).collect()}
+        pref = {(r.id_a, r.id_b): round(r.jaccard, 9)
+                for r in ngram_jaccard_pairs_prefix(docs, "doc_id", "text",
+                                                    threshold=t).collect()}
+        assert naive == pref, f"threshold {t}: {len(naive)} vs {len(pref)} pairs"
+
+
 def test_gemm_topk_equals_expression_topk(spark):
     """The GEMM kernel must reproduce the expression-level brute force
     exactly (rounded scores, id tiebreak)."""

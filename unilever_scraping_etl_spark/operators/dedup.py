@@ -123,6 +123,46 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "jaccard"))
 
 
+def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
+                               shingle_n: int = 3,
+                               threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard >= threshold via prefix filtering (the PPJoin family,
+    Xiao et al., WWW 2008 — public literature): order every doc's shingle
+    set by a global canonical order (ascending document frequency, then
+    shingle), and index only the first ``|d| - ceil(t*|d|) + 1`` shingles.
+    Any pair with J >= t MUST collide inside these prefixes, so the
+    candidate equi-join touches rare shingles only; a symmetric length
+    filter (t*|a| <= |b| and t*|b| <= |a|) prunes further before the
+    exact array_intersect verification. Results are IDENTICAL to
+    ngram_jaccard_pairs — this is the high-threshold 100 TB path, where
+    the naive shared-shingle join degenerates on stop-shingles.
+    Returns (id_a, id_b, jaccard)."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
+    ordered = (sh.join(freq, "shingle")
+                 .groupBy("id")
+                 .agg(F.sort_array(F.collect_list(
+                     F.struct("df_cnt", "shingle"))).alias("ord")))
+    n = F.size("ord")
+    p = (n - F.ceil(F.lit(float(threshold)) * n.cast("double")).cast("int")
+         + F.lit(1))
+    pref = ordered.select(
+        "id", n.alias("n"),
+        F.explode(F.slice(F.transform("ord", lambda s: s["shingle"]),
+                          F.lit(1), p)).alias("shingle"))
+    a, b = pref.alias("a"), pref.alias("b")
+    t = float(threshold)
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id"))
+                   & (F.col("b.n").cast("double") >= t * F.col("a.n"))
+                   & (F.col("a.n").cast("double") >= t * F.col("b.n")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+    return ngram_jaccard_pairs(df, id_col, text_col, shingle_n,
+                               threshold, candidates=cand)
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash: per token take xxhash64, then per bit position sum
     +1/-1 across tokens; the sign of each sum is that bit of the

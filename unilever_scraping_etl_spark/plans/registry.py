@@ -791,6 +791,32 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.12)
 
 
+@q("dedup_ngram_prefix", """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+        FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+""", doc="L2 exact Jaccard >= 0.5 via prefix filtering (PPJoin-style: "
+         "index only the |d|-ceil(t|d|)+1 rarest shingles per doc + "
+         "symmetric length filter, then exact verify) — identical "
+         "results to the naive shared-shingle join at a fraction of the "
+         "candidate space; the oracle is the naive formulation.")
+def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5)
+
+
 _COS = ("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) "
         "* sqrt(list_dot_product(b.e, b.e)))")
 
