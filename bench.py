@@ -2,9 +2,11 @@
 (default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion (count() forces the full plan; the
-driver-side result stays tiny) and timed wall-clock after a warmup of
-the session + parquet footers.
+Each query is executed to completion with a noop-sink write — unlike
+count(), which lets Catalyst prune every unreferenced computed column,
+the noop write evaluates ALL output columns without materializing them
+driver-side — and timed wall-clock after a warmup of the session +
+parquet footers.
 """
 
 from __future__ import annotations
@@ -41,7 +43,7 @@ def main() -> None:
     for name, spec in QUERIES.items():
         t0 = time.perf_counter()
         try:
-            spec.spark(spark, sf_dir).count()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # keep benching; surface at the end
             failures[name] = f"{type(exc).__name__}: {exc}"
