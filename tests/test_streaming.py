@@ -65,6 +65,29 @@ def test_watermarked_stream_runs(spark, events_stream_source):
     assert 0 <= n_stream <= n_batch
 
 
+def test_stream_to_parquet_sink_with_checkpoint(spark, events_stream_source, tmp_path):
+    """File sink + checkpoint: the durable end of the streaming pipeline
+    (exactly-once via checkpointed offsets + file-manifest commits).
+    Restarting the query from the same checkpoint must not duplicate."""
+    path, batch = events_stream_source
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        src = spark.readStream.schema(batch.schema).parquet(path)
+        q = (src.filter(F.col("event_type") == "purchase")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    run_once()  # no new input -> checkpoint prevents reprocessing
+    got = spark.read.parquet(out).count()
+    want = batch.filter(F.col("event_type") == "purchase").count()
+    assert got == want
+
+
 def test_apply_in_pandas_with_state_running_totals(spark, events_stream_source):
     """Custom stateful operator: the streaming path's final per-user
     state must equal the batch groupBy (one availableNow batch sees all

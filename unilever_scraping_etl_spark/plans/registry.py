@@ -973,6 +973,22 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / n_tokens.cast("double")).alias("avg_token_len"))
 
 
+@q("text_normalize", """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g')) AS norm_text
+FROM documents
+""", doc="L4 text normalization: lowercase, strip non-alphanumerics, "
+         "collapse whitespace — the canonical pre-dedup cleanup pass; "
+         "pure codegen expressions, narrow map.")
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+    return d.select("doc_id", norm.alias("norm_text"))
+
+
 def _stop_list_sql() -> str:
     return "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + "]"
 
