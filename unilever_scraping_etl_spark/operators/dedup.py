@@ -38,17 +38,30 @@ def shingles(text_col, n: int = 3) -> "F.Column":
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
-    """MinHash signature per document: explode shingles once, take
-    min(xxhash64(shingle, seed_h)) per doc per hash function. The seeds
-    are just h appended to the input — xxhash64 is deterministic across
-    the cluster. One explode + one groupBy shuffle; signature width
-    num_hashes stays in a single row afterwards."""
-    sh = df.select(id_col, F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(h))).alias(f"mh_{h}")
+    """MinHash signature per document as a NARROW MAP — no shuffle:
+    per row, array_min(transform(shingles, s -> xxhash64(s, h))) for
+    each hash function h (xxhash64 is seed-stable across the cluster).
+    The signature is a per-document value, so computing it must never
+    cost an explode + groupBy shuffle — at 100 TB this stage pipelines
+    straight out of the scan."""
+    # Materialize the shingle array in its own projection: the 16 min
+    # columns all reference it, and CollapseProject must not merge the
+    # two selects (it would inline 16 copies of the shingling work —
+    # Catalyst keeps non-cheap multi-referenced aliases separate).
+    with_sh = df.select(F.col(id_col),
+                        shingles(F.col(text_col), shingle_n).alias("__sh"))
+
+    # NB: single-arg lambda factory — a `lambda s, h=h:` default-arg
+    # closure has arity 2, which pyspark reads as the (element, index)
+    # lambda form and silently binds the array index over the seed.
+    def hashed_with_seed(h: int):
+        return lambda s: F.xxhash64(s, F.lit(h))
+
+    cols = [
+        F.array_min(F.transform("__sh", hashed_with_seed(h))).alias(f"mh_{h}")
         for h in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return with_sh.select(F.col(id_col), *cols)
 
 
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
@@ -165,25 +178,25 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash: per token take xxhash64, then per bit position sum
-    +1/-1 across tokens; the sign of each sum is that bit of the
-    fingerprint. Implemented as explode + 64 conditional sums in ONE hash
-    aggregation (map-side combined), then bit-assembled with shiftleft.
-    """
-    toks = (df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"))
-              .withColumn("h", F.xxhash64("tok")))
-    aggs = [
-        F.sum(F.when(
-            F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1)
-            .otherwise(-1)).alias(f"b{i}")
-        for i in range(64)
-    ]
-    sums = toks.groupBy(id_col).agg(*aggs)
+    +1/-1 across token occurrences; the sign of each sum is that bit of
+    the fingerprint. A per-document value, so computed as a NARROW MAP —
+    no explode, no shuffle: hash the token array once per row, then per
+    bit count set occurrences with a higher-order filter (bit set iff
+    2*count_set > n_tokens)."""
+    hashes = F.transform(F.split(F.lower(F.col(text_col)), " "),
+                         lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+
+    def bit_set(mask):  # single-arg lambda factory (see minhash note)
+        return lambda h: h.bitwiseAND(mask) != 0
+
     fp = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0,
-                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        mask = F.shiftleft(F.lit(1).cast("long"), i)
+        cnt = F.size(F.filter(hashes, bit_set(mask)))
+        bit = F.when(cnt * 2 > n, mask).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp.bitwiseOR(bit)
-    return sums.select(F.col(id_col), fp.alias("simhash"))
+    return df.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
