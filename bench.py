@@ -48,12 +48,28 @@ def main() -> None:
         except Exception as exc:  # keep benching; surface at the end
             failures[name] = f"{type(exc).__name__}: {exc}"
 
+    # Scrape-path throughput: pages/s through fetch-shaped rows -> DOM
+    # extraction UDF -> typed parse (the reference's ceiling is ~0.5-5
+    # products/s from its 5x5 process pools, BASELINE.md).
+    from unilever_scraping_etl_spark.plans import fixtures
+    from unilever_scraping_etl_spark.sources import ingest
+
+    n_pages = 20_000
+    page_pool = F.array(*[F.lit(h) for _, h, _ in fixtures.PRODUCT_PAGE_CASES])
+    pages = spark.range(n_pages).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.element_at(page_pool, (F.col("id") % 6 + 1).cast("int")).alias("html"))
+    t0 = time.perf_counter()
+    ingest.parse_products(pages).write.format("noop").mode("overwrite").save()
+    scrape_pps = n_pages / (time.perf_counter() - t0)
+
     result = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "scrape_pages_per_sec": round(scrape_pps, 1),
     }
     if failures:
         result["failures"] = failures

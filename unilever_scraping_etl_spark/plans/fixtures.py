@@ -126,6 +126,35 @@ def product_html(name: str | None, price: str | None, detail: str | None = None,
     return f"<html><body>{''.join(parts)}</body></html>"
 
 
+# --- one-shop scrape-pipeline fixture (SURVEY.md §3.1): 2 catalog pages,
+# one shadow card (anti-filtered), one product missing price (quarantined).
+# Used by the scrape_pipeline end-to-end query; expected rows are the
+# oracle side. ---------------------------------------------------------------
+
+SHOP_BASE = "https://www.tokopedia.com/shopx"
+
+
+def shop_pipeline_pages() -> dict[str, str]:
+    return {
+        SHOP_BASE: catalog_html([("shopx/p1", False), ("shopx/p2", True)]),
+        f"{SHOP_BASE}/page/2": catalog_html([("shopx/p3", False),
+                                             ("shopx/p4", False)]),
+        "https://www.tokopedia.com/shopx/p1":
+            product_html("Item One", "Rp10.000", "first", "Rp12.500", "20%"),
+        "https://www.tokopedia.com/shopx/p3":
+            product_html("Item Three", "Rp30.000"),
+        "https://www.tokopedia.com/shopx/p4":
+            product_html("Item Four", None),          # missing price -> drop
+    }
+
+
+# (name, detail, price, originalprice, discountpercentage, platform)
+SHOP_PIPELINE_EXPECTED: list[tuple] = [
+    ("Item One", "first", 10000, 12500, 0.20, "tokopedia"),
+    ("Item Three", None, 30000, None, None, "tokopedia"),
+]
+
+
 # (url, html, expected (name, detail, price, originalprice, discountpercentage)
 #  or None when the row must be quarantined)
 PRODUCT_PAGE_CASES: list[tuple[str, str, tuple | None]] = [

@@ -1174,6 +1174,33 @@ def quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows")))
 
 
+def _scrape_pipeline_oracle() -> str:
+    cols = ["name", "detail", "price", "originalprice",
+            "discountpercentage", "platform"]
+    return fixtures.values_sql(
+        fixtures.SHOP_PIPELINE_EXPECTED, cols,
+        {"price": "BIGINT", "originalprice": "BIGINT",
+         "discountpercentage": "DOUBLE"})
+
+
+@q("scrape_pipeline", f"""
+SELECT name, detail, price, originalprice, discountpercentage, platform
+FROM {_scrape_pipeline_oracle()}
+""", doc="S1-S5+P1-P7+F1-F8 end to end: the reference's whole dataflow "
+         "(scrap_tokopedia.py:299-328) as one lazy plan — seed shop -> "
+         "page sequence -> fixture fetch -> link extraction with the "
+         "shadow-card anti-filter -> product fetch -> typed parse -> "
+         "quarantine split. Oracle = hand-computed expected rows "
+         "(createdate excluded: current_date is run-dependent).")
+def scrape_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.fetcher import FixtureFetcher
+    valid, _ = ingest.scrape_to_snapshot(
+        spark, ["shopx"], FixtureFetcher(fixtures.shop_pipeline_pages()),
+        {"shopx": 2})
+    return valid.select("name", "detail", "price", "originalprice",
+                        "discountpercentage", "platform")
+
+
 @q("udaf_weighted_avg", """
 SELECT l_returnflag,
        round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
