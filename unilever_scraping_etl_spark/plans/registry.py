@@ -599,6 +599,34 @@ def fn_explode_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p_partkey", F.explode(F.split("p_name", " ")).alias("word")))
 
 
+def _udtf_links_oracle() -> str:
+    rows = [("https://www.tokopedia.com/shopx", "shopx/p1"),
+            ("https://www.tokopedia.com/shopx/page/2", "shopx/p3"),
+            ("https://www.tokopedia.com/shopx/page/2", "shopx/p4")]
+    return fixtures.values_sql(rows, ["url", "link"])
+
+
+@q("fn_udtf_links", f"""
+SELECT url, link FROM {_udtf_links_oracle()}
+""", doc="U2 as a real Python UDTF (lateral table function over catalog "
+         "HTML): page row in, one row per active (shadow-filtered) link "
+         "out — the SQL-surface form of the link extractor "
+         "(scrap_tokopedia.py:188-209). Oracle = hand-computed links.")
+def fn_udtf_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.extraction import links_udtf
+    pages_map = fixtures.shop_pipeline_pages()
+    catalogs = [u for u in pages_map
+                if "/p1" not in u and "/p3" not in u and "/p4" not in u]
+    pages = fixtures.spark_fixture(
+        spark, [(u, pages_map[u]) for u in sorted(catalogs)],
+        "url string, html string")
+    spark.udtf.register("extract_links_udtf", links_udtf())
+    pages.createOrReplaceTempView("catalog_pages_udtf")
+    return spark.sql("""
+        SELECT p.url, u.link
+        FROM catalog_pages_udtf p, LATERAL extract_links_udtf(p.html) u""")
+
+
 @q("fn_json_props", """
 SELECT event_id,
        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

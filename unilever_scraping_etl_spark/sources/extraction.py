@@ -215,6 +215,24 @@ def is_page_empty(html: str | None, spec: ExtractionSpec = DEFAULT_SPEC) -> bool
     return any(find(root, f.selector) is None for f in required)
 
 
+def links_udtf(spec: ExtractionSpec = DEFAULT_SPEC):
+    """U2 as a real Python UDTF (Spark 3.5+ table function): one catalog
+    page row in, one row per active product link out — the table-valued
+    form of extract_links for SQL users (``SELECT u.* FROM pages,
+    LATERAL extract_links(html) u``). The Arrow-batched array+explode
+    path in ingest.catalog_links remains the bulk route; this is the
+    SQL-surface equivalent."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="link string")
+    class ExtractLinks:
+        def eval(self, html: str):
+            for link in extract_links(html, spec):
+                yield (link,)
+
+    return ExtractLinks
+
+
 def extract_product_raw(html: str | None,
                         spec: ExtractionSpec = DEFAULT_SPEC) -> dict[str, str | None]:
     """Product page -> raw string fields per the spec; None where a
