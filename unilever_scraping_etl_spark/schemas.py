@@ -18,12 +18,21 @@ def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
 
     ``createDataFrame(list, ...)`` produces a Python-RDD-backed scan that
     re-pays a Python worker round-trip per partition on EVERY job; the
-    pandas route yields a JVM-side ``LocalTableScan`` (one-time Arrow
-    transfer, ~35x faster per action on local[32]). ``schema`` is a DDL
-    string like ``"id int, name string"``."""
+    pandas route with Arrow yields a JVM-side ``LocalTableScan``
+    (one-time Arrow transfer, ~35x faster per action on local[32]).
+    Arrow conversion is OFF by default in a plain session, so it is
+    force-enabled just for the conversion — the resulting LocalTableScan
+    holds its rows eagerly, so restoring the conf afterwards is safe.
+    ``schema`` is a DDL string like ``"id int, name string"``."""
     names = [c.strip().split()[0] for c in schema.split(",")]
     pdf = pd.DataFrame([list(r) for r in rows], columns=names, dtype=object)
-    return spark.createDataFrame(pdf, schema)
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        return spark.createDataFrame(pdf, schema)
+    finally:
+        spark.conf.set(key, prev)
 
 # ---------------------------------------------------------------------------
 # The reference's one persisted table: main.tr_raw_scrap_data

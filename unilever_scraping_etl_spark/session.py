@@ -49,6 +49,11 @@ def get_session(app_name: str = "unilever_scraping_etl_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Push min/max/count aggregates into parquet footers (metadata-only
+        # scans for bare aggs) and inject runtime bloom filters on the big
+        # side of selective joins — both free wins that matter most at scale.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
