@@ -288,6 +288,23 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("o_orderkey").alias("n_orders")))
 
 
+@q("join_full_outer", """
+SELECT coalesce(n.n_nationkey, c.c_nationkey) AS nationkey,
+       CAST(count(DISTINCT n.n_name) AS BIGINT) AS n_names,
+       CAST(count(c.c_custkey) AS BIGINT) AS n_customers
+FROM nation n FULL OUTER JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""", doc="J3 full outer join — nations without customers and (would-be) "
+         "customers without nations both preserved.")
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    j = n.join(c, c.c_nationkey == n.n_nationkey, "full_outer")
+    return (j.groupBy(F.coalesce(n.n_nationkey, c.c_nationkey).alias("nationkey"))
+             .agg(F.countDistinct("n_name").alias("n_names"),
+                  F.count("c_custkey").alias("n_customers")))
+
+
 @q("join_semi", """
 SELECT c_custkey, c_mktsegment FROM customer
 WHERE EXISTS (SELECT 1 FROM orders
@@ -446,6 +463,25 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rangeBetween(-3600, 0))
     return ev.select("event_id",
                      F.round(F.avg("value").over(w), 4).alias("mov_avg_1h"))
+
+
+@q("window_distribution", """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""", doc="W1 distribution family: ntile/percent_rank/cume_dist per "
+         "priority, deterministic via the (price, key) order tiebreak.")
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
 
 
 @q("topk_per_group", """
@@ -636,6 +672,27 @@ def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_t(spark, sf_dir, "events")
             .select("event_id",
                     F.get_json_object("props", "$.k").try_cast("long").alias("k")))
+
+
+@q("fn_array_ops", """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS n_dims,
+       round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                         (acc, x) -> acc + x), 4) AS sum_v,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+FROM embeddings
+""", doc="F10 higher-order array surface: size / left-fold aggregate / "
+         "filter over array<float> — both engines fold sequentially, so "
+         "even float accumulation matches (rounded for safety).")
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    sum_v = F.aggregate("embedding", F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(sum_v, 4).alias("sum_v"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"))
 
 
 # ===========================================================================
