@@ -31,6 +31,13 @@ def _run_stream(spark, stream_df, name):
     return spark.table(name)
 
 
+def _run_stream_append(spark, stream_df, name):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
 def _assert_same(batch_df, stream_df):
     b = sorted(map(tuple, batch_df.collect()))
     s = sorted(map(tuple, stream_df.collect()))
@@ -105,6 +112,16 @@ def test_apply_in_pandas_with_state_running_totals(spark, events_stream_source):
     want = {r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
             for r in running_user_totals(batch).collect()}
     assert got == want
+
+
+def test_stream_stream_interval_join(spark, events_stream_source):
+    """Stream-stream interval join must reproduce the batch interval
+    join when one availableNow batch carries all rows (watermarks bound
+    state, and nothing is late in a single batch)."""
+    path, batch = events_stream_source
+    src = spark.readStream.schema(batch.schema).parquet(path)
+    out = _run_stream_append(spark, W.clicks_to_purchases(src), "t_ssjoin")
+    _assert_same(W.clicks_to_purchases(batch), out)
 
 
 def test_stateful_dedup_stream(spark, events_stream_source):

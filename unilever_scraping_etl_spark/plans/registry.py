@@ -802,6 +802,21 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return watermarked_tumbling(_t(spark, sf_dir, "events"))
 
 
+@q("stream_join", """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+""", doc="ST+ stream-stream interval join (click -> purchase within 10 "
+         "min per user); watermarks bound the join state in streaming "
+         "mode, and the identical plan is a plain interval join in "
+         "batch — which the oracle checks.")
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import clicks_to_purchases
+    return clicks_to_purchases(_t(spark, sf_dir, "events"))
+
+
 @q("stream_running_totals", """
 SELECT user_id, count(*) AS n_events,
        round(sum(value), 4) AS sum_value

@@ -66,6 +66,32 @@ def watermarked_tumbling(events: DataFrame, width: str = "10 minutes",
                     "n_events"))
 
 
+def clicks_to_purchases(events: DataFrame, horizon: str = "10 minutes",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream interval join: click followed by a purchase by the
+    same user within ``horizon``. In streaming mode both sides carry
+    watermarks so join state is bounded (Spark buffers only the horizon
+    window); in batch mode the identical plan is a plain interval join,
+    which is what the oracle checks. Returns one row per (click,
+    purchase) pair."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts")))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts")))
+    if events.isStreaming:
+        clicks = clicks.withWatermark("c_ts", watermark)
+        purchases = purchases.withWatermark("p_ts", watermark)
+    cond = ((F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}")))
+    return (clicks.join(purchases, cond)
+            .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id"))
+
+
 def stateful_dedup(events: DataFrame, keys: list[str],
                    watermark: str = "10 minutes",
                    ts_col: str = "ts") -> DataFrame:
