@@ -140,6 +140,27 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.percentile("value", 0.9), 4).alias("p90")))
 
 
+@q("agg_stats", """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+FROM lineitem GROUP BY l_returnflag
+""", doc="A4+ statistical aggregates (sample stddev/variance, Pearson "
+         "correlation, sample covariance) per flag — one partial+final "
+         "hash agg like any sum.")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+                 F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                  .alias("corr_qty_price"),
+                 F.round(F.covar_samp("l_quantity", "l_discount"), 6)
+                  .alias("cov_qty_disc")))
+
+
 @q("agg_rollup", """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
