@@ -65,6 +65,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance a small scan before CPU-heavy narrow maps.
+
+    Parquet splits are sized by BYTES (maxPartitionBytes), which is the
+    wrong unit for CPU-bound per-row operators: the 5k-row documents
+    table is one ~1.5 MB split -> ONE task, so shingling / 16-way
+    minhash / simhash bit-spreads run on a single core while the other
+    31 idle. A round-robin repartition to cluster parallelism costs a
+    tiny shuffle and parallelizes the expensive map. Guarded by the
+    partition-count check so at 100 TB — where the scan already has
+    thousands of splits — it is a no-op.
+    """
+    import os
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # ===========================================================================
 # §2.4 Aggregations
 # ===========================================================================
@@ -874,7 +895,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
        "space linear-ish — the 100 TB path. LSH is seed-dependent -> "
        "rows-only check.")
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     cand = dedup.minhash_candidates(docs, "doc_id", "text")
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
                                      threshold=0.5, candidates=cand)
@@ -885,7 +906,8 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
        "hash banding is engine-specific -> rows-only check.")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8)
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text",
+        max_hamming=8)
 
 
 @q("dedup_ngram", """
@@ -909,7 +931,8 @@ WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.12
          "equi-join bounds the pair space (never a cross join).")
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.12)
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text",
+        threshold=0.12)
 
 
 @q("dedup_ngram_prefix", """
@@ -935,7 +958,8 @@ WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
          "candidate space; the oracle is the naive formulation.")
 def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs_prefix(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5)
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text",
+        threshold=0.5)
 
 
 _COS = ("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) "
@@ -955,7 +979,8 @@ SELECT id_a, id_b, cos FROM (
          "per-pair expression (the 100 TB block-grid shape).")
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_pairs_gemm(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4)
+        _spread(_t(spark, sf_dir, "embeddings")), "vec_id", "embedding",
+        threshold=0.4)
 
 
 @q("dedup_editdist", """
@@ -1339,6 +1364,128 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l_returnflag")
             .agg(F.round(wavg("l_extendedprice", "l_quantity"), 4)
                  .alias("weighted_avg_price")))
+
+
+@q("sessionize_events", """
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(max(ts))) AS BIGINT)
+           - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+       round(sum(value), 4) AS session_value
+FROM numbered GROUP BY user_id, session_id
+""", doc="Gap-based sessionization (30-min inactivity) — the batch analog "
+         "of ST3's session_window with an exact SQL oracle: lag -> "
+         "new-session flag -> running sum = session id -> per-session agg. "
+         "One shuffle on user_id serves both window passes and the final "
+         "groupBy (same partitioning reused — no extra exchange at 100 TB).")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("long")
+    lag_epoch = F.lag(epoch).over(w)
+    flagged = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value",
+        F.when(lag_epoch.isNull() | ((epoch - lag_epoch) > 1800), 1)
+         .otherwise(0).alias("new_session"))
+    run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    numbered = flagged.withColumn("session_id",
+                                  F.sum("new_session").over(run))
+    return (numbered.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.max(epoch) - F.min(epoch)).alias("duration_sec"),
+                 F.round(F.sum("value"), 4).alias("session_value")))
+
+
+@q("split_train_test", """
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+    SELECT lang,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT lang,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16
+                + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 AS b
+        FROM documents)
+) GROUP BY split, lang
+""", doc="Deterministic hash-based train/val/test split (80/10/10) — the "
+         "assignment is a pure function of the stable key (md5 of doc_id, "
+         "first two hex chars -> bucket), so membership is reproducible "
+         "across runs, engines, and cluster sizes — no sampling RNG, no "
+         "driver state. Narrow map + one partial-agg shuffle at any scale.")
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.md5(F.col("doc_id").cast("string"))
+    b = ((F.ascii(F.substring(h, 1, 1)) * 16
+          + F.ascii(F.substring(h, 2, 1))) % 10)
+    return (_t(spark, sf_dir, "documents")
+            .select("lang",
+                    F.when(b < 8, "train").when(b == 8, "val")
+                     .otherwise("test").alias("split"))
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+@q("tfidf_top_terms", """
+WITH tok AS (
+    SELECT doc_id, w AS word FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+    WHERE w <> ''
+),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, word),
+df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+       GROUP BY word),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.word,
+           round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tfidf FROM (
+    SELECT doc_id, word, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, word) AS rn
+    FROM scored
+) WHERE rn <= 3
+""", doc="TF-IDF top-3 terms per document — regex tokenize -> per-doc term "
+         "frequency -> document frequency -> tf*ln(N/df) -> windowed top-k. "
+         "The df side is a small aggregate (vocabulary-sized) that AQE "
+         "broadcast-joins back onto tf; N is a scalar cross join. Rounded "
+         "before ranking with a word tiebreak so ordering is engine-stable.")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id",
+                       F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                        .alias("word"))
+           .filter(F.col("word") != ""))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; one tiny job, constant-folded into expr
+    scored = (tf.join(F.broadcast(df_), "word")
+              .select("doc_id", "word",
+                      F.round(F.col("tf")
+                              * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+                       .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3).drop("rn"))
 
 
 # Convenience exports ---------------------------------------------------------
