@@ -169,3 +169,23 @@ def test_gemm_topk_equals_expression_topk(spark):
     a = brute_force_topk(queries, emb, k=5)
     b = brute_force_topk_gemm(queries, emb, k=5)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, and node 20 absent
+    # from the edge list (singletons are the caller's concern).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long")
+    got = {(r["node"], r["component"])
+           for r in dedup.connected_components(edges, "id_a", "id_b").collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10)}
+
+
+def test_connected_components_direction_insensitive(spark):
+    # min id on the *destination* side still labels the component.
+    edges = spark.createDataFrame([(5, 1), (5, 9)], "id_a long, id_b long")
+    got = {(r["node"], r["component"])
+           for r in dedup.connected_components(edges, "id_a", "id_b").collect()}
+    assert got == {(1, 1), (5, 1), (9, 1)}

@@ -341,3 +341,55 @@ def embedding_near_pairs_gemm(emb: DataFrame, id_col: str, vec_col: str,
             })
 
     return emb.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
+def connected_components(edges: DataFrame, src: str, dst: str,
+                         max_iterations: int = 30) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node starts labeled with its own id;
+    each round a node takes the min of its label and its neighbors'
+    labels; converged when no label changes. Returns (node, component)
+    with component = min node id in the component.
+
+    This is the clustering step a dedup pipeline needs AFTER pair
+    detection: near-dup PAIRS (minhash/simhash/Jaccard) form a graph
+    whose components are the duplicate groups, from which one canonical
+    document per group survives. (The reference has no analog — its
+    dedup surface is implicit in the (name, platform, createdate)
+    snapshot key, SURVEY.md §1.1.)
+
+    Scale: each round is one shuffle join (edges ⋈ labels on the
+    neighbor key) + partial-agg min + one label update join. Rounds =
+    component diameter — near-dup graphs are clique-ish, so a handful.
+    Lineage is truncated with localCheckpoint each round (plans stay
+    O(1), not O(rounds)); convergence is one driver-side count per
+    round, the standard Pregel-style loop (cf. Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — whose
+    large-star/small-star variant is the O(log d) upgrade path if
+    diameters ever grow).
+    """
+    sym = edges.select(F.col(src).cast("long").alias("a"),
+                       F.col(dst).cast("long").alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"),
+                               F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint()  # reused every round — cut the upstream plan
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("component", F.col("node")))
+    for _ in range(max_iterations):
+        nbr_min = (sym.join(labels, sym["b"] == labels["node"])
+                   .groupBy("a").agg(F.min("component").alias("nbr")))
+        updated = (labels.join(nbr_min, labels["node"] == nbr_min["a"],
+                               "left")
+                   .select(labels["node"],
+                           F.least(labels["component"],
+                                   F.coalesce(F.col("nbr"),
+                                              labels["component"]))
+                            .alias("component"),
+                           (F.coalesce(F.col("nbr"), labels["component"])
+                            < labels["component"]).alias("changed")))
+        updated = updated.localCheckpoint()
+        changed = updated.filter("changed").count()
+        labels = updated.select("node", "component")
+        if changed == 0:
+            break
+    return labels

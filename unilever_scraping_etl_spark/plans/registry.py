@@ -1366,6 +1366,60 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("weighted_avg_price")))
 
 
+@q("dedup_clusters", """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+        FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       FROM idx),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lab) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id) = 1 AS is_canonical
+FROM (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+""", doc="The full dedup pipeline a training corpus needs: near-dup "
+         "PAIRS (prefix-filtered exact Jaccard >= 0.5) -> connected "
+         "components (min-label propagation, Pregel-style) -> one "
+         "canonical doc per cluster (longest, then smallest id); "
+         "singletons are their own cluster. The oracle reproduces the "
+         "components with a recursive CTE (transitive min-label "
+         "closure).")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", threshold=0.5).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    assigned = (docs.join(comp, docs["doc_id"] == comp["node"], "left")
+                .select("doc_id",
+                        F.coalesce("component", "doc_id")
+                         .alias("cluster_id"),
+                        "n_chars"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"),
+                                                 F.asc("doc_id"))
+    return assigned.select(
+        "doc_id", "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_canonical"))
+
+
 @q("sessionize_events", """
 WITH flagged AS (
     SELECT user_id, event_id, ts, value,
