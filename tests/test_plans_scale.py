@@ -189,3 +189,21 @@ def test_connected_components_direction_insensitive(spark):
     got = {(r["node"], r["component"])
            for r in dedup.connected_components(edges, "id_a", "id_b").collect()}
     assert got == {(1, 1), (5, 1), (9, 1)}
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    # ANN quality gate: IVF (nlist=16, nprobe=4) must recover >=75% of
+    # the exact cosine top-5 (measured 92.5% at sf0.001 and sf0.01 —
+    # the bound leaves margin, a recall collapse means the quantizer or
+    # probe join broke, not the data).
+    from unilever_scraping_etl_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    exact = {(r[0], r[1])
+             for r in similarity.brute_force_topk(qs, emb, k=5)
+             .select("query_id", "neighbor_id").collect()}
+    approx = {(r[0], r[1])
+              for r in similarity.ivf_topk(qs, emb, k=5)
+              .select("query_id", "neighbor_id").collect()}
+    assert len(exact & approx) / len(exact) >= 0.75

@@ -1542,6 +1542,85 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= 3).drop("rn"))
 
 
+@q("text_redact", """
+WITH raw AS (
+    SELECT doc_id,
+           concat_ws(' ', text,
+                     concat('contact user', CAST(doc_id AS VARCHAR),
+                            '@example.com from 10.0.',
+                            CAST(doc_id % 256 AS VARCHAR), '.7')) AS s
+    FROM documents)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                          '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+           AS redacted,
+       CAST(len(regexp_extract_all(
+           s, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(
+           s, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+           AS n_ips
+FROM raw
+""", doc="PII redaction — the scrub pass a training corpus runs before "
+         "anything else: email + IPv4 patterns replaced with typed "
+         "placeholder tokens, per-doc match counts kept for audit. "
+         "PII is synthesized deterministically from doc_id (the test "
+         "corpus is clean), so the oracle verifies real redactions. "
+         "Pure regexp_replace/regexp_count — JVM codegen, narrow map, "
+         "zero shuffles at any scale.")
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    raw = F.concat_ws(
+        " ", F.col("text"),
+        F.concat(F.lit("contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com from 10.0."),
+                 (F.col("doc_id") % 256).cast("string"), F.lit(".7")))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.regexp_replace(F.regexp_replace(raw, email, "<EMAIL>"),
+                                     ipv4, "<IP>").alias("redacted"),
+                    F.regexp_count(raw, F.lit(email)).cast("long")
+                     .alias("n_emails"),
+                    F.regexp_count(raw, F.lit(ipv4)).cast("long")
+                     .alias("n_ips")))
+
+
+@q("quality_filter_percentile", """
+WITH bands AS (
+    SELECT source,
+           quantile_cont(n_chars, 0.05) AS lo,
+           quantile_cont(n_chars, 0.95) AS hi
+    FROM documents GROUP BY source)
+SELECT b.source, round(b.lo, 4) AS lo, round(b.hi, 4) AS hi,
+       CAST(sum(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM documents d JOIN bands b USING (source)
+GROUP BY b.source, b.lo, b.hi
+""", doc="Percentile-band quality filter — drop per-source length "
+         "outliers (outside [p05, p95]), the standard heuristic cut "
+         "before training. Two passes over the corpus: a tiny per-group "
+         "percentile agg (source-sized) broadcast back onto the scan, "
+         "then a partial-agg count — no wide shuffle of the documents "
+         "themselves. At 100 TB the band table is still bytes.")
+def quality_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bands = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"))
+    kept = F.col("n_chars").between(F.col("lo"), F.col("hi"))
+    return (docs.join(F.broadcast(bands), "source")
+            .groupBy("source", "lo", "hi")
+            .agg(F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+                 F.sum(F.when(kept, 0).otherwise(1)).alias("n_dropped"))
+            .select("source", F.round("lo", 4).alias("lo"),
+                    F.round("hi", 4).alias("hi"), "n_kept", "n_dropped"))
+
+
 # Convenience exports ---------------------------------------------------------
 
 def spark_queries() -> dict[str, SparkQuery]:
