@@ -207,3 +207,29 @@ def test_ivf_recall_vs_brute_force(spark):
               for r in similarity.ivf_topk(qs, emb, k=5)
               .select("query_id", "neighbor_id").collect()}
     assert len(exact & approx) / len(exact) >= 0.75
+
+
+def test_upsert_snapshot_replaces_only_touched_partitions(spark, tmp_path):
+    from unilever_scraping_etl_spark.sources.ingest import (upsert_snapshot,
+                                                            write_snapshot)
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-01"),
+         (3, 30.0, "2024-01-02")],
+        "id long, price double, createdate string"
+    ).withColumn("createdate", F.to_date("createdate"))
+    write_snapshot(base, path)
+
+    # re-scrape of day 2: id 3 re-priced, id 4 new; day 1 must survive
+    fix = spark.createDataFrame(
+        [(3, 33.0, "2024-01-02"), (4, 40.0, "2024-01-02")],
+        "id long, price double, createdate string"
+    ).withColumn("createdate", F.to_date("createdate"))
+    upsert_snapshot(fix, path)
+    upsert_snapshot(fix, path)  # idempotent by value
+
+    got = {(r["id"], r["price"], str(r["createdate"]))
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-01"),
+                   (3, 33.0, "2024-01-02"), (4, 40.0, "2024-01-02")}

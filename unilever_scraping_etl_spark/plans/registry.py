@@ -1621,6 +1621,39 @@ def quality_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("hi", 4).alias("hi"), "n_kept", "n_dropped"))
 
 
+@q("corpus_mix", """
+WITH weighted AS (
+    SELECT source,
+           100 - (CAST(substr(source, 4) AS INTEGER) * 5) % 100 AS weight_pct,
+           (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 16
+            + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 100 AS b
+    FROM documents)
+SELECT source, weight_pct,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN b < weight_pct THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled
+FROM weighted GROUP BY source, weight_pct
+""", doc="Deterministic weighted corpus mixing — downsample each source "
+         "to a per-source rate (here derived from the source id; in "
+         "production a config map) by hashing the stable doc key into "
+         "a [0,100) bucket and keeping buckets below the weight. The "
+         "same hash-gate trick as split_train_test: reproducible across "
+         "runs and cluster sizes, composes with it (disjoint hash "
+         "bytes), and is a pure narrow map — no sampling RNG, no "
+         "shuffle beyond the audit count.")
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.md5(F.col("doc_id").cast("string"))
+    b = ((F.ascii(F.substring(h, 3, 1)) * 16
+          + F.ascii(F.substring(h, 4, 1))) % 100)
+    weight = (100 - (F.substring("source", 4, 10).cast("int") * 5) % 100)
+    return (_t(spark, sf_dir, "documents")
+            .select("source", weight.alias("weight_pct"), b.alias("b"))
+            .groupBy("source", "weight_pct")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(F.when(F.col("b") < F.col("weight_pct"), 1)
+                        .otherwise(0)).alias("n_sampled")))
+
+
 # Convenience exports ---------------------------------------------------------
 
 def spark_queries() -> dict[str, SparkQuery]:

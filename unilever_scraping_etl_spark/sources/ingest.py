@@ -171,6 +171,19 @@ def write_snapshot(df: DataFrame, path: str) -> None:
     df.write.mode("append").partitionBy("createdate").parquet(path)
 
 
+def upsert_snapshot(df: DataFrame, path: str) -> None:
+    """Day-level idempotent upsert: replaces exactly the createdate
+    partitions present in ``df``, leaving every other partition
+    untouched (dynamic partition overwrite). This is the maintenance
+    op the snapshot-append model needs when a day is re-scraped:
+    ``append`` would duplicate the day, a full overwrite would rewrite
+    the whole table — at 100 TB this touches only the affected date
+    directories. Re-running the same upsert is a no-op by value."""
+    (df.write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy("createdate").parquet(path))
+
+
 def jdbc_options(conn: dict) -> tuple[str, dict[str, str]]:
     """S6 — connection-config source: the engine's form of the
     reference's create_url (unilever_scraping_pipeline.py:21-34, fed by
