@@ -233,3 +233,27 @@ def test_upsert_snapshot_replaces_only_touched_partitions(spark, tmp_path):
            for r in spark.read.parquet(path).collect()}
     assert got == {(1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-01"),
                    (3, 33.0, "2024-01-02"), (4, 40.0, "2024-01-02")}
+
+
+def test_grid_gemm_pairs_equal_broadcast_gemm(spark):
+    # the distributed block-grid path (no driver collect, no corpus
+    # broadcast) must produce byte-identical pairs to the broadcast
+    # kernel — same float64 GEMM, same rounding, same orientation.
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    bc = {tuple(r) for r in dedup.embedding_near_pairs_gemm(
+        emb, "vec_id", "embedding", threshold=0.4).collect()}
+    gr = {tuple(r) for r in dedup.embedding_near_pairs_grid(
+        emb, "vec_id", "embedding", threshold=0.4, n_blocks=4).collect()}
+    assert bc == gr and len(gr) > 0
+
+
+def test_grid_topk_equals_broadcast_topk(spark):
+    from unilever_scraping_etl_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    bc = {tuple(r) for r in similarity.brute_force_topk_gemm(
+        qs, emb, k=5).collect()}
+    gr = {tuple(r) for r in similarity.brute_force_topk_grid(
+        qs, emb, k=5, n_blocks=4).collect()}
+    assert bc == gr and len(gr) == 40

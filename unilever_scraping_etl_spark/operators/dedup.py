@@ -298,14 +298,14 @@ def embedding_near_pairs_gemm(emb: DataFrame, id_col: str, vec_col: str,
     corpus is L2-normalized once, the smaller side is broadcast (here:
     the whole corpus — a dim-table-sized 64-dim float matrix), and each
     partition computes a numpy GEMM block against it, emitting only
-    pairs above threshold. This is the 100 TB shape: pairwise similarity
-    = block-outer product, never a per-pair expression — each executor
-    does one BLAS call per (partition x broadcast-block) instead of
-    2 x dim array ops per pair.
+    pairs above threshold — one BLAS call per (partition x
+    broadcast-block) instead of 2 x dim array ops per pair.
 
-    At larger-than-broadcast corpus sizes the same kernel runs per
-    (block_i, block_j) grid cell; the broadcast here is the degenerate
-    1-block grid."""
+    Small-corpus fast path: at larger-than-broadcast sizes use
+    embedding_near_pairs_grid, which runs the identical kernel per
+    (block_i, block_j) cogroup cell with no driver collect (the
+    broadcast here is its degenerate 1-block grid; test-pinned
+    byte-identical)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -393,3 +393,69 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         if changed == 0:
             break
     return labels
+
+
+def embedding_near_pairs_grid(emb: DataFrame, id_col: str, vec_col: str,
+                              threshold: float = 0.95, n_blocks: int = 4,
+                              round_digits: int = 4) -> DataFrame:
+    """Embedding-cosine near-pairs as a DISTRIBUTED block-grid GEMM —
+    the 100 TB form of embedding_near_pairs_gemm, with no driver-side
+    collect and no corpus broadcast. The corpus is hashed into
+    ``n_blocks`` blocks; every unordered block pair (ba <= bb) becomes
+    one cogroup task whose two pandas frames are the two blocks, scored
+    with a single numpy GEMM. Each row is shuffled to ~n_blocks grid
+    cells, so shuffle volume is O(N * n_blocks) — size n_blocks so one
+    block (N/n_blocks rows x dim floats) fits executor memory; the pair
+    space never materializes outside a task. Output is identical to the
+    broadcast variant (same float64 kernel, same rounding, id_a < id_b).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
+        "ba int, bb int")
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    left = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .withColumn("ba", blk).join(F.broadcast(grid), "ba"))
+    right = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+             .withColumn("bb", blk).join(F.broadcast(grid), "bb"))
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(key, lpdf, rpdf):
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        ids_l = lpdf["id"].to_numpy()
+        ids_r = rpdf["id"].to_numpy()
+        ml = np.vstack(lpdf["v"].to_numpy()).astype("float64")
+        mr = np.vstack(rpdf["v"].to_numpy()).astype("float64")
+        ml /= np.maximum(np.linalg.norm(ml, axis=1, keepdims=True), 1e-300)
+        mr /= np.maximum(np.linalg.norm(mr, axis=1, keepdims=True), 1e-300)
+        sim = np.round(ml @ mr.T, round_digits)
+        ia, ib = np.nonzero(sim >= threshold)
+        la, rb = ids_l[ia], ids_r[ib]
+        if key[0] == key[1]:
+            # diagonal cell: both frames are the same block — keeping
+            # id_a < id_b drops self-pairs and each pair's mirror dup
+            keep = la < rb
+            la, rb, sims = la[keep], rb[keep], sim[ia[keep], ib[keep]]
+        else:
+            # off-diagonal: blocks are disjoint, every pair appears in
+            # exactly this one cell — orient it, never drop it
+            la, rb, sims = (np.minimum(la, rb), np.maximum(la, rb),
+                            sim[ia, ib])
+        return pd.DataFrame({
+            "id_a": la.astype("int64"),
+            "id_b": rb.astype("int64"),
+            "cos": sims,
+        })
+
+    return (left.groupby("ba", "bb")
+            .cogroup(right.groupby("ba", "bb"))
+            .applyInPandas(score, out_schema))

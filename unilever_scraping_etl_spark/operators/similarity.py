@@ -47,9 +47,9 @@ def brute_force_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
     numpy GEMM against it and emits its top-k rows. Same results as
     brute_force_topk (rounded scores, id tiebreak) at a fraction of the
     cost — per-pair expression work becomes a BLAS call per (partition x
-    corpus block). This is the 100 TB shape: with a larger-than-broadcast
-    corpus the identical kernel runs per (query-block x corpus-block)
-    grid cell with a top-k merge per query."""
+    corpus block). Small-corpus fast path: when the corpus outgrows a
+    broadcast, use brute_force_topk_grid — the same kernel per
+    (query x corpus-block) grid cell, no driver collect."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -161,3 +161,70 @@ def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 64,
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def brute_force_topk_grid(queries: DataFrame, corpus: DataFrame, k: int,
+                          n_blocks: int = 4, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          round_digits: int = 4) -> DataFrame:
+    """Exact top-k cosine at cluster scale — the distributed form of
+    brute_force_topk_gemm, with no driver collect and no corpus
+    broadcast. The corpus is hashed into ``n_blocks`` blocks; queries
+    replicate to every block (queries are the small side — replicating
+    the corpus instead would be the wrong orientation); each cogroup
+    cell GEMMs its corpus block against all queries and emits only its
+    LOCAL top-k per query, so the global merge (one window over
+    <= k * n_blocks candidate rows per query) is tiny. The union of
+    per-block top-k sets contains the global top-k, so results are
+    IDENTICAL to the broadcast variant: same kernel, same rounding,
+    same (cos desc, id) tiebreak."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = queries.sparkSession
+    blocks = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk"))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"))
+         .crossJoin(F.broadcast(blocks)))
+    c = (corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
+         .withColumn("blk", F.pmod(F.xxhash64(F.col("nid")),
+                                   F.lit(n_blocks)).cast("int")))
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def local_topk(qpdf, cpdf):
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []})
+        ids_q = qpdf["query_id"].to_numpy()
+        ids_c = cpdf["nid"].to_numpy()
+        mq = np.vstack(qpdf["qv"].to_numpy()).astype("float64")
+        mc = np.vstack(cpdf["cv"].to_numpy()).astype("float64")
+        mq /= np.maximum(np.linalg.norm(mq, axis=1, keepdims=True), 1e-300)
+        mc /= np.maximum(np.linalg.norm(mc, axis=1, keepdims=True), 1e-300)
+        sim = np.round(mq @ mc.T, round_digits)
+        frames = []
+        for qi in range(len(ids_q)):
+            row = sim[qi]
+            mask = ids_c != ids_q[qi]          # exclude self
+            order = np.lexsort((ids_c[mask], -row[mask]))[:k]
+            frames.append(pd.DataFrame({
+                "query_id": np.full(len(order), ids_q[qi], dtype="int64"),
+                "neighbor_id": ids_c[mask][order].astype("int64"),
+                "cos": row[mask][order],
+            }))
+        return pd.concat(frames) if frames else pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cos": []})
+
+    cand = (q.groupby("blk").cogroup(c.groupby("blk"))
+            .applyInPandas(local_topk, out_schema))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos",
+                    F.col("rank").cast("int").alias("rank")))

@@ -973,14 +973,17 @@ SELECT id_a, id_b, cos FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 4) AS cos
   FROM v a JOIN v b ON a.vec_id < b.vec_id
 ) WHERE cos >= 0.4
-""", doc="L2 embedding-cosine near-dup pairs (rounded cosine >= 0.4), "
-         "computed as a blocked numpy GEMM against the broadcast "
-         "normalized corpus — one BLAS call per partition instead of a "
-         "per-pair expression (the 100 TB block-grid shape).")
+""", doc="L2 embedding-cosine near-dup pairs (rounded cosine >= 0.4) "
+         "via the DISTRIBUTED block-grid GEMM: corpus hashed into "
+         "blocks, one cogroup task per block pair, one BLAS call per "
+         "cell — no driver collect, no corpus broadcast, shuffle "
+         "O(N * n_blocks). The actual 100 TB shape (the broadcast "
+         "variant remains as the small-corpus fast path; test-pinned "
+         "byte-identical).")
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_pairs_gemm(
-        _spread(_t(spark, sf_dir, "embeddings")), "vec_id", "embedding",
-        threshold=0.4)
+    return dedup.embedding_near_pairs_grid(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.4, n_blocks=8)
 
 
 @q("dedup_editdist", """
@@ -1075,14 +1078,16 @@ SELECT query_id, neighbor_id, cos,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
 FROM scored QUALIFY rank <= 5
-""", doc="L3 brute-force top-k as a blocked numpy GEMM against the "
-         "broadcast L2-normalized corpus — one BLAS call per partition "
-         "instead of a per-pair codegen expression; identical results "
-         "to sim_topk (same oracle).")
+""", doc="L3 exact top-k via the DISTRIBUTED grid GEMM: corpus hashed "
+         "into blocks, queries replicated to each block (queries are "
+         "the small side), one BLAS call + local top-k per cell, then "
+         "a k*n_blocks-row window merge per query — no driver collect, "
+         "no corpus broadcast; identical results to sim_topk (same "
+         "oracle; broadcast variant test-pinned byte-identical).")
 def sim_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.brute_force_topk_gemm(queries, emb, k=5)
+    return similarity.brute_force_topk_grid(queries, emb, k=5, n_blocks=8)
 
 
 # ===========================================================================
