@@ -136,3 +136,33 @@ def test_stateful_dedup_stream(spark, events_stream_source):
     # within-watermark dedup can only keep >= the exact-distinct count
     assert got >= exact
     assert got <= batch.count()
+
+
+def test_stream_foreach_batch_upsert_snapshot(spark, events_stream_source,
+                                              tmp_path):
+    """foreachBatch + day-partition upsert: each micro-batch rewrites
+    exactly the createdate partitions it touches (dynamic partition
+    overwrite), so a replayed batch — the at-least-once case foreachBatch
+    must tolerate — converges to the same table instead of duplicating.
+    This is the streaming face of ingest.upsert_snapshot."""
+    from unilever_scraping_etl_spark.sources.ingest import upsert_snapshot
+
+    path, batch = events_stream_source
+    out = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(bdf, _epoch):
+        day = bdf.select("event_id", "user_id", "value",
+                         F.to_date("ts").alias("createdate"))
+        upsert_snapshot(day, out)
+        upsert_snapshot(day, out)  # simulated replay of the same batch
+
+    src = spark.readStream.schema(batch.schema).parquet(path)
+    q = (src.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
