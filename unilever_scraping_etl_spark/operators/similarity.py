@@ -93,15 +93,18 @@ def brute_force_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
 
 
 def assign_ivf_buckets(emb: DataFrame, nlist: int = 16,
-                       id_col: str = "vec_id", vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF coarse quantizer. Centroids = the nlist lowest-id
-    vectors (reproducible; a production build would run k-means — the
-    assignment plumbing is identical). Returns (centroids, corpus with
-    ``bucket``). Assignment broadcasts the centroid table and picks
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       centroids: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF coarse quantizer. Default centroids = the nlist
+    lowest-id vectors (reproducible); pass ``centroids`` (bucket,
+    centroid) — e.g. from kmeans_centroids — for the trained quantizer;
+    the assignment plumbing is identical. Returns (centroids, corpus
+    with ``bucket``). Assignment broadcasts the centroid table and picks
     argmax cosine per row — a narrow map over the corpus, no shuffle."""
-    cent = (emb.orderBy(id_col).limit(nlist)
-               .withColumn("bucket", F.row_number().over(Window.orderBy(id_col)) - 1)
-               .select("bucket", F.col(vec_col).alias("centroid")))
+    cent = centroids if centroids is not None else (
+        emb.orderBy(id_col).limit(nlist)
+           .withColumn("bucket", F.row_number().over(Window.orderBy(id_col)) - 1)
+           .select("bucket", F.col(vec_col).alias("centroid")))
     assigned = (emb.join(F.broadcast(cent))
                 .withColumn("sim", cosine(F.col(vec_col), F.col("centroid")))
                 .withColumn("rn", F.row_number().over(
@@ -114,12 +117,15 @@ def assign_ivf_buckets(emb: DataFrame, nlist: int = 16,
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, nlist: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """ANN top-k: probe the ``nprobe`` closest IVF buckets per query,
     brute-force inside them. Candidate join is an equi-join on bucket —
     at 100 TB the corpus is bucketed+sorted on this key so the probe is
-    a partition-pruned scan, not a shuffle."""
-    cent, assigned = assign_ivf_buckets(corpus, nlist, id_col, vec_col)
+    a partition-pruned scan, not a shuffle. Pass ``centroids`` from
+    kmeans_centroids for the trained quantizer."""
+    cent, assigned = assign_ivf_buckets(corpus, nlist, id_col, vec_col,
+                                        centroids)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     probes = (q.join(F.broadcast(cent))
                 .withColumn("sim", cosine(F.col("qv"), F.col("centroid")))
@@ -228,3 +234,61 @@ def brute_force_topk_grid(queries: DataFrame, corpus: DataFrame, k: int,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def kmeans_centroids(emb: DataFrame, k: int, n_iter: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer —
+    deterministic: init = the k lowest-id vectors (no RNG), fixed
+    iteration count. Each iteration is one narrow map (assign to the
+    argmin-distance broadcast centroid) plus one shuffle of N rows
+    (groupBy cluster -> numpy mean per group via applyInPandas); the
+    centroid table itself is k rows, the only thing that ever touches
+    the driver. Returns (bucket, centroid) like the first-k quantizer,
+    so it drops into assign_ivf_buckets/ivf_topk unchanged.
+
+    Empty clusters keep their previous centroid (standard Lloyd's
+    fallback), so the output always has exactly k rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    x = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cent = (x.orderBy("id").limit(k)
+            .withColumn("bucket", F.row_number().over(Window.orderBy("id")) - 1)
+            .select("bucket", F.col("v").alias("centroid")))
+
+    mean_schema = T.StructType([
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("centroid", T.ArrayType(T.DoubleType())),
+    ])
+
+    def group_mean(pdf):
+        m = np.vstack(pdf["v"].to_numpy()).astype("float64")
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "centroid": [m.mean(axis=0).tolist()]})
+
+    for _ in range(n_iter):
+        # assign: argmin squared euclidean over the broadcast centroids
+        # (narrow map — sq-dist ranks identically to true distance)
+        assigned = (x.join(F.broadcast(cent))
+                    .withColumn("d", F.aggregate(
+                        F.zip_with("v", "centroid",
+                                   lambda a, b: (a.cast("double") - b)
+                                   * (a.cast("double") - b)),
+                        F.lit(0.0), lambda acc, e: acc + e))
+                    .withColumn("rn", F.row_number().over(
+                        Window.partitionBy("id").orderBy("d", "bucket")))
+                    .filter(F.col("rn") == 1)
+                    .select("bucket", "v"))
+        new_cent = (assigned.groupby("bucket")
+                    .applyInPandas(group_mean, mean_schema)
+                    .withColumnRenamed("centroid", "new_centroid"))
+        cent = (cent.join(new_cent, "bucket", "left")
+                .select("bucket",
+                        F.coalesce("new_centroid", "centroid")
+                         .alias("centroid"))
+                .localCheckpoint())
+    return cent
