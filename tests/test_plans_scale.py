@@ -283,3 +283,20 @@ def test_kmeans_quantizer_deterministic_and_recall(spark):
               for r in similarity.ivf_topk(qs, emb, k=5, centroids=cent)
               .select("query_id", "neighbor_id").collect()}
     assert len(exact & approx) / len(exact) >= 0.75
+
+
+def test_sketch_rollup_accuracy(spark):
+    # merged day-sketches must estimate within 5% of the exact
+    # distinct count (HLL lgK default gives ~1-2% typical error).
+    from unilever_scraping_etl_spark.plans.registry import QUERIES
+
+    approx = {r["event_type"]: r["approx_users"]
+              for r in QUERIES["agg_sketch_rollup"].spark(spark, SF_SMOKE)
+              .collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in load_table(spark, SF_SMOKE, "events")
+             .groupBy("event_type").agg(F.countDistinct("user_id").alias("n"))
+             .collect()}
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n <= 0.05

@@ -1659,6 +1659,23 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .otherwise(0)).alias("n_sampled")))
 
 
+@q("agg_sketch_rollup", None,
+   doc="Mergeable-sketch rollup — the incremental distinct-count "
+       "pattern at 100 TB: per-(day, event_type) HLL sketches built "
+       "once (partial-agg shuffle of daily data only), then any "
+       "time-window's distinct-user estimate is a cheap union of "
+       "day sketches — no rescan of raw events. Datasketches HLL "
+       "estimates are engine-specific -> rows-only check (accuracy "
+       "vs exact distinct is test-pinned).")
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy(F.to_date("ts").alias("day"), "event_type")
+             .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    return (daily.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("approx_users")))
+
+
 # Convenience exports ---------------------------------------------------------
 
 def spark_queries() -> dict[str, SparkQuery]:
