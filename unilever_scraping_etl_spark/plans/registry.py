@@ -1676,6 +1676,65 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("approx_users")))
 
 
+@q("text_repetition", """
+SELECT doc_id,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+           AS n_distinct,
+       round(1.0 - CAST(len(list_distinct(string_split(lower(text), ' ')))
+                        AS DOUBLE)
+                 / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6)
+           AS rep_ratio
+FROM documents
+""", doc="Repetition-based quality signal (the Gopher-rules family): "
+         "fraction of repeated words per doc = 1 - distinct/total. "
+         "Pure higher-order array expressions — narrow map, zero "
+         "shuffles; the filter threshold is the caller's policy.")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = F.split(F.lower("text"), " ")
+    n = F.size(words).cast("long")
+    nd = F.size(F.array_distinct(words)).cast("long")
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", n.alias("n_words"), nd.alias("n_distinct"),
+                    F.round(1.0 - nd.cast("double") / n.cast("double"), 6)
+                     .alias("rep_ratio")))
+
+
+@q("decontaminate", """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+              FROM documents),
+idx AS (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+        FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+       FROM idx),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id >= 5
+  AND d.doc_id NOT IN (SELECT DISTINCT s.doc_id FROM sh s
+                       JOIN bench b ON s.shingle = b.shingle
+                       WHERE s.doc_id >= 5)
+""", doc="Benchmark decontamination — drop any training doc sharing an "
+         "8-gram with the held-out set (here: docs 0-4 stand in for the "
+         "benchmark). Shingle both sides, LEFT ANTI join corpus docs "
+         "against contaminated ids; the benchmark shingle set is tiny "
+         "and broadcasts, so at 100 TB this is one narrow shingle map "
+         "+ a broadcast anti-join — no corpus shuffle.")
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(dedup.shingles(F.col("text"), 8)).alias("shingle"))
+    bench = (sh.filter(F.col("doc_id") < 5)
+             .select("shingle").distinct())
+    contaminated = (sh.filter(F.col("doc_id") >= 5)
+                    .join(F.broadcast(bench), "shingle")
+                    .select("doc_id").distinct())
+    return (docs.filter(F.col("doc_id") >= 5)
+            .join(contaminated, "doc_id", "left_anti")
+            .select("doc_id"))
+
+
 # Convenience exports ---------------------------------------------------------
 
 def spark_queries() -> dict[str, SparkQuery]:
