@@ -1735,6 +1735,68 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id"))
 
 
+@q("corpus_funnel", """
+WITH bands AS (
+    SELECT source,
+           quantile_cont(n_chars, 0.05) AS lo,
+           quantile_cont(n_chars, 0.95) AS hi
+    FROM documents GROUP BY source),
+s1 AS (SELECT d.* FROM documents d JOIN bands b USING (source)
+       WHERE d.n_chars BETWEEN b.lo AND b.hi),
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+        FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+       FROM idx),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+contaminated AS (SELECT DISTINCT s.doc_id FROM sh s
+                 JOIN bench b ON s.shingle = b.shingle
+                 WHERE s.doc_id >= 5),
+s2 AS (SELECT * FROM s1 WHERE doc_id >= 5
+       AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+s3 AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text))
+SELECT '00_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+UNION ALL SELECT '01_quality_band', CAST(count(*) AS BIGINT) FROM s1
+UNION ALL SELECT '02_decontaminated', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL SELECT '03_exact_deduped', CAST(count(*) AS BIGINT) FROM s3
+""", doc="The corpus-cleaning funnel as ONE lazy plan — per-source "
+         "quality band, benchmark 8-gram decontamination, exact content "
+         "dedup — with per-stage audit counts (the numbers a data card "
+         "reports). Each stage reuses the proven standalone operator "
+         "shapes: broadcast band join, broadcast anti-join, hash-agg "
+         "dedup; the corpus is scanned, never collected, and only "
+         "tiny derived tables shuffle.")
+def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bands = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"))
+    s1 = (docs.join(F.broadcast(bands), "source")
+          .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+          .select(*docs.columns))
+    sh = docs.select(
+        "doc_id",
+        F.explode(dedup.shingles(F.col("text"), 8)).alias("shingle"))
+    bench = sh.filter(F.col("doc_id") < 5).select("shingle").distinct()
+    contaminated = (sh.filter(F.col("doc_id") >= 5)
+                    .join(F.broadcast(bench), "shingle")
+                    .select("doc_id").distinct())
+    s2 = (s1.filter(F.col("doc_id") >= 5)
+          .join(F.broadcast(contaminated), "doc_id", "left_anti"))
+    s3 = s2.groupBy(F.md5(F.col("text"))).agg(F.min("doc_id").alias("doc_id"))
+
+    def stage(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs")
+
+    return (stage("00_total", docs)
+            .unionByName(stage("01_quality_band", s1))
+            .unionByName(stage("02_decontaminated", s2))
+            .unionByName(stage("03_exact_deduped", s3)))
+
+
 # Convenience exports ---------------------------------------------------------
 
 def spark_queries() -> dict[str, SparkQuery]:
