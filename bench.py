@@ -63,7 +63,12 @@ def main() -> None:
     ingest.parse_products(pages).write.format("noop").mode("overwrite").save()
     scrape_pps = n_pages / (time.perf_counter() - t0)
 
-    result = {
+    # Per-query detail goes to a file; stdout gets ONE compact line LAST.
+    # (Round 1 lesson: the full 83-query timing dict overflowed the
+    # driver's stdout tail capture and truncated the JSON head, so the
+    # official record came back unparsed. The compact line stays well
+    # under 1 KB; "queries" carries only the slowest 5.)
+    detail = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -72,8 +77,25 @@ def main() -> None:
         "scrape_pages_per_sec": round(scrape_pps, 1),
     }
     if failures:
-        result["failures"] = failures
-    print(json.dumps(result))
+        detail["failures"] = failures
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL",
+                                 "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": "total_query_wall_sec",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": slowest,
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "scrape_pages_per_sec": round(scrape_pps, 1),
+        "detail_file": detail_path,
+    }
+    print(json.dumps(summary))
     if failures:
         sys.exit(1)
 

@@ -128,3 +128,76 @@ def test_write_snapshot_partitioned(spark, shop_fixture, tmp_path):
     assert back.count() == 2
     # partition column survives the round trip
     assert "createdate" in back.columns
+
+
+# HttpFetcher production adapter (S2) — mock transport, zero sockets ---------
+
+class _ScriptedTransport:
+    """Yields scripted (status, body) responses; raising entries raise."""
+
+    def __init__(self, *responses):
+        self._responses = list(responses)
+        self.calls = []
+
+    def __call__(self, url, headers, timeout):
+        self.calls.append((url, dict(headers), timeout))
+        r = self._responses.pop(0)
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+
+def _mk(transport, **kw):
+    from unilever_scraping_etl_spark.sources.fetcher import HttpFetcher
+    kw.setdefault("sleep", lambda s: None)  # no real backoff in tests
+    return HttpFetcher(transport=transport, **kw)
+
+
+def test_http_fetcher_success_decodes_bytes():
+    tr = _ScriptedTransport((200, "<html>ok</html>".encode()))
+    res = _mk(tr)("https://x.com/p")
+    assert (res.status, res.html) == (200, "<html>ok</html>")
+    assert tr.calls[0][0] == "https://x.com/p"
+    assert tr.calls[0][1]["User-Agent"].startswith("Mozilla")
+
+
+def test_http_fetcher_404_no_retry():
+    tr = _ScriptedTransport((404, b"gone"))
+    res = _mk(tr, max_retries=3)("u")
+    assert (res.status, res.html) == (404, None)
+    assert len(tr.calls) == 1  # non-retryable: exactly one attempt
+
+
+def test_http_fetcher_retries_5xx_then_succeeds():
+    tr = _ScriptedTransport((503, b""), (503, b""), (200, b"fine"))
+    waits = []
+    res = _mk(tr, max_retries=2, backoff_sec=0.5,
+              sleep=waits.append)("u")
+    assert (res.status, res.html) == (200, "fine")
+    assert len(tr.calls) == 3
+    assert waits == [0.5, 1.0]  # exponential backoff
+
+
+def test_http_fetcher_exception_is_transient_then_exhausts():
+    tr = _ScriptedTransport(OSError("reset"), OSError("reset"))
+    res = _mk(tr, max_retries=1)("u")
+    assert (res.status, res.html) == (0, None)
+    assert len(tr.calls) == 2
+
+
+def test_http_fetcher_composes_with_fallback():
+    """P7+F5: HTTP adapter as the cheap path, fixture 'browser' as the
+    fallback — the FallbackFetcher coalesce works over the real adapter."""
+    good = product_html("X", "Rp1.000")
+    http = _mk(_ScriptedTransport((403, b"blocked")), max_retries=0)
+    fb = FallbackFetcher(http, FixtureFetcher({"u": good}, name="browser"))
+    out = fb("u")
+    assert out.html == good and out.fetcher == "fallback:browser"
+
+
+def test_default_transport_resolves_without_optional_deps():
+    """The transport chain must terminate at stdlib urllib when neither
+    curl_cffi nor requests imports (we don't call it — no network)."""
+    from unilever_scraping_etl_spark.sources import fetcher as fmod
+    name, tr = fmod._default_transport()
+    assert name in {"curl_cffi", "requests", "urllib"} and callable(tr)

@@ -204,34 +204,75 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), fp.alias("simhash"))
 
 
+#: Executor-persistent token-hash memo for simhash64_arrow. Natural-language
+#: corpora reuse a small vocabulary, so across Arrow batches nearly every
+#: token is a cache hit and blake2b runs ~once per DISTINCT token per
+#: executor, not once per occurrence. Bounded (cleared at _TOKEN_CACHE_MAX)
+#: so a pathological high-cardinality corpus can't grow it without limit.
+_TOKEN_HASH_CACHE: dict = {}
+_TOKEN_CACHE_MAX = 4_000_000
+
+
 def simhash64_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """SimHash-64 as an Arrow-batched pandas UDF: token hashes via
     blake2b-8 (deterministic across runs/machines — no PYTHONHASHSEED
-    dependence), per-bit counts vectorized in numpy. Same narrow-map
-    plan shape as simhash64 but ~7x faster locally: Spark's higher-order
-    lambdas evaluate interpreted per element, while this pays one Arrow
-    hop and does the 64-bit tally as a single numpy matrix op. The
-    fingerprint DEFINITION differs from simhash64 (different token hash)
-    — both are valid SimHashes; pick one per corpus."""
+    dependence), memoized per distinct token, with the per-bit tally done
+    as ONE numpy unpackbits + reduceat pass over the whole Arrow batch
+    (segment boundaries = document token offsets) instead of a Python
+    loop per document. Same narrow-map plan shape as simhash64; the
+    round-1 per-document variant was Python-CPU-bound (~6.7 s at sf0.1),
+    this batch form cuts the Python work to cache-miss hashing only. The
+    fingerprint DEFINITION is unchanged from round 1 (same token hash)
+    but differs from simhash64 (different token hash) — both are valid
+    SimHashes; pick one per corpus."""
     import hashlib
 
     import numpy as np
 
     @F.pandas_udf("long")
     def fp(texts: pd.Series) -> pd.Series:
+        if len(texts) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        tok_lists = [(t or "").lower().split(" ") for t in texts]
+        lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))  # >= 1: split() -> [""]
+        cache = _TOKEN_HASH_CACHE
+        if len(cache) > _TOKEN_CACHE_MAX:
+            cache.clear()
+        flat = [tok for tl in tok_lists for tok in tl]
+        for tok in flat:
+            if tok not in cache:
+                cache[tok] = int.from_bytes(
+                    hashlib.blake2b(tok.encode(),
+                                    digest_size=8).digest(), "little")
+        hs = np.fromiter((cache[tok] for tok in flat), dtype=np.uint64,
+                         count=len(flat))
+        # Per-document bit tally: unpackbits on the little-endian byte
+        # view gives a (tokens, 64) 1-byte/bit matrix; reduceat with an
+        # int64 accumulator sums each document's segment in C. Chunked
+        # to ~32k tokens so the temporaries stay ~2 MB and get REUSED by
+        # the allocator — one huge batch-wide matrix would be re-mmapped
+        # per call, and first-touch page faults dominate (measured 4.6 s
+        # vs 0.3 s for the identical work on this kernel).
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
         shifts = np.arange(64, dtype=np.uint64)
         out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = (t or "").lower().split(" ")
-            hs = np.fromiter(
-                (int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                    "little") for tok in toks),
-                dtype=np.uint64, count=len(toks))
-            cnt = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
-            fp64 = ((cnt * 2 > len(hs)).astype(np.uint64) << shifts) \
-                .sum(dtype=np.uint64)
-            out[i] = np.int64(fp64.astype(np.int64))
+        token_budget = 32768
+        lo = 0
+        while lo < len(lens):
+            hi = int(np.searchsorted(offsets, offsets[lo] + token_budget,
+                                     side="right"))
+            hi = max(hi, lo + 1)
+            seg = hs[offsets[lo]:offsets[hi - 1] + lens[hi - 1]]
+            bits = np.unpackbits(seg.view(np.uint8),
+                                 bitorder="little").reshape(-1, 64)
+            cnt = np.add.reduceat(bits, offsets[lo:hi] - offsets[lo],
+                                  axis=0, dtype=np.int64)
+            fp64 = (((cnt * 2 > lens[lo:hi, None]).astype(np.uint64)
+                     << shifts).sum(axis=1, dtype=np.uint64))
+            out[lo:hi] = fp64.view(np.int64)
+            lo = hi
         return pd.Series(out)
 
     return df.select(F.col(id_col), fp(text_col).alias("simhash"))
@@ -241,15 +282,30 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
                        max_hamming: int = 3,
                        use_arrow: bool = True) -> DataFrame:
     """Near-dup candidates by SimHash: band the 64-bit fingerprint into
-    4×16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), equi
+    ``max_hamming + 1`` chunks (pigeonhole: with h differing bits and
+    h+1 chunks, at least one chunk is equal on both sides), equi
     self-join per chunk, verify hamming with bit_count(xor). Bucketed
-    join keeps the pair space linear-ish at scale."""
+    join keeps the pair space linear-ish at scale. The chunk count is
+    DERIVED from max_hamming so recall is complete at any threshold —
+    a fixed 4-chunk split is only complete for hamming <= 3."""
     mk = simhash64_arrow if use_arrow else simhash64
     fps = mk(df, id_col, text_col)
+    n_chunks = max_hamming + 1
+    if not 1 <= max_hamming < 64:
+        raise ValueError("max_hamming must be in [1, 63] for 64-bit simhash")
+    width = 64 // n_chunks
+    bounds = [c * width for c in range(n_chunks)] + [64]
+
+    def _ck(lo: int, hi: int):
+        # Bits [lo, hi) of the fingerprint. hi - lo < 64 always holds
+        # here (n_chunks >= 2), so the mask fits a signed long.
+        return (F.shiftright("simhash", lo)
+                 .bitwiseAND(F.lit((1 << (hi - lo)) - 1).cast("long")))
+
     chunk = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
-                 F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF).cast("long")).alias("ck"))
-        for c in range(4)
+                 _ck(bounds[c], bounds[c + 1]).alias("ck"))
+        for c in range(n_chunks)
     ])
     banded = fps.select(id_col, "simhash", F.explode(chunk).alias("b")).select(
         id_col, "simhash", "b.chunk", "b.ck")
@@ -375,6 +431,7 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     sym = sym.localCheckpoint()  # reused every round — cut the upstream plan
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("component", F.col("node")))
+    changed = -1
     for _ in range(max_iterations):
         nbr_min = (sym.join(labels, sym["b"] == labels["node"])
                    .groupBy("a").agg(F.min("component").alias("nbr")))
@@ -392,6 +449,15 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         labels = updated.select("node", "component")
         if changed == 0:
             break
+    if changed != 0:
+        # Unconverged labels are WRONG (a long-diameter chain merges
+        # components only one hop per round); silent truncation would
+        # yield incorrect duplicate clusters at scale with no signal.
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations ({changed} labels still "
+            f"changing); raise max_iterations or use a large-star/"
+            f"small-star O(log d) variant for long-diameter graphs")
     return labels
 
 

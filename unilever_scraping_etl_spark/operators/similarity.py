@@ -162,7 +162,7 @@ def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 64,
                 * F.cos((F.lit(float(seed + p * 131)) + j.cast("double") * 0.7)),
             ),
             F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj > 0, F.lit(1) << p).otherwise(F.lit(0)))
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
         out = out.bitwiseOR(b)

@@ -68,19 +68,110 @@ class FallbackFetcher:
         return res
 
 
-def http_fetcher(timeout: float = 10.0) -> Fetcher:
-    """Production HTTP fetcher (requests-equivalent of
-    scrap_tokopedia.py:108-114: GET with a browser User-Agent and a 10 s
-    timeout). Imported lazily and never exercised in tests; any HTTP
-    client library available on the executors can be slotted in."""
+#: A transport takes (url, headers, timeout) and returns (status, body
+#: bytes-or-str). It is the ONLY part of HttpFetcher that touches the
+#: network, so tests inject a fake and never open a socket.
+Transport = Callable[[str, Mapping[str, str], float], "tuple[int, object]"]
+
+
+def _default_transport() -> "tuple[str, Transport]":
+    """Best available HTTP client, preferring browser-impersonating
+    clients the way the reference does (scrap_tokopedia.py:108-114 uses
+    curl_cffi with ``impersonate="chrome"``): curl_cffi -> requests ->
+    stdlib urllib. Returns (client_name, transport). All three are
+    OPTIONAL imports — the engine, and every test, runs without any of
+    them installed (urllib is stdlib, so the chain always terminates)."""
+    try:
+        from curl_cffi import requests as _cc  # type: ignore
+
+        def cc_transport(url, headers, timeout):
+            r = _cc.get(url, headers=dict(headers), timeout=timeout,
+                        impersonate="chrome")
+            return r.status_code, r.content
+        return "curl_cffi", cc_transport
+    except ImportError:
+        pass
+    try:
+        import requests as _rq  # type: ignore
+
+        def rq_transport(url, headers, timeout):
+            r = _rq.get(url, headers=dict(headers), timeout=timeout)
+            return r.status_code, r.content
+        return "requests", rq_transport
+    except ImportError:
+        pass
+    import urllib.error
     import urllib.request
 
-    def fetch(url: str) -> FetchResult:
-        req = urllib.request.Request(url, headers={"User-Agent": "Mozilla/5.0"})
+    def urllib_transport(url, headers, timeout):
+        req = urllib.request.Request(url, headers=dict(headers))
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
-                return FetchResult(url, resp.status, resp.read().decode("utf-8", "replace"))
-        except Exception:
-            return FetchResult(url, 0, None)
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:  # non-2xx is a RESPONSE here
+            return e.code, e.read()
+    return "urllib", urllib_transport
 
-    return fetch
+
+class HttpFetcher:
+    """Production HTTP fetcher adapter (the engine-side counterpart of
+    the reference's curl_cffi GET at scrap_tokopedia.py:108-114: browser
+    User-Agent, 10 s timeout). Differences from the reference, on
+    purpose:
+
+    - the network client is an injectable ``transport`` (tests pass a
+      fake; production picks curl_cffi/requests/urllib automatically);
+    - transient failures (exceptions, 5xx, 429) retry with exponential
+      backoff instead of surfacing immediately — on a 1000-executor
+      scrape a fixed fraction of requests always fails transiently;
+    - non-retryable HTTP errors (404, 403, ...) return a FetchResult
+      with that status and ``html=None`` so the P7 status predicate can
+      filter them relationally, never an exception.
+
+    Instances are picklable as long as the transport is (the default
+    lazy transport resolves on first call, per executor)."""
+
+    RETRYABLE = frozenset({429, 500, 502, 503, 504})
+
+    def __init__(self, timeout: float = 10.0,
+                 user_agent: str = "Mozilla/5.0",
+                 max_retries: int = 2, backoff_sec: float = 0.5,
+                 transport: Transport | None = None,
+                 sleep: Callable[[float], None] | None = None):
+        self._timeout = timeout
+        self._headers = {"User-Agent": user_agent}
+        self._max_retries = max_retries
+        self._backoff = backoff_sec
+        self._transport = transport
+        self._name = "http" if transport is not None else None
+        self._sleep = sleep
+
+    def __call__(self, url: str) -> FetchResult:
+        if self._transport is None:
+            self._name, self._transport = _default_transport()
+        if self._sleep is None:
+            import time
+            self._sleep = time.sleep
+        status, body = 0, None
+        for attempt in range(self._max_retries + 1):
+            if attempt:
+                self._sleep(self._backoff * (2 ** (attempt - 1)))
+            try:
+                status, body = self._transport(url, self._headers,
+                                               self._timeout)
+            except Exception:
+                status, body = 0, None  # transient: retry
+            if status == 200 or (status and status not in self.RETRYABLE):
+                break
+        if status != 200 or body is None:
+            return FetchResult(url, status, None, self._name or "http")
+        html = (body.decode("utf-8", "replace")
+                if isinstance(body, (bytes, bytearray)) else str(body))
+        return FetchResult(url, status, html, self._name or "http")
+
+
+def http_fetcher(timeout: float = 10.0) -> Fetcher:
+    """Back-compat functional form of :class:`HttpFetcher` (no retries,
+    kept for callers that want the reference's exact single-shot
+    behavior, scrap_tokopedia.py:108-114)."""
+    return HttpFetcher(timeout=timeout, max_retries=0)

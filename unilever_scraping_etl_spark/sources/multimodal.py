@@ -75,7 +75,16 @@ def decode_images(media: DataFrame, strict: bool = False,
     """Decode/feature-extract images with mapInPandas. ``strict=True``
     raises NotImplementedError (no codec libs here); ``strict=False``
     runs the deterministic fake so the pipeline shape is testable
-    end-to-end."""
+    end-to-end.
+
+    Batch bounding: OUTPUT batches are chunked to ``batch_rows`` inside
+    the generator (decoded feature rows are wide). The INPUT Arrow batch
+    size is governed by the session's
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — deliberately NOT
+    mutated here: the plan is lazy, so a set-here/restore-later around a
+    transformation either leaks the setting into the whole session or
+    restores it before execution reads it. Callers feeding multi-MB
+    payloads should cap that conf at session-build time."""
 
     def run(batches):
         for pdf in batches:
@@ -83,22 +92,20 @@ def decode_images(media: DataFrame, strict: bool = False,
                 raise NotImplementedError(
                     "image decode requires codec libraries not present in "
                     "this environment; see _fake_decode for the test path")
-            out = {"media_id": [], "width": [], "height": [],
-                   "n_channels": [], "feature": []}
-            for _, row in pdf.iterrows():
-                w, h, c, feat = _fake_decode(row["payload"])
-                out["media_id"].append(row["media_id"])
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_channels"].append(c)
-                out["feature"].append(feat)
-            yield pd.DataFrame(out)
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo:lo + batch_rows]
+                out = {"media_id": [], "width": [], "height": [],
+                       "n_channels": [], "feature": []}
+                for _, row in chunk.iterrows():
+                    w, h, c, feat = _fake_decode(row["payload"])
+                    out["media_id"].append(row["media_id"])
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_channels"].append(c)
+                    out["feature"].append(feat)
+                yield pd.DataFrame(out)
 
-    # Bound Arrow batch size: payload rows are large, so cap records per
-    # batch rather than relying on the 10k default.
     media = media.select("media_id", "payload")
-    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    media.sparkSession.conf.set(conf_key, str(batch_rows))
     return media.mapInPandas(run, DECODED_IMAGE_SCHEMA)
 
 
