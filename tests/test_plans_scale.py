@@ -402,3 +402,67 @@ def test_salted_join_spreads_hot_key_and_stays_correct(spark):
     hot_n = sum(sizes)
     assert len(sizes) == buckets
     assert max(sizes) <= 2 * hot_n / buckets
+
+
+def test_embedding_lsh_planted_near_dup_recall(spark):
+    """Hyperplane LSH is built for HIGH-similarity pairs (the corpus's
+    organic pairs top out at cos ~0.51, where any LSH is weak by
+    construction) — so plant actual near-duplicates: a slightly
+    perturbed copy of each vector (cos ~0.999). The banded join must
+    recover >= 90% of the planted pairs, every emitted pair must pass
+    the exact-cosine verify (precision 1.0), and no pair may come from
+    a cartesian plan."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    dup = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, j: x.cast("float")
+            + (0.01 * F.cos(j.cast("double"))).cast("float"),
+        ).alias("embedding"),
+        "label")
+    corpus = emb.unionByName(dup)
+    pairs = dedup.embedding_lsh_pairs(corpus, "vec_id", "embedding",
+                                      threshold=0.9, n_bands=16, n_planes=6)
+    assert "CartesianProduct" not in _plan(pairs)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(r["vec_id"], r["vec_id"] + 100000) for r in
+               emb.select("vec_id").collect()}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"planted-pair recall {recall:.2f}"
+
+
+def test_embedding_lsh_is_subset_of_exact(spark):
+    # Verification step means zero false positives vs the exact rounded
+    # cosine pair set at the same threshold.
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.embedding_near_pairs(emb, "vec_id", "embedding",
+                                        threshold=0.4).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           dedup.embedding_lsh_pairs(emb, "vec_id", "embedding",
+                                     threshold=0.4).collect()}
+    assert lsh <= exact
+
+
+def test_incremental_dedup_semantics(spark):
+    # The survivor set must be disjoint from the existing manifest and
+    # hash-unique within itself; every dropped new doc must collide with
+    # either the manifest or a lower-id batch member.
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = QUERIES["dedup_incremental"].spark(spark, SF_SMOKE)
+    rows = out.collect()
+    surv_hashes = [r["h"] for r in rows]
+    assert len(surv_hashes) == len(set(surv_hashes))
+    existing = {r["h"] for r in
+                docs.filter(F.col("doc_id") % 4 != 0)
+                .select(F.md5(F.col("text").cast("binary")).alias("h"))
+                .collect()}
+    assert not (set(surv_hashes) & existing)
+    # survivors are the min doc_id of their batch hash group
+    batch = {(r["doc_id"], r["h"]) for r in
+             docs.filter(F.col("doc_id") % 4 == 0)
+             .select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+             .collect()}
+    for r in rows:
+        assert r["doc_id"] == min(d for d, h in batch if h == r["h"])

@@ -347,6 +347,55 @@ def embedding_near_pairs(emb: DataFrame, id_col: str, vec_col: str,
              .filter(F.col("cos") >= threshold))
 
 
+def embedding_lsh_pairs(emb: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.4, n_bands: int = 8,
+                        n_planes: int = 6,
+                        round_digits: int = 4) -> DataFrame:
+    """Embedding near-dup pairs via BANDED random-hyperplane LSH —
+    the same OR-amplification shape as minhash_candidates: each band is
+    an independent ``n_planes``-plane bucket id (hyperplane_bucket with
+    a band-specific seed), docs sharing ANY band's bucket become
+    candidates (equi self-join on (band, bucket) — never a cross), then
+    candidates are verified against the exact rounded cosine so the
+    output has NO false positives; only recall is approximate.
+
+    Tuning is the standard LSH dial: more planes per band -> smaller
+    buckets (candidate space ~ n_bands * N^2 / 2^n_planes per uniform
+    corpus) but lower per-band hit rate; more bands -> higher recall at
+    linear candidate cost. A pair at angle theta survives a band with
+    p = (1 - theta/pi)^n_planes and is recalled with
+    1 - (1-p)^n_bands. The bucket computation is a narrow map; the
+    only shuffles are the band equi-join and the final distinct."""
+    from ..functions.vectors import cosine
+    from .similarity import hyperplane_bucket
+
+    band_arr = F.array(*[
+        F.struct(F.lit(t).alias("band"),
+                 hyperplane_bucket(F.col(vec_col), n_planes=n_planes,
+                                   seed=42 + 1000 * t).alias("bkt"))
+        for t in range(n_bands)
+    ])
+    banded = (emb.select(F.col(id_col), F.explode(band_arr).alias("b"))
+                 .select(id_col, "b.band", "b.bkt"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (l.join(r, [F.col("l.band") == F.col("r.band"),
+                       F.col("l.bkt") == F.col("r.bkt"),
+                       F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"))
+             .distinct())
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (cand
+            .join(v.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("v", "va"), "id_a")
+            .join(v.withColumnRenamed("id", "id_b")
+                   .withColumnRenamed("v", "vb"), "id_b")
+            .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")),
+                                       round_digits))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
+
+
 def embedding_near_pairs_gemm(emb: DataFrame, id_col: str, vec_col: str,
                               threshold: float = 0.95,
                               round_digits: int = 4) -> DataFrame:

@@ -39,6 +39,29 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
                   .select("query_id", "neighbor_id", "cos", "rank"))
 
 
+def range_search(queries: DataFrame, corpus: DataFrame, threshold: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 round_digits: int = 4) -> DataFrame:
+    """All corpus neighbors with cosine >= threshold per query (range
+    search — the radius companion to top-k; retrieval filters and
+    near-dup audits want "everything this similar", not a fixed k).
+
+    The corpus side is broadcast the same way brute_force_topk does it:
+    queries are the streamed (large-scalable) side, so at 100 TB a
+    billion-row query table still works as a narrow map against a
+    broadcast-able corpus block; for larger corpora compose the same
+    predicate over brute_force_topk_grid's cell layout. The threshold is
+    applied to the ROUNDED score so the result set is stable under
+    float-accumulation-order differences (oracle-comparable)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    return (q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")),
+                                        round_digits))
+             .filter(F.col("cos") >= threshold)
+             .select("query_id", "neighbor_id", "cos"))
+
+
 def brute_force_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           round_digits: int = 4) -> DataFrame:

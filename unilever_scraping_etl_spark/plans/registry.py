@@ -1118,6 +1118,95 @@ def sim_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk_grid(queries, emb, k=5, n_blocks=8)
 
 
+@q("sim_range_search", f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings)
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, round({_COS}, 4) AS cos
+  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) a
+  JOIN v b ON b.vec_id != a.vec_id
+) WHERE cos >= 0.35
+""", doc="L3 cosine range search (radius companion to top-k): every "
+         "neighbor with rounded cosine >= 0.35 for a deterministic "
+         "query subset. Queries stream against a broadcast corpus "
+         "block — the side that grows unbounded at 100 TB is the "
+         "narrow-map side; thresholding on the rounded score keeps the "
+         "result set stable under accumulation-order differences.")
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.range_search(queries, emb, threshold=0.35)
+
+
+@q("dedup_embedding_lsh", None,
+   doc="L2 embedding near-dup pairs via BANDED random-hyperplane LSH "
+       "(16 bands x 6 planes, deterministic pseudo-weights, no RNG): "
+       "candidates are an equi self-join on (band, bucket) — never a "
+       "cross — then verified against the exact rounded cosine, so "
+       "precision is 1.0 and only recall is approximate. At the "
+       "near-dup design point (cos >= ~0.9) recall is ~1 - (1-p)^16 "
+       "with p = (1-theta/pi)^6 ~ 0.9996; planted-near-dup recall "
+       ">= 0.9 is pinned in tests/test_plans_scale.py. Approximate by "
+       "construction -> rows-only check; exact companion is "
+       "dedup_embedding (grid GEMM).")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_lsh_pairs(emb, "vec_id", "embedding",
+                                     threshold=0.4, n_bands=16, n_planes=6)
+
+
+@q("dedup_incremental", """
+WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+existing AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 4 != 0),
+newb AS (SELECT doc_id, h FROM hashed WHERE doc_id % 4 = 0)
+SELECT min(doc_id) AS doc_id, h
+FROM newb WHERE h NOT IN (SELECT h FROM existing)
+GROUP BY h
+""", doc="L1 INCREMENTAL exact dedup — the daily-ingest shape: a new "
+         "batch (doc_id % 4 = 0 stands in for today's partition) is "
+         "scrubbed against the existing corpus's content-hash manifest "
+         "(md5 — cross-engine-identical lowercase hex) via left-anti "
+         "join, then deduped within itself (min-doc_id survivor). At "
+         "100 TB the manifest is a narrow one-column snapshot (~2% of "
+         "corpus bytes) maintained across runs, so each day's dedup "
+         "costs O(batch + manifest) instead of re-pairing the whole "
+         "corpus; the anti-join shuffles on the hash, or broadcasts "
+         "when the manifest fits.")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.md5(F.col("text").cast("binary")).alias("h")))
+    existing = (docs.filter(F.col("doc_id") % 4 != 0)
+                .select("h").distinct())
+    newb = docs.filter(F.col("doc_id") % 4 == 0)
+    return (newb.join(existing, "h", "left_anti")
+            .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "h"))
+
+
+@q("window_first_last", """
+SELECT event_id, user_id,
+       first_value(value) OVER w AS first_v,
+       last_value(value)  OVER w AS last_v,
+       nth_value(value, 2) OVER w AS second_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""", doc="W1 positional analytics: first/last/nth value over the full "
+         "partition frame (per-user session entry/exit/second event). "
+         "Raw doubles pass through untouched -> bit-identical cross-"
+         "engine; ties on ts broken by event_id on BOTH sides.")
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return ev.select(
+        "event_id", "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 2).over(w).alias("second_v"))
+
+
 # ===========================================================================
 # Text analysis (L4 + north-star text ops)
 # ===========================================================================
