@@ -1,0 +1,62 @@
+"""E2E test for the thin orchestration entry point (SURVEY.md §3.1):
+``python -m unilever_scraping_etl_spark run`` wiring probe -> scrape ->
+quarantine -> snapshot against a fixture fetcher — the engine's analog
+of the reference's DAG (unilever_scraping_pipeline.py:92-110), with
+zero network.
+"""
+
+from __future__ import annotations
+
+import json
+
+from unilever_scraping_etl_spark.__main__ import build_fetcher, main
+from unilever_scraping_etl_spark.plans.fixtures import shop_pipeline_pages
+
+
+def test_cli_run_end_to_end(spark, tmp_path, capsys):
+    pages_file = tmp_path / "pages.json"
+    pages_file.write_text(json.dumps(shop_pipeline_pages()))
+    out = tmp_path / "snap"
+    qout = tmp_path / "rejects"
+
+    rc = main(["run", "--shops", "shopx",
+               "--fetcher", f"fixture:{pages_file}",
+               "--out", str(out), "--quarantine-out", str(qout),
+               "--probe-step", "10", "--max-pages", "20"])
+    assert rc == 0
+
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["last_pages"] == {"shopx": 2}   # probe found page 2
+    assert summary["valid_rows"] == 2
+    assert summary["quarantined_rows"] == 1
+
+    snap = spark.read.parquet(str(out))
+    assert {r["name"] for r in snap.collect()} == {"Item One", "Item Three"}
+    assert "createdate" in snap.columns            # partition column survives
+    assert spark.read.parquet(str(qout)).count() == 1
+
+
+def test_cli_dead_shop_writes_nothing(spark, tmp_path, capsys):
+    pages_file = tmp_path / "pages.json"
+    pages_file.write_text(json.dumps({}))          # every URL 404s
+    out = tmp_path / "snap"
+    rc = main(["run", "--shops", "ghost", "--fetcher", f"fixture:{pages_file}",
+               "--out", str(out), "--probe-step", "10", "--max-pages", "20"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["last_pages"] == {"ghost": 0}
+    assert summary["valid_rows"] == 0
+    assert not out.exists()                        # no empty-snapshot litter
+
+
+def test_build_fetcher_specs(tmp_path):
+    from unilever_scraping_etl_spark.sources.fetcher import (BrowserFetcher,
+                                                             FallbackFetcher,
+                                                             FixtureFetcher,
+                                                             HttpFetcher)
+    p = tmp_path / "p.json"
+    p.write_text(json.dumps({"u": "<html></html>"}))
+    assert isinstance(build_fetcher(f"fixture:{p}"), FixtureFetcher)
+    assert isinstance(build_fetcher("http"), HttpFetcher)
+    assert isinstance(build_fetcher("browser"), BrowserFetcher)
+    assert isinstance(build_fetcher("auto"), FallbackFetcher)

@@ -201,3 +201,131 @@ def test_default_transport_resolves_without_optional_deps():
     from unilever_scraping_etl_spark.sources import fetcher as fmod
     name, tr = fmod._default_transport()
     assert name in {"curl_cffi", "requests", "urllib"} and callable(tr)
+
+
+def test_http_fetcher_other_2xx_keeps_body():
+    """Round-2 ADVICE: any 2xx is success — 206 (partial) must not be
+    discarded as html=None the way the ==200 check did."""
+    tr = _ScriptedTransport((206, b"partial body"))
+    res = _mk(tr)("u")
+    assert (res.status, res.html) == (206, "partial body")
+    assert len(tr.calls) == 1
+
+
+def test_http_fetcher_204_empty_body_is_success():
+    tr = _ScriptedTransport((204, b""))
+    res = _mk(tr)("u")
+    assert (res.status, res.html) == (204, "")
+
+
+# BrowserFetcher production adapter (S3) — fake driver, zero browsers --------
+
+class _FakeDriver:
+    """Scripted browser: page_source advances one stage per scroll
+    (the lazy-render behavior the reference's scroll-poll loop exists
+    for, scrap_tokopedia.py:116-129)."""
+
+    def __init__(self, stages, fail_get: Exception | None = None):
+        self._stages = list(stages)
+        self._fail_get = fail_get
+        self.scrolls = 0
+        self.quit_called = False
+        self.visited = []
+
+    def get(self, url):
+        if self._fail_get is not None:
+            raise self._fail_get
+        self.visited.append(url)
+
+    def execute_script(self, js):
+        assert "scrollTo" in js
+        self.scrolls += 1
+
+    @property
+    def page_source(self):
+        return self._stages[min(self.scrolls, len(self._stages) - 1)]
+
+    def quit(self):
+        self.quit_called = True
+
+
+def test_browser_fetcher_scrolls_until_marker():
+    from unilever_scraping_etl_spark.sources.fetcher import (BrowserFetcher,
+                                                             ScrollUntilMarker)
+    loaded = catalog_html([("shopx/p9", False)])
+    drv = _FakeDriver(["<html>spinner</html>", "<html>spinner</html>", loaded])
+    fetcher = BrowserFetcher(
+        driver_factory=lambda: drv,
+        wait=ScrollUntilMarker("lnkProductContainer", max_rounds=5,
+                               sleep=lambda s: None))
+    res = fetcher("https://www.tokopedia.com/shopx")
+    assert (res.status, res.html, res.fetcher) == (200, loaded, "browser")
+    assert drv.scrolls == 2          # stopped as soon as the marker rendered
+    assert drv.quit_called           # driver never leaks
+    assert drv.visited == ["https://www.tokopedia.com/shopx"]
+
+
+def test_browser_fetcher_marker_never_renders_returns_partial():
+    from unilever_scraping_etl_spark.sources.fetcher import (BrowserFetcher,
+                                                             ScrollUntilMarker)
+    drv = _FakeDriver(["<html>spinner</html>"])
+    res = BrowserFetcher(
+        driver_factory=lambda: drv,
+        wait=ScrollUntilMarker("lnkProductContainer", max_rounds=3,
+                               sleep=lambda s: None))("u")
+    assert res.status == 200 and "spinner" in res.html
+    assert drv.scrolls == 3          # exhausted the round budget, then gave up
+
+
+def test_browser_fetcher_navigation_failure_is_relational():
+    from unilever_scraping_etl_spark.sources.fetcher import BrowserFetcher
+    drv = _FakeDriver(["x"], fail_get=RuntimeError("net::ERR"))
+    res = BrowserFetcher(driver_factory=lambda: drv)("u")
+    assert (res.status, res.html) == (0, None)
+    assert drv.quit_called           # quit even on failure
+
+
+def test_browser_fetcher_factory_failure_is_relational():
+    from unilever_scraping_etl_spark.sources.fetcher import BrowserFetcher
+
+    def boom():
+        raise ImportError("no selenium here")
+    res = BrowserFetcher(driver_factory=boom)("u")
+    assert (res.status, res.html) == (0, None)
+
+
+def test_fallback_http_then_browser_composition():
+    """VERDICT r2 item 5 done-check: FallbackFetcher(HttpFetcher,
+    BrowserFetcher) — blocked HTTP falls through to the browser path."""
+    from unilever_scraping_etl_spark.sources.fetcher import (BrowserFetcher,
+                                                             FallbackFetcher)
+    rendered = catalog_html([("shopx/p1", False)])
+    http = _mk(_ScriptedTransport((403, b"blocked")), max_retries=0)
+    browser = BrowserFetcher(driver_factory=lambda: _FakeDriver([rendered]))
+    out = FallbackFetcher(http, browser)("u")
+    assert out.html == rendered and out.fetcher == "fallback:browser"
+
+
+# JDBC read half (VERDICT r2 item 6) -----------------------------------------
+
+def test_jdbc_read_options_round_trip_parity():
+    """The same credential dict that drives write_jdbc produces the
+    read-side option map (url/dbtable/user/password/driver)."""
+    conn = {"conn_type": "postgresql", "host": "db-host", "port": 5432,
+            "schema": "warehouse", "login": "etl", "password": "s3cret"}
+    opts = ingest.jdbc_read_options(conn, "tr_raw_scrap_data")
+    assert opts == {"url": "jdbc:postgresql://db-host:5432/warehouse",
+                    "dbtable": "tr_raw_scrap_data", "user": "etl",
+                    "password": "s3cret", "driver": "org.postgresql.Driver"}
+
+
+def test_jdbc_read_options_partitioned_scan():
+    conn = {"conn_type": "postgresql", "host": "h", "port": 1,
+            "schema": "s", "login": "u", "password": "p"}
+    opts = ingest.jdbc_read_options(conn, "t", partition_column="id",
+                                    num_partitions=16, lower_bound=0,
+                                    upper_bound=1_000_000)
+    assert (opts["partitionColumn"], opts["numPartitions"]) == ("id", "16")
+    assert (opts["lowerBound"], opts["upperBound"]) == ("0", "1000000")
+    with pytest.raises(ValueError):
+        ingest.jdbc_read_options(conn, "t", partition_column="id")

@@ -349,15 +349,26 @@ def embedding_near_pairs(emb: DataFrame, id_col: str, vec_col: str,
 
 def embedding_lsh_pairs(emb: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.4, n_bands: int = 8,
-                        n_planes: int = 6,
+                        n_planes: int = 6, dim: int = 64,
                         round_digits: int = 4) -> DataFrame:
     """Embedding near-dup pairs via BANDED random-hyperplane LSH —
     the same OR-amplification shape as minhash_candidates: each band is
-    an independent ``n_planes``-plane bucket id (hyperplane_bucket with
-    a band-specific seed), docs sharing ANY band's bucket become
-    candidates (equi self-join on (band, bucket) — never a cross), then
-    candidates are verified against the exact rounded cosine so the
-    output has NO false positives; only recall is approximate.
+    an independent ``n_planes``-plane bucket id, docs sharing ANY
+    band's bucket become candidates (equi self-join on (band, bucket) —
+    never a cross), then candidates are verified against the exact
+    rounded cosine so the output has NO false positives; only recall is
+    approximate.
+
+    All n_bands*n_planes projections are computed in ONE Arrow-batched
+    GEMM per batch (hyperplane_band_buckets — same deterministic
+    cos-pattern weights as the expression-level hyperplane_bucket), so
+    the bucket step costs one BLAS call per batch instead of ~6k
+    sequential expression ops per row. The exact-cosine verify is
+    likewise an Arrow-batched numpy kernel (normalize + row-wise dot,
+    the same kernel family as embedding_near_pairs_gemm, rounded BEFORE
+    thresholding) — on a clustered corpus the candidate set is a large
+    fraction of all pairs, and interpreted higher-order-function
+    cosines over it dominate the whole query.
 
     Tuning is the standard LSH dial: more planes per band -> smaller
     buckets (candidate space ~ n_bands * N^2 / 2^n_planes per uniform
@@ -366,17 +377,12 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str, vec_col: str,
     p = (1 - theta/pi)^n_planes and is recalled with
     1 - (1-p)^n_bands. The bucket computation is a narrow map; the
     only shuffles are the band equi-join and the final distinct."""
-    from ..functions.vectors import cosine
-    from .similarity import hyperplane_bucket
+    from .similarity import hyperplane_band_buckets
 
-    band_arr = F.array(*[
-        F.struct(F.lit(t).alias("band"),
-                 hyperplane_bucket(F.col(vec_col), n_planes=n_planes,
-                                   seed=42 + 1000 * t).alias("bkt"))
-        for t in range(n_bands)
-    ])
-    banded = (emb.select(F.col(id_col), F.explode(band_arr).alias("b"))
-                 .select(id_col, "b.band", "b.bkt"))
+    buckets = hyperplane_band_buckets(n_bands, n_planes, dim=dim)
+    banded = (emb.select(F.col(id_col),
+                         F.posexplode(buckets(F.col(vec_col)))
+                          .alias("band", "bkt")))
     l, r = banded.alias("l"), banded.alias("r")
     cand = (l.join(r, [F.col("l.band") == F.col("r.band"),
                        F.col("l.bkt") == F.col("r.bkt"),
@@ -384,16 +390,39 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str, vec_col: str,
              .select(F.col(f"l.{id_col}").alias("id_a"),
                      F.col(f"r.{id_col}").alias("id_b"))
              .distinct())
+    import numpy as np
+    from pyspark.sql import types as T
+
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    return (cand
-            .join(v.withColumnRenamed("id", "id_a")
-                   .withColumnRenamed("v", "va"), "id_a")
-            .join(v.withColumnRenamed("id", "id_b")
-                   .withColumnRenamed("v", "vb"), "id_b")
-            .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")),
-                                       round_digits))
-            .filter(F.col("cos") >= threshold)
-            .select("id_a", "id_b", "cos"))
+    paired = (cand
+              .join(v.withColumnRenamed("id", "id_a")
+                     .withColumnRenamed("v", "va"), "id_a")
+              .join(v.withColumnRenamed("id", "id_b")
+                     .withColumnRenamed("v", "vb"), "id_b"))
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def verify(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.vstack(pdf["va"].to_numpy()).astype("float64")
+            b = np.vstack(pdf["vb"].to_numpy()).astype("float64")
+            a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
+            b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-300)
+            cos = np.round(np.einsum("ij,ij->i", a, b), round_digits)
+            keep = cos >= threshold
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"].to_numpy()[keep].astype("int64"),
+                "id_b": pdf["id_b"].to_numpy()[keep].astype("int64"),
+                "cos": cos[keep],
+            })
+
+    return paired.mapInPandas(verify, out_schema)
 
 
 def embedding_near_pairs_gemm(emb: DataFrame, id_col: str, vec_col: str,

@@ -55,6 +55,10 @@ def q(name: str, oracle: str | None, doc: str = ""):
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 
+        # the certification fingerprint hashes the REGISTERED function's
+        # own source (decorator incl. oracle/doc + body), not this
+        # shared closure
+        wrapped.__wrapped__ = fn
         QUERIES[name] = QuerySpec(name, wrapped, oracle, doc)
         return wrapped
 
@@ -77,11 +81,21 @@ def _spread(df: DataFrame) -> DataFrame:
     partition-count check so at 100 TB — where the scan already has
     thousands of splits — it is a no-op.
     """
+    import math
     import os
     if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    # Estimate the scan's split count from Catalyst's byte stats (file
+    # metadata — no job) instead of df.rdd.getNumPartitions(), which
+    # builds the whole RDD lineage just to read a number (r2 verdict nit).
+    try:
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        max_split = 128 * 1024 * 1024  # Spark default (or a "128MB" string)
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if math.ceil(size / max_split) >= target:
         return df
     return df.repartition(target)
 
@@ -791,10 +805,12 @@ _BUCKET5 = ("make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT)*300)"
 SELECT strftime({_BUCKET10}, '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS sum_value
 FROM events GROUP BY 1, 2
 """, doc="ST1 tumbling 10-min window agg; identical plan serves batch and "
-         "readStream (unified Structured Streaming model).")
+         "readStream (unified Structured Streaming model). sum_value is a "
+         "DECIMAL(18,6) sum (exact, order-independent) surfaced as double.")
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import tumbling_counts
     return tumbling_counts(_t(spark, sf_dir, "events"))
@@ -866,7 +882,8 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("stream_running_totals", """
 SELECT user_id, count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS sum_value
 FROM events GROUP BY user_id
 """, doc="ST5+ custom stateful operator (applyInPandasWithState): per-"
          "user running (count, sum) with one fixed-width state row per "
@@ -1005,13 +1022,18 @@ SELECT id_a, id_b, cos FROM (
          "via the DISTRIBUTED block-grid GEMM: corpus hashed into "
          "blocks, one cogroup task per block pair, one BLAS call per "
          "cell — no driver collect, no corpus broadcast, shuffle "
-         "O(N * n_blocks). The actual 100 TB shape (the broadcast "
-         "variant remains as the small-corpus fast path; test-pinned "
-         "byte-identical).")
+         "O(N * n_blocks). n_blocks is DATA-AWARE (adaptive_n_blocks: "
+         "Catalyst size estimate / 64 MB, like Spark's own broadcast "
+         "threshold), so a corpus under one block degenerates to the "
+         "single-cell grid == broadcast GEMM (test-pinned byte-"
+         "identical) instead of paying a 36-cell grid for data that "
+         "fits in one task; at 100 TB the same call sizes the grid up "
+         "automatically.")
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_near_pairs_grid(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.4, n_blocks=8)
+        emb, "vec_id", "embedding", threshold=0.4,
+        n_blocks=similarity.adaptive_n_blocks(emb))
 
 
 @q("dedup_editdist", """
@@ -1111,11 +1133,15 @@ FROM scored QUALIFY rank <= 5
          "the small side), one BLAS call + local top-k per cell, then "
          "a k*n_blocks-row window merge per query — no driver collect, "
          "no corpus broadcast; identical results to sim_topk (same "
-         "oracle; broadcast variant test-pinned byte-identical).")
+         "oracle; broadcast variant test-pinned byte-identical). "
+         "n_blocks is data-aware (adaptive_n_blocks over the corpus "
+         "scan's Catalyst size estimate): 1 block at local scale, grid "
+         "engaged above the 64 MB block budget.")
 def sim_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.brute_force_topk_grid(queries, emb, k=5, n_blocks=8)
+    return similarity.brute_force_topk_grid(
+        queries, emb, k=5, n_blocks=similarity.adaptive_n_blocks(emb))
 
 
 @q("sim_range_search", f"""
@@ -1140,19 +1166,22 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("dedup_embedding_lsh", None,
    doc="L2 embedding near-dup pairs via BANDED random-hyperplane LSH "
-       "(16 bands x 6 planes, deterministic pseudo-weights, no RNG): "
-       "candidates are an equi self-join on (band, bucket) — never a "
-       "cross — then verified against the exact rounded cosine, so "
-       "precision is 1.0 and only recall is approximate. At the "
-       "near-dup design point (cos >= ~0.9) recall is ~1 - (1-p)^16 "
-       "with p = (1-theta/pi)^6 ~ 0.9996; planted-near-dup recall "
+       "(16 bands x 8 planes, deterministic pseudo-weights, no RNG): "
+       "all 128 projections are ONE Arrow-batched GEMM per batch "
+       "(hyperplane_band_buckets), candidates are an equi self-join on "
+       "(band, bucket) — never a cross — then verified against the "
+       "exact rounded cosine, so precision is 1.0 and only recall is "
+       "approximate. 8 planes/band = 256 buckets, which keeps the "
+       "candidate fraction ~10x below the 6-plane setting while recall "
+       "at the near-dup design point (cos >= ~0.9) stays ~1-(1-p)^16 "
+       "~= 0.996 with p = (1-theta/pi)^8; planted-near-dup recall "
        ">= 0.9 is pinned in tests/test_plans_scale.py. Approximate by "
        "construction -> rows-only check; exact companion is "
        "dedup_embedding (grid GEMM).")
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_lsh_pairs(emb, "vec_id", "embedding",
-                                     threshold=0.4, n_bands=16, n_planes=6)
+                                     threshold=0.4, n_bands=16, n_planes=8)
 
 
 @q("dedup_incremental", """
@@ -1160,7 +1189,8 @@ WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
 existing AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 4 != 0),
 newb AS (SELECT doc_id, h FROM hashed WHERE doc_id % 4 = 0)
 SELECT min(doc_id) AS doc_id, h
-FROM newb WHERE h NOT IN (SELECT h FROM existing)
+FROM newb
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = newb.h)
 GROUP BY h
 """, doc="L1 INCREMENTAL exact dedup — the daily-ingest shape: a new "
          "batch (doc_id % 4 = 0 stands in for today's partition) is "
@@ -1405,16 +1435,24 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("window_running_sum", """
 SELECT event_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING), 4) AS running_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE)
+           AS running_value
 FROM events
-""", doc="W3 cumulative sum per user (unbounded-preceding frame).")
+""", doc="W3 cumulative sum per user (unbounded-preceding frame). The "
+         "frame sum is DECIMAL(18,6) — exact and accumulation-order-"
+         "independent, so engines that evaluate running frames with "
+         "different internal orders (segment trees vs sequential) still "
+         "agree bit-for-bit after the final cast to double.")
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
     return ev.select("event_id",
-                     F.round(F.sum("value").over(w), 4).alias("running_value"))
+                     F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                              .over(w), 4)
+                      .cast("double").alias("running_value"))
 
 
 def _expected_quarantine_sql() -> str:
@@ -1562,13 +1600,18 @@ SELECT user_id, session_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(floor(epoch(max(ts))) AS BIGINT)
            - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
-       round(sum(value), 4) AS session_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS session_value
 FROM numbered GROUP BY user_id, session_id
 """, doc="Gap-based sessionization (30-min inactivity) — the batch analog "
          "of ST3's session_window with an exact SQL oracle: lag -> "
          "new-session flag -> running sum = session id -> per-session agg. "
          "One shuffle on user_id serves both window passes and the final "
-         "groupBy (same partitioning reused — no extra exchange at 100 TB).")
+         "groupBy (same partitioning reused — no extra exchange at 100 TB). "
+         "session_value sums DECIMAL(18,6), not raw doubles: decimal "
+         "addition is exact and commutative, so the sum is identical under "
+         "any accumulation order — a double sum at a rounding boundary can "
+         "hash-differ run to run even when both engines are 'right'.")
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.col("ts").cast("long")
@@ -1584,7 +1627,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (numbered.groupBy("user_id", "session_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  (F.max(epoch) - F.min(epoch)).alias("duration_sec"),
-                 F.round(F.sum("value"), 4).alias("session_value")))
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+                  .cast("double").alias("session_value")))
 
 
 @q("split_train_test", """
@@ -1643,8 +1687,12 @@ SELECT doc_id, word, tfidf FROM (
 """, doc="TF-IDF top-3 terms per document — regex tokenize -> per-doc term "
          "frequency -> document frequency -> tf*ln(N/df) -> windowed top-k. "
          "The df side is a small aggregate (vocabulary-sized) that AQE "
-         "broadcast-joins back onto tf; N is a scalar cross join. Rounded "
-         "before ranking with a word tiebreak so ordering is engine-stable.")
+         "broadcast-joins back onto tf; N is computed INSIDE the plan as a "
+         "broadcast one-row aggregate cross-joined onto the scored frame "
+         "(mirroring the oracle's n CTE) — no driver-side count(), so the "
+         "corpus is never scanned in a separate job just to fetch a "
+         "scalar. Rounded before ranking with a word tiebreak so ordering "
+         "is engine-stable.")
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = (docs.select("doc_id",
@@ -1653,11 +1701,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("word") != ""))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar; one tiny job, constant-folded into expr
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (tf.join(F.broadcast(df_), "word")
+              .crossJoin(F.broadcast(n))
               .select("doc_id", "word",
                       F.round(F.col("tf")
-                              * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+                              * F.log(F.col("n_docs") / F.col("df")), 6)
                        .alias("tfidf")))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -1921,34 +1970,43 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 #
 # The external correctness driver verifies the FIRST 50 queries in export
-# order. Round 1 certified the 50 below (CORRECTNESS_r01.json: 47 hash-pass,
-# 3 rows-only ran, 0 failures), so they yield the front of the window to the
-# queries that have no external row yet. Anything not in this set — the 33
-# round-1-unverified queries plus anything newly registered — exports first,
-# in registration order; the round-1-certified block follows.
+# order. Certification state lives in plans/certified.py as
+# {name: (round_certified, spec_fingerprint)}; a query counts as certified
+# only while its CURRENT fingerprint (oracle SQL + the registered function's
+# source) matches the one recorded when the external driver checked it, so
+# editing a query's plan or oracle automatically re-enters it into the
+# verification window. Export order: uncertified/modified/new queries first
+# (registration order), then certified queries oldest-round-first — so each
+# round's window re-checks whatever is least-recently certified.
+#
+# NOTE: the fingerprint covers the registered wrapper + oracle, not the
+# transitive sources of operator modules it calls. When an operator's
+# SEMANTICS change, update the wrapper's doc/args so the fingerprint moves;
+# pure-performance rewrites with pinned-identical output may keep their
+# certificate.
 
-_R01_VERIFIED = frozenset({
-    'agg_price_stats', 'agg_distinct', 'agg_approx_distinct',
-    'agg_percentile', 'agg_stats', 'agg_rollup', 'agg_cube', 'valid_count',
-    'last_valid_page', 'page_sequence', 'project_links',
-    'filter_empty_pages', 'join_inner', 'join_broadcast', 'join_outer',
-    'join_full_outer', 'join_semi', 'anti_join_invalid', 'join_range',
-    'join_salted', 'asof_price_change', 'window_rank', 'window_lag_price',
-    'window_moving_avg', 'window_range_frame', 'window_distribution',
-    'topk_per_group', 'sort_limit', 'union_shops', 'set_churn',
-    'set_intersect_except', 'fn_parse_rupiah', 'fn_parse_percent',
-    'fn_date_format', 'fn_discount_check', 'fn_explode_links',
-    'fn_udtf_links', 'fn_json_props', 'fn_array_ops', 'parse_product',
-    'stream_tumbling', 'stream_sliding', 'stream_session',
-    'stream_watermark', 'stream_join', 'stream_running_totals',
-    'dedup_exact', 'dedup_near', 'dedup_simhash', 'dedup_ngram',
-})
+
+def _fingerprint(spec: QuerySpec) -> str:
+    import hashlib
+    import inspect
+    src = inspect.getsource(inspect.unwrap(spec.spark))
+    return hashlib.md5(((spec.oracle or "") + src).encode()).hexdigest()
+
+
+def _cert_round(name: str) -> int | None:
+    from .certified import CERTIFIED
+    ent = CERTIFIED.get(name)
+    if ent is not None and ent[1] == _fingerprint(QUERIES[name]):
+        return ent[0]
+    return None
 
 
 def _ordered() -> dict[str, QuerySpec]:
-    head = {n: s for n, s in QUERIES.items() if n not in _R01_VERIFIED}
-    tail = {n: s for n, s in QUERIES.items() if n in _R01_VERIFIED}
-    return {**head, **tail}
+    names = list(QUERIES)
+    head = [n for n in names if _cert_round(n) is None]
+    tail = sorted((n for n in names if _cert_round(n) is not None),
+                  key=lambda n: (_cert_round(n), names.index(n)))
+    return {n: QUERIES[n] for n in [*head, *tail]}
 
 
 def spark_queries() -> dict[str, SparkQuery]:

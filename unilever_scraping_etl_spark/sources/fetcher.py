@@ -60,7 +60,7 @@ class FallbackFetcher:
 
     def __call__(self, url: str) -> FetchResult:
         res = self._primary(url)
-        needs_fallback = res.status != 200 or res.html is None or (
+        needs_fallback = not (200 <= res.status < 300) or res.html is None or (
             self._is_empty is not None and self._is_empty(res.html))
         if needs_fallback:
             fb = self._secondary(url)
@@ -161,9 +161,12 @@ class HttpFetcher:
                                                self._timeout)
             except Exception:
                 status, body = 0, None  # transient: retry
-            if status == 200 or (status and status not in self.RETRYABLE):
+            if status and status not in self.RETRYABLE:
                 break
-        if status != 200 or body is None:
+        # Any 2xx is success (204/206 carry a usable — possibly empty —
+        # body; all three default transports follow redirects, so a 3xx
+        # reaching here is a real terminal answer, not a detour).
+        if not (200 <= status < 300) or body is None:
             return FetchResult(url, status, None, self._name or "http")
         html = (body.decode("utf-8", "replace")
                 if isinstance(body, (bytes, bytearray)) else str(body))
@@ -175,3 +178,98 @@ def http_fetcher(timeout: float = 10.0) -> Fetcher:
     kept for callers that want the reference's exact single-shot
     behavior, scrap_tokopedia.py:108-114)."""
     return HttpFetcher(timeout=timeout, max_retries=0)
+
+
+#: Minimal browser-driver surface BrowserFetcher needs. Selenium's
+#: WebDriver satisfies it; tests inject a scripted fake — no selenium,
+#: no browser, no network ever runs in-sandbox.
+#:   .get(url) -> None        .execute_script(js) -> None
+#:   .page_source -> str      .quit() -> None
+
+
+class ScrollUntilMarker:
+    """Scroll-until-content wait policy — the injectable form of the
+    reference's scroll-poll loop (scrap_tokopedia.py:116-129: scroll to
+    document.body.scrollHeight, sleep, re-check, bounded rounds). Lazy
+    catalogs render items only as the viewport reaches them, so a
+    browser fetch must scroll until the sentinel element appears (or a
+    round budget is exhausted — a page that never renders the marker
+    still returns, with whatever did render)."""
+
+    SCROLL_JS = "window.scrollTo(0, document.body.scrollHeight);"
+
+    def __init__(self, marker: str, max_rounds: int = 10,
+                 pause_sec: float = 0.5,
+                 sleep: Callable[[float], None] | None = None):
+        self._marker = marker
+        self._max_rounds = max_rounds
+        self._pause = pause_sec
+        self._sleep = sleep
+
+    def __call__(self, driver) -> None:
+        if self._sleep is None:
+            import time
+            self._sleep = time.sleep
+        for _ in range(self._max_rounds):
+            if self._marker in (driver.page_source or ""):
+                return
+            driver.execute_script(self.SCROLL_JS)
+            self._sleep(self._pause)
+
+
+class BrowserFetcher:
+    """Production browser fetcher adapter (S3) — the engine-side
+    counterpart of the reference's Selenium fallback path
+    (scrap_tokopedia.py:98-106 driver setup, 116-129 scroll-poll,
+    240-250 fallback usage). Design mirrors HttpFetcher: everything
+    environment-dependent is injectable —
+
+    - ``driver_factory`` builds the browser session; tests pass a fake
+      driver, production defaults to lazy headless-Chrome Selenium
+      (optional import — the module and all tests run without selenium
+      installed);
+    - ``wait`` is the render-wait policy (e.g. ScrollUntilMarker) run
+      after navigation, before reading page_source.
+
+    A fresh driver is created per call and always quit (the reference
+    leaks its driver on exception, scrap_tokopedia.py:98-144; we
+    don't). Failures return FetchResult(status=0, html=None) so the P7
+    status predicate handles them relationally — never an exception on
+    the executor."""
+
+    def __init__(self, driver_factory: Callable[[], object] | None = None,
+                 wait: Callable[[object], None] | None = None,
+                 name: str = "browser"):
+        self._factory = driver_factory
+        self._wait = wait
+        self._name = name
+
+    @staticmethod
+    def _default_factory():
+        from selenium import webdriver  # type: ignore
+        from selenium.webdriver.chrome.options import Options  # type: ignore
+        opts = Options()
+        opts.add_argument("--headless=new")
+        return webdriver.Chrome(options=opts)
+
+    def __call__(self, url: str) -> FetchResult:
+        factory = self._factory or self._default_factory
+        try:
+            driver = factory()
+        except Exception:
+            return FetchResult(url, 0, None, self._name)
+        try:
+            driver.get(url)
+            if self._wait is not None:
+                self._wait(driver)
+            html = driver.page_source
+            if not html:
+                return FetchResult(url, 0, None, self._name)
+            return FetchResult(url, 200, html, self._name)
+        except Exception:
+            return FetchResult(url, 0, None, self._name)
+        finally:
+            try:
+                driver.quit()
+            except Exception:
+                pass

@@ -140,12 +140,20 @@ def parse_products(pages: DataFrame, spec: ExtractionSpec = DEFAULT_SPEC,
 def scrape_to_snapshot(spark: SparkSession, shops: list[str], fetcher: Fetcher,
                        last_pages: dict[str, int],
                        spec: ExtractionSpec = DEFAULT_SPEC,
-                       fetch_partitions: int | None = None
+                       fetch_partitions: int | None = None,
+                       persist: bool = False
                        ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline: shops -> catalog pages -> links -> product rows,
     split into (valid, quarantined). UNION-of-shops is inherent: all
     shops live in one frame (SURVEY.md O3) instead of the reference's
-    sequential loop (scrap_tokopedia.py:324-328)."""
+    sequential loop (scrap_tokopedia.py:324-328).
+
+    ``persist=True`` caches the parsed-product frame BEFORE the
+    quarantine split: both returned frames derive from it, so a caller
+    sinking valid AND quarantined rows (the CLI does) fetches every
+    page once instead of once per sink — re-scraping the web to write
+    the reject file would be absurd at any scale. Caller unpersists via
+    ``valid.sparkSession.catalog.clearCache()`` or lets it age out."""
     seed = local_df(spark, [(s, last_pages[s]) for s in shops],
                     "shop string, last_page int")
     pages = seed.select(
@@ -159,6 +167,8 @@ def scrape_to_snapshot(spark: SparkSession, shops: list[str], fetcher: Fetcher,
     fetched_products = fetch_pages(
         product_urls.select("shop", "url"), fetcher, partitions=fetch_partitions)
     products = parse_products(fetched_products, spec)
+    if persist:
+        products = products.persist()
     valid, quarantined = quarantine_split(
         products, required_fields_rules("name", "price"))
     return valid, quarantined
@@ -212,6 +222,49 @@ def write_jdbc(df: DataFrame, url: str, table: str,
     props = {"batchsize": str(batchsize)}
     props.update(properties or {})
     df.write.mode("append").options(**props).jdbc(url, table)
+
+
+def jdbc_read_options(conn: dict, table: str,
+                      partition_column: str | None = None,
+                      num_partitions: int = 8,
+                      lower_bound: int | None = None,
+                      upper_bound: int | None = None) -> dict[str, str]:
+    """Option map for a JDBC read — pure and unit-testable (no live DB
+    in this sandbox); read_jdbc feeds it to spark.read. Same credential
+    dict as jdbc_options, so config written for the sink drives the
+    source unchanged."""
+    url, props = jdbc_options(conn)
+    opts = {"url": url, "dbtable": table, **props}
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partitioned JDBC read requires lower_bound and upper_bound")
+        opts.update({"partitionColumn": partition_column,
+                     "lowerBound": str(lower_bound),
+                     "upperBound": str(upper_bound),
+                     "numPartitions": str(num_partitions)})
+    return opts
+
+
+def read_jdbc(spark: SparkSession, conn: dict, table: str,
+              partition_column: str | None = None,
+              num_partitions: int = 8,
+              lower_bound: int | None = None,
+              upper_bound: int | None = None) -> DataFrame:
+    """JDBC read source — the round-trip partner of write_jdbc, closing
+    the reference's load-then-analyze loop (unilever_scraping_pipeline.py
+    :21-44 loads into Postgres; analytics over that table needs the read
+    half).
+
+    With ``partition_column`` (+ integral bounds) the scan splits into
+    ``num_partitions`` parallel range queries — the only way a JDBC read
+    parallelizes across executors; without it the whole table arrives
+    through ONE connection (fine for dim tables, wrong for facts).
+    Filters and column pruning push into the database via the JDBC
+    source's pushdown rules, so follow this with .select/.filter freely."""
+    opts = jdbc_read_options(conn, table, partition_column, num_partitions,
+                             lower_bound, upper_bound)
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 def find_last_valid_page(spark: SparkSession, base_url: str, fetcher: Fetcher,

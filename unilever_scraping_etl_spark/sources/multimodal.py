@@ -70,8 +70,25 @@ def _fake_decode(payload: bytes | None) -> tuple[int, int, int, list[float]]:
     return (width, height, 3, feature)
 
 
+#: Session conf governing Arrow INPUT batch row counts for every
+#: mapInPandas in the session — the only place an input-batch cap can
+#: actually take effect (see decode_images docstring).
+ARROW_BATCH_CONF = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+
+def cap_arrow_batches(spark, max_records: int = 256):
+    """Session-build helper: cap Arrow input batches for payload-heavy
+    pipelines. With multi-MB binary payloads the 10k-row default means
+    multi-GB Arrow batches per task; call this right after building the
+    session (before any plan executes) so every mapInPandas in the
+    session sees bounded batches. Returns the session for chaining."""
+    spark.conf.set(ARROW_BATCH_CONF, str(max_records))
+    return spark
+
+
 def decode_images(media: DataFrame, strict: bool = False,
-                  batch_rows: int = 64) -> DataFrame:
+                  batch_rows: int = 64,
+                  warn_input_batch_rows: int = 4096) -> DataFrame:
     """Decode/feature-extract images with mapInPandas. ``strict=True``
     raises NotImplementedError (no codec libs here); ``strict=False``
     runs the deterministic fake so the pipeline shape is testable
@@ -84,7 +101,22 @@ def decode_images(media: DataFrame, strict: bool = False,
     mutated here: the plan is lazy, so a set-here/restore-later around a
     transformation either leaks the setting into the whole session or
     restores it before execution reads it. Callers feeding multi-MB
-    payloads should cap that conf at session-build time."""
+    payloads should cap that conf at session-build time
+    (:func:`cap_arrow_batches`); if the session value exceeds
+    ``warn_input_batch_rows`` a warning fires here so the risk is
+    surfaced where the payload source is built, not just documented."""
+    try:
+        conf_rows = int(media.sparkSession.conf.get(ARROW_BATCH_CONF))
+    except Exception:
+        conf_rows = 10_000  # Spark's default when unset/unreadable
+    if conf_rows > warn_input_batch_rows:
+        import warnings
+        warnings.warn(
+            f"decode_images: {ARROW_BATCH_CONF}={conf_rows} exceeds "
+            f"{warn_input_batch_rows}; with multi-MB payloads each Arrow "
+            f"input batch can reach GBs per task. Cap it at session build "
+            f"time with cap_arrow_batches(spark).", ResourceWarning,
+            stacklevel=2)
 
     def run(batches):
         for pdf in batches:

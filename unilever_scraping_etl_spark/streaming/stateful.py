@@ -39,9 +39,14 @@ def running_user_totals(events: DataFrame, key_col: str = "user_id",
     applyInPandasWithState; batch frame -> the equivalent one-shot
     groupBy (unified-model fallback, what the tests compare against)."""
     if not events.isStreaming:
+        # DECIMAL(18,6) sum: exact and merge-order-independent, so the
+        # batch result is bit-stable across runs/partitionings (the
+        # streaming path accumulates float64 per key in arrival order —
+        # tests compare the two after rounding).
         return (events.groupBy(key_col)
                 .agg(F.count(F.lit(1)).alias("n_events"),
-                     F.sum(value_col).alias("sum_value"))
+                     F.sum(F.col(value_col).cast("decimal(18,6)"))
+                      .cast("double").alias("sum_value"))
                 .select(F.col(key_col).alias("user_id"), "n_events", "sum_value"))
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -20,11 +20,14 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 def tumbling_counts(events: DataFrame, width: str = "10 minutes",
                     ts_col: str = "ts") -> DataFrame:
-    """ST1 — tumbling window count+sum per event_type."""
+    """ST1 — tumbling window count+sum per event_type. The sum runs on
+    DECIMAL(18,6) (exact, commutative — identical under any partial-agg
+    merge order) and surfaces as double."""
     return (events
             .groupBy(F.window(ts_col, width).alias("w"), F.col("event_type"))
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("sum_value"))
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+                  .cast("double").alias("sum_value"))
             .select(F.date_format("w.start", TS_FMT).alias("window_start"),
                     "event_type", "n_events", "sum_value"))
 
