@@ -805,12 +805,16 @@ _BUCKET5 = ("make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT)*300)"
 SELECT strftime({_BUCKET10}, '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+       sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0
            AS sum_value
 FROM events GROUP BY 1, 2
 """, doc="ST1 tumbling 10-min window agg; identical plan serves batch and "
-         "readStream (unified Structured Streaming model). sum_value is a "
-         "DECIMAL(18,6) sum (exact, order-independent) surfaced as double.")
+         "readStream (unified Structured Streaming model). sum_value sums "
+         "per-row floor(value*1e6) integers: floor of a double is a pure "
+         "IEEE op (bit-identical in any engine, unlike double->DECIMAL "
+         "casts whose rounding mode is engine-defined), and integer "
+         "addition is exact and commutative — stable under any partial-"
+         "agg merge order.")
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import tumbling_counts
     return tumbling_counts(_t(spark, sf_dir, "events"))
@@ -882,19 +886,18 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("stream_running_totals", """
 SELECT user_id, count(*) AS n_events,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+       sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0
            AS sum_value
 FROM events GROUP BY user_id
 """, doc="ST5+ custom stateful operator (applyInPandasWithState): per-"
          "user running (count, sum) with one fixed-width state row per "
          "key. Batch mode is the equivalent one-shot groupBy (unified "
          "model); tests/test_streaming.py asserts the streaming path's "
-         "final state agrees.")
+         "final state agrees EXACTLY — both paths accumulate the same "
+         "floor(value*1e6) integers, so there is no float tolerance.")
 def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import running_user_totals
-    out = running_user_totals(_t(spark, sf_dir, "events"))
-    return out.select("user_id", "n_events",
-                      F.round("sum_value", 4).alias("sum_value"))
+    return running_user_totals(_t(spark, sf_dir, "events"))
 
 
 @q("stream_dedup", """
@@ -1435,24 +1438,26 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("window_running_sum", """
 SELECT event_id,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6)))
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE)
+       sum(CAST(floor(value * 1000000) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) / 1000000.0
            AS running_value
 FROM events
 """, doc="W3 cumulative sum per user (unbounded-preceding frame). The "
-         "frame sum is DECIMAL(18,6) — exact and accumulation-order-"
-         "independent, so engines that evaluate running frames with "
-         "different internal orders (segment trees vs sequential) still "
-         "agree bit-for-bit after the final cast to double.")
+         "frame sums per-row floor(value*1e6) integers: floor of a "
+         "double is bit-identical in any engine (a double->DECIMAL cast "
+         "is not — its rounding mode is engine-defined), and integer "
+         "frame sums agree regardless of how the engine evaluates the "
+         "frame (segment tree vs sequential).")
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
     return ev.select("event_id",
-                     F.round(F.sum(F.col("value").cast("decimal(18,6)"))
-                              .over(w), 4)
-                      .cast("double").alias("running_value"))
+                     (F.sum(F.floor(F.col("value") * 1000000)
+                             .cast("decimal(38,0)")).over(w)
+                       .cast("double") / F.lit(1000000.0))
+                     .alias("running_value"))
 
 
 def _expected_quarantine_sql() -> str:
@@ -1600,7 +1605,7 @@ SELECT user_id, session_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(floor(epoch(max(ts))) AS BIGINT)
            - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+       sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0
            AS session_value
 FROM numbered GROUP BY user_id, session_id
 """, doc="Gap-based sessionization (30-min inactivity) — the batch analog "
@@ -1608,10 +1613,14 @@ FROM numbered GROUP BY user_id, session_id
          "new-session flag -> running sum = session id -> per-session agg. "
          "One shuffle on user_id serves both window passes and the final "
          "groupBy (same partitioning reused — no extra exchange at 100 TB). "
-         "session_value sums DECIMAL(18,6), not raw doubles: decimal "
-         "addition is exact and commutative, so the sum is identical under "
-         "any accumulation order — a double sum at a rounding boundary can "
-         "hash-differ run to run even when both engines are 'right'.")
+         "session_value sums per-row floor(value*1e6) integers, not raw "
+         "doubles (order-dependent) and not double->DECIMAL casts (the "
+         "cast's rounding mode is engine-defined: Spark HALF_UPs the "
+         "shortest decimal repr, DuckDB nearbyints the scaled binary — "
+         "they can legitimately disagree on a boundary value, which is "
+         "what kept this row red in r03). floor of a double is a pure "
+         "IEEE op, bit-identical everywhere; integer sums are exact and "
+         "commutative.")
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.col("ts").cast("long")
@@ -1627,8 +1636,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (numbered.groupBy("user_id", "session_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  (F.max(epoch) - F.min(epoch)).alias("duration_sec"),
-                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
-                  .cast("double").alias("session_value")))
+                 (F.sum(F.floor(F.col("value") * 1000000)
+                         .cast("decimal(38,0)"))
+                   .cast("double") / F.lit(1000000.0))
+                 .alias("session_value")))
 
 
 @q("split_train_test", """

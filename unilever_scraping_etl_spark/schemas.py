@@ -150,16 +150,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     full pushdown/pruning freedom; schemas above are the declared contract
     and are asserted in tests, not forced onto the scan.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; we read it as raw nanos (legacy nanosAsLong) and
-    floor-divide to microseconds — the same truncation DuckDB applies
-    when narrowing ns to its native µs timestamps."""
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+    unless read as raw nanos via legacy nanosAsLong, then floor-divided
+    to µs — the same truncation DuckDB applies narrowing ns to its
+    native µs) and plain µs with isAdjustedToUTC=false (which Spark 4
+    infers as TIMESTAMP_NTZ — a type ANSI cast refuses to turn into
+    epoch seconds). Normalize both to session-local TIMESTAMP (the
+    session is pinned UTC) so every downstream ``ts.cast('long')`` is
+    the same epoch-seconds DuckDB's ``epoch(ts)`` yields on the naive
+    value."""
     if name == "events":
         from pyspark.sql import functions as F
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # µs-NTZ generation: read as TIMESTAMP (LTZ); with the session
+        # pinned to UTC the raw µs are epoch µs, matching DuckDB's
+        # naive-timestamp arithmetic bit for bit.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

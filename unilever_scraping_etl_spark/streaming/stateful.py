@@ -16,6 +16,7 @@ the per-batch work is Arrow-batched pandas, and state size is bounded by
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,9 +28,13 @@ OUTPUT_SCHEMA = T.StructType([
     T.StructField("sum_value", T.DoubleType()),
 ])
 
+# The value accumulator is an INTEGER count of value-micros
+# (floor(value*1e6) per row): exact, commutative, and identical to the
+# batch plan's integer sum — streaming and batch agree with NO float
+# tolerance, regardless of micro-batch boundaries or arrival order.
 STATE_SCHEMA = T.StructType([
     T.StructField("n", T.LongType()),
-    T.StructField("s", T.DoubleType()),
+    T.StructField("s_micros", T.LongType()),
 ])
 
 
@@ -39,26 +44,32 @@ def running_user_totals(events: DataFrame, key_col: str = "user_id",
     applyInPandasWithState; batch frame -> the equivalent one-shot
     groupBy (unified-model fallback, what the tests compare against)."""
     if not events.isStreaming:
-        # DECIMAL(18,6) sum: exact and merge-order-independent, so the
-        # batch result is bit-stable across runs/partitionings (the
-        # streaming path accumulates float64 per key in arrival order —
-        # tests compare the two after rounding).
+        # Per-row floor(value*1e6) integer sum: floor of a double is a
+        # pure IEEE op (bit-identical in any engine) and integer
+        # addition is exact and commutative, so the batch result is
+        # bit-stable across runs/partitionings and equals the streaming
+        # path's accumulator exactly.
         return (events.groupBy(key_col)
                 .agg(F.count(F.lit(1)).alias("n_events"),
-                     F.sum(F.col(value_col).cast("decimal(18,6)"))
-                      .cast("double").alias("sum_value"))
+                     (F.sum(F.floor(F.col(value_col) * 1000000)
+                             .cast("decimal(38,0)"))
+                       .cast("double") / F.lit(1000000.0)).alias("sum_value"))
                 .select(F.col(key_col).alias("user_id"), "n_events", "sum_value"))
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key: tuple, pdfs, state: GroupState):
-        n, s = state.get if state.exists else (0, 0.0)
+        n, s_micros = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf[value_col].sum())
-        state.update((n, s))
+            # np.floor on float64 == SQL floor on DOUBLE: same IEEE op,
+            # so the streaming accumulator matches the batch plan's
+            # integer sum bit for bit.
+            s_micros += int(np.floor(pdf[value_col].to_numpy()
+                                     * 1000000.0).sum())
+        state.update((n, s_micros))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                            "sum_value": [s]})
+                            "sum_value": [s_micros / 1000000.0]})
 
     return (events.select(key_col, value_col)
             .groupBy(key_col)

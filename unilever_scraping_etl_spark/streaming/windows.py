@@ -21,13 +21,16 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss"
 def tumbling_counts(events: DataFrame, width: str = "10 minutes",
                     ts_col: str = "ts") -> DataFrame:
     """ST1 — tumbling window count+sum per event_type. The sum runs on
-    DECIMAL(18,6) (exact, commutative — identical under any partial-agg
-    merge order) and surfaces as double."""
+    per-row floor(value*1e6) integers (floor of a double is a pure IEEE
+    op — bit-identical in any engine — and integer addition is exact and
+    commutative, so the result is stable under any partial-agg merge
+    order) and surfaces as double micros."""
     return (events
             .groupBy(F.window(ts_col, width).alias("w"), F.col("event_type"))
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
-                  .cast("double").alias("sum_value"))
+                 (F.sum(F.floor(F.col("value") * 1000000)
+                         .cast("decimal(38,0)"))
+                   .cast("double") / F.lit(1000000.0)).alias("sum_value"))
             .select(F.date_format("w.start", TS_FMT).alias("window_start"),
                     "event_type", "n_events", "sum_value"))
 
