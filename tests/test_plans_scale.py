@@ -558,18 +558,20 @@ def test_decode_images_warns_on_oversized_arrow_batches(spark):
 
 def test_export_order_evicts_modified_and_rotates_oldest(monkeypatch):
     """Certification-ledger ordering (round-2 ADVICE medium + VERDICT
-    item 8): queries touched this round must sit inside the driver's
-    first-50 verification window; certified queries follow oldest-round
-    first; and corrupting a certified fingerprint auto-evicts the query
-    into the head."""
+    item 8, tightened per round-3 ADVICE): queries whose BEHAVIOR
+    changed this round — wrapper edits or edits to operator modules
+    they transitively use — must sit inside the driver's first-50
+    verification window; certified queries follow oldest-round first;
+    and corrupting a certified fingerprint auto-evicts the query into
+    the head."""
     from unilever_scraping_etl_spark.plans import certified, registry
 
     names = list(registry.spark_queries())
     window = set(names[:50])
     touched = {"sessionize_events", "stream_tumbling", "stream_running_totals",
-               "window_running_sum", "dedup_incremental", "tfidf_top_terms",
-               "dedup_embedding", "sim_topk_gemm", "dedup_embedding_lsh",
-               "dedup_simhash", "window_range_frame"}
+               "window_running_sum", "stream_sliding", "stream_session",
+               "stream_watermark", "stream_join", "stream_dedup",
+               "dedup_embedding_lsh"}
     assert touched <= window, f"missing from window: {touched - window}"
 
     rounds = [registry._cert_round(n) for n in names]
@@ -582,3 +584,60 @@ def test_export_order_evicts_modified_and_rotates_oldest(monkeypatch):
     rnd, _fp = certified.CERTIFIED[victim]
     monkeypatch.setitem(certified.CERTIFIED, victim, (rnd, "tampered"))
     assert victim in list(registry.spark_queries())[:50]      # auto-evicted
+
+
+def test_parse_bytes_handles_suffixed_conf_values():
+    """r3 ADVICE: Spark reports byte confs as the string they were set
+    with ('128m', '64MB', ...) — int() alone silently fell back to the
+    hard-coded default, overestimating split counts for users who
+    lowered maxPartitionBytes."""
+    from unilever_scraping_etl_spark.plans.registry import _parse_bytes
+
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("64MB") == 64 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("512k") == 512 << 10
+    assert _parse_bytes(None) == 128 << 20
+    assert _parse_bytes("garbage") == 128 << 20
+
+
+def test_adaptive_n_blocks_guards_statless_sources(spark):
+    """r3 ADVICE: a createDataFrame-backed frame has no stats, so
+    Catalyst reports defaultSizeInBytes (Long.MaxValue); the grid sizer
+    must treat that as 'unknown' and fall back to a partition-count
+    heuristic instead of returning max_blocks for tiny data."""
+    from unilever_scraping_etl_spark.operators.similarity import (
+        adaptive_n_blocks, plan_size_bytes)
+
+    local = spark.createDataFrame([(i, [0.1] * 8) for i in range(10)],
+                                  "id: long, v: array<float>")
+    assert plan_size_bytes(local) is None or plan_size_bytes(local) < (1 << 50)
+    got = adaptive_n_blocks(local, target_block_bytes=1024, max_blocks=64)
+    assert got < 64, "statless source must not max out the grid"
+
+
+def test_fingerprint_tracks_operator_module_sources(tmp_path, monkeypatch):
+    """r3 ADVICE medium: the certification fingerprint must move when an
+    operator/streaming module a query imports changes, not only when the
+    registered wrapper changes — otherwise an operator edit keeps a
+    stale certificate and skips external re-verification."""
+    from unilever_scraping_etl_spark.plans import registry
+
+    # stream_tumbling's wrapper imports ..streaming.windows — the dep
+    # scan must resolve that module.
+    spec = registry.QUERIES["stream_tumbling"]
+    import inspect
+    src = inspect.getsource(inspect.unwrap(spec.spark))
+    mods = registry._engine_module_files()
+    assert "windows" in registry._deps_of(src, mods)
+
+    # Changing the module body (here: a patched copy of the file map)
+    # must change the fingerprint.
+    before = registry._fingerprint(spec)
+    patched = tmp_path / "windows.py"
+    patched.write_text(open(mods["windows"]).read() + "\n# semantic edit\n")
+    monkeypatch.setattr(
+        registry, "_engine_module_files",
+        lambda m=dict(mods, windows=str(patched)): m)
+    assert registry._fingerprint(spec) != before

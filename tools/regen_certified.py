@@ -1,0 +1,170 @@
+"""Regenerate plans/certified.py from the external driver's CORRECTNESS
+history, honestly: a query is certified at round R only if
+
+  1. round R's CORRECTNESS_r0R.json has a green row for it (hash_match
+     true, or err == "no_oracle" with a non-null row count), and
+  2. the dependency-closure fingerprint (registry._fingerprint formula)
+     computed at the TREE THE DRIVER VERIFIED in round R equals the
+     fingerprint of the current tree — i.e. nothing the query's output
+     depends on has changed since the driver checked it.
+
+This retires the hand-curated exclusion list (r3 ADVICE): an edit to an
+operator/functions/streaming module between rounds automatically fails
+condition 2 for every dependent query, evicting it into the next
+verification window.
+
+Usage:  python tools/regen_certified.py r1=<sha> r2=<sha> r3=<sha>
+Writes plans/certified.py in place.
+
+The per-tree fingerprint computation runs in a subprocess with the
+extracted tree first on sys.path (the package name is identical across
+trees, so they must not share an interpreter). The formula below MUST
+stay in sync with registry._fingerprint.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import subprocess
+import sys
+import tempfile
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+# Self-contained fingerprint computation, injected into each tree's
+# subprocess. Mirrors registry._fingerprint / _engine_module_files /
+# _deps_of / _REGISTRY_HELPERS — keep in sync.
+FP_SCRIPT = r'''
+import hashlib, inspect, json, pathlib, re, sys
+
+root = pathlib.Path(sys.argv[1])
+sys.path.insert(0, str(root))
+from unilever_scraping_etl_spark.plans import registry
+
+pkg = root / "unilever_scraping_etl_spark"
+INFRA = {"schemas", "session"}
+mods = {}
+for d in ("operators", "functions", "sources", "streaming"):
+    p = pkg / d
+    if p.is_dir():
+        for f in sorted(p.glob("*.py")):
+            if f.stem != "__init__" and f.stem not in INFRA:
+                mods[f.stem] = f
+fx = pkg / "plans" / "fixtures.py"
+if fx.exists():
+    mods["fixtures"] = fx
+
+
+def deps_of(src):
+    out = set()
+    for m in mods:
+        if (re.search(rf"(?<![\w.]){re.escape(m)}\.[A-Za-z_]", src)
+                or re.search(rf"from\s+[.\w]*\b{re.escape(m)}\b\s+import", src)):
+            out.add(m)
+    return out
+
+
+def fp(spec):
+    src = inspect.getsource(inspect.unwrap(spec.spark))
+    for h in ("_spread", "_parse_bytes"):
+        helper = getattr(registry, h, None)
+        if helper is not None and f"{h}(" in src:
+            src += inspect.getsource(helper)
+    seen, mod_srcs = set(), {}
+    frontier = deps_of(src)
+    while frontier:
+        m = frontier.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        mod_srcs[m] = mods[m].read_text()
+        frontier |= deps_of(mod_srcs[m]) - seen
+    dep_part = "".join(
+        f"|{m}:{hashlib.md5(mod_srcs[m].encode()).hexdigest()}"
+        for m in sorted(mod_srcs))
+    return hashlib.md5(
+        ((spec.oracle or "") + src + dep_part).encode()).hexdigest()
+
+
+print(json.dumps({name: fp(spec) for name, spec in registry.QUERIES.items()}))
+'''
+
+
+def fingerprints_at(sha: str) -> dict[str, str]:
+    with tempfile.TemporaryDirectory() as td:
+        tree = pathlib.Path(td) / "tree"
+        tree.mkdir()
+        tar = subprocess.run(["git", "-C", str(REPO), "archive", sha],
+                             check=True, capture_output=True).stdout
+        subprocess.run(["tar", "-x", "-C", str(tree)], input=tar, check=True)
+        out = subprocess.run([sys.executable, "-c", FP_SCRIPT, str(tree)],
+                             check=True, capture_output=True, text=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def green_rows(path: pathlib.Path) -> set[str]:
+    rows = json.loads(path.read_text())
+    ok = set()
+    for name, r in rows.items():
+        if r.get("hash_match") is True:
+            ok.add(name)
+        elif r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
+            ok.add(name)
+    return ok
+
+
+def main() -> None:
+    shas = dict(a.split("=", 1) for a in sys.argv[1:])
+    rounds = sorted(int(k[1:]) for k in shas)
+    # Use the working tree (not HEAD) for "now": uncommitted edits count.
+    out = subprocess.run([sys.executable, "-c", FP_SCRIPT, str(REPO)],
+                         check=True, capture_output=True, text=True)
+    fp_now = json.loads(out.stdout.strip().splitlines()[-1])
+
+    certified: dict[str, tuple[int, str]] = {}
+    ever_green: set[str] = set()
+    for r in rounds:
+        fps = fingerprints_at(shas[f"r{r}"])
+        green = green_rows(REPO / f"CORRECTNESS_r{r:02d}.json")
+        ever_green |= green
+        for name in green:
+            if fps.get(name) == fp_now.get(name):
+                certified[name] = (r, fp_now[name])  # later rounds override
+
+    evicted = sorted(set(fp_now) - set(certified))
+    body = "\n".join(f'    "{n}": ({r}, "{f}"),'
+                     for n, (r, f) in sorted(certified.items()))
+    green_body = "\n".join(f'    "{n}",' for n in sorted(ever_green))
+    doc = (
+        '"""Certification ledger for the external correctness driver.\n'
+        "\n"
+        "GENERATED by tools/regen_certified.py — do not hand-edit entries.\n"
+        "Each entry maps a registered query name to (round_certified,\n"
+        "spec_fingerprint). The fingerprint (registry._fingerprint) hashes\n"
+        "the oracle SQL + the registered function's source + referenced\n"
+        "registry helpers + the source hashes of the query's transitive\n"
+        "operators/functions/sources/streaming module dependencies, so an\n"
+        "operator-module edit auto-evicts every dependent query back into\n"
+        "the verification window (r3 ADVICE) — no hand-curated exclusion\n"
+        "list. An entry exists only if the identical fingerprint was\n"
+        "verified green by the driver at that round's tree. Certified\n"
+        "entries export oldest-round-first so re-certification rotates\n"
+        "through the least-recently-checked block.\n"
+        "\n"
+        "EVER_GREEN lists every query the driver has verified green in ANY\n"
+        "round under ANY fingerprint — the export order puts never-verified\n"
+        "queries (brand-new, or rewritten wrappers) ahead of dep-evicted\n"
+        "ones, so a new query cannot be crowded out of the verification\n"
+        "window by a swarm of module-edit evictions.\n"
+        '"""\n')
+    (REPO / "unilever_scraping_etl_spark" / "plans" / "certified.py").write_text(
+        doc + "\nCERTIFIED: dict[str, tuple[int, str]] = {\n" + body + "\n}\n"
+        + "\nEVER_GREEN: frozenset[str] = frozenset({\n" + green_body + "\n})\n")
+    print(f"certified: {len(certified)}  evicted (head of window): "
+          f"{len(evicted)}")
+    print("evicted:", ", ".join(evicted))
+
+
+if __name__ == "__main__":
+    main()

@@ -414,7 +414,14 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str, vec_col: str,
             b = np.vstack(pdf["vb"].to_numpy()).astype("float64")
             a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
             b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-300)
-            cos = np.round(np.einsum("ij,ij->i", a, b), round_digits)
+            raw = np.einsum("ij,ij->i", a, b)
+            # Round HALF_UP (away from zero) like Spark's F.round — NOT
+            # np.round, whose IEEE half-to-even can keep/drop a boundary
+            # cosine differently from the exact companions
+            # (embedding_near_pairs / the grid GEMM), breaking the
+            # documented subset-of-exact relationship.
+            scale = 10.0 ** round_digits
+            cos = np.sign(raw) * np.floor(np.abs(raw) * scale + 0.5) / scale
             keep = cos >= threshold
             yield pd.DataFrame({
                 "id_a": pdf["id_a"].to_numpy()[keep].astype("int64"),

@@ -203,11 +203,36 @@ def adaptive_n_blocks(df: DataFrame, target_block_bytes: int = 64 << 20,
     vectors fit comfortably in an executor task. Below the threshold
     this returns 1 and the grid degenerates to the broadcast-equivalent
     single cell (test-pinned byte-identical to the broadcast GEMM);
-    above it the grid engages with shuffle O(N * n_blocks)."""
+    above it the grid engages with shuffle O(N * n_blocks).
+
+    Sources without stats report spark.sql.defaultSizeInBytes
+    (Long.MaxValue) — e.g. a createDataFrame/RDD-backed frame — and the
+    ``_jdf`` internals are absent under Spark Connect; both fall back to
+    a partition-count heuristic instead of silently maxing the grid."""
     import math
-    stats = df._jdf.queryExecution().optimizedPlan().stats()
-    size = int(stats.sizeInBytes())
+    size = plan_size_bytes(df)
+    if size is None:
+        # Unknown size: one block per ~2 scan partitions keeps cells
+        # task-sized without exploding tiny inputs into a full grid.
+        try:
+            nparts = df.rdd.getNumPartitions()
+        except Exception:
+            return 1
+        return max(1, min(max_blocks, math.ceil(nparts / 2)))
     return max(1, min(max_blocks, math.ceil(size / target_block_bytes)))
+
+
+def plan_size_bytes(df: DataFrame, sanity_cap: int = 1 << 50) -> int | None:
+    """Catalyst's optimized-plan size estimate, or None when the engine
+    has no real stats: missing-stat sources report defaultSizeInBytes
+    (Long.MaxValue — any value above ``sanity_cap`` ≈ 1 PiB is treated
+    as 'unknown', not 'huge') and Spark Connect has no ``_jdf``."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(stats.sizeInBytes())
+    except Exception:
+        return None
+    return size if 0 <= size < sanity_cap else None
 
 
 def hyperplane_band_buckets(n_bands: int, n_planes: int, dim: int = 64,

@@ -85,19 +85,39 @@ def _spread(df: DataFrame) -> DataFrame:
     import os
     if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
         return df
+    from ..operators.similarity import plan_size_bytes
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     # Estimate the scan's split count from Catalyst's byte stats (file
     # metadata — no job) instead of df.rdd.getNumPartitions(), which
     # builds the whole RDD lineage just to read a number (r2 verdict nit).
-    try:
-        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-    except Exception:
-        max_split = 128 * 1024 * 1024  # Spark default (or a "128MB" string)
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    max_split = _parse_bytes(spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "128m"))
+    size = plan_size_bytes(df)
+    if size is None:
+        # No real stats (non-file source / Spark Connect): fall back to
+        # the actual partition count rather than silently skipping.
+        nparts = df.rdd.getNumPartitions()
+        return df if nparts >= target else df.repartition(target)
     if math.ceil(size / max_split) >= target:
         return df
     return df.repartition(target)
+
+
+def _parse_bytes(v: str | None) -> int:
+    """Spark reports byte confs as the string they were set with —
+    '134217728', '128m', or '128MB' — so a bare int() silently loses a
+    user-lowered maxPartitionBytes to the except-fallback (r3 advice)."""
+    if not v:
+        return 128 * 1024 * 1024
+    s = v.strip().lower().removesuffix("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    try:
+        return int(s)
+    except ValueError:
+        return 128 * 1024 * 1024
 
 
 # ===========================================================================
@@ -1990,18 +2010,82 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (registration order), then certified queries oldest-round-first — so each
 # round's window re-checks whatever is least-recently certified.
 #
-# NOTE: the fingerprint covers the registered wrapper + oracle, not the
-# transitive sources of operator modules it calls. When an operator's
-# SEMANTICS change, update the wrapper's doc/args so the fingerprint moves;
-# pure-performance rewrites with pinned-identical output may keep their
-# certificate.
+# The fingerprint covers the registered wrapper + oracle PLUS the source
+# hashes of the engine modules the query (transitively) uses — so editing
+# an operator/functions/streaming module auto-evicts every dependent
+# query into the verification window, the same way a wrapper edit does
+# (r3 ADVICE: previously an operator-level semantic change left stale
+# certificates unless the exclusion list was curated by hand). schemas/
+# session are deliberately excluded: every query shares them, so a change
+# there cannot be rotated through a 50-query window — it is exercised by
+# whichever window runs.
+#
+# tools/regen_certified.py recomputes this formula at historical verified
+# trees; keep the two implementations in sync.
+
+_INFRA_EXCLUDE = {"schemas", "session"}
+
+
+def _engine_module_files() -> dict[str, str]:
+    """Module-stem -> file path for every non-infra engine module."""
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parent.parent
+    mods: dict[str, str] = {}
+    for pkg in ("operators", "functions", "sources", "streaming"):
+        d = root / pkg
+        if d.is_dir():
+            for p in sorted(d.glob("*.py")):
+                if p.stem != "__init__" and p.stem not in _INFRA_EXCLUDE:
+                    mods[p.stem] = str(p)
+    fx = root / "plans" / "fixtures.py"
+    if fx.exists():
+        mods["fixtures"] = str(fx)
+    return mods
+
+
+def _deps_of(src: str, mods: dict[str, str]) -> set[str]:
+    """Module stems referenced by ``src`` as ``mod.attr`` or via
+    ``from ...mod import``. Over-matching (a docstring citing
+    'functions/text.py') only evicts a query early — the safe
+    direction."""
+    import re
+    out = set()
+    for m in mods:
+        if (re.search(rf"(?<![\w.]){re.escape(m)}\.[A-Za-z_]", src)
+                or re.search(rf"from\s+[.\w]*\b{re.escape(m)}\b\s+import",
+                             src)):
+            out.add(m)
+    return out
+
+
+_REGISTRY_HELPERS = ("_spread", "_parse_bytes")
 
 
 def _fingerprint(spec: QuerySpec) -> str:
     import hashlib
     import inspect
+    import pathlib
+    mods = _engine_module_files()
     src = inspect.getsource(inspect.unwrap(spec.spark))
-    return hashlib.md5(((spec.oracle or "") + src).encode()).hexdigest()
+    for h in _REGISTRY_HELPERS:
+        if f"{h}(" in src:
+            src += inspect.getsource(globals()[h])
+    # transitive dep closure over module sources
+    seen: set[str] = set()
+    frontier = _deps_of(src, mods)
+    mod_srcs: dict[str, str] = {}
+    while frontier:
+        m = frontier.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        mod_srcs[m] = pathlib.Path(mods[m]).read_text()
+        frontier |= _deps_of(mod_srcs[m], mods) - seen
+    dep_part = "".join(
+        f"|{m}:{hashlib.md5(mod_srcs[m].encode()).hexdigest()}"
+        for m in sorted(mod_srcs))
+    return hashlib.md5(
+        ((spec.oracle or "") + src + dep_part).encode()).hexdigest()
 
 
 def _cert_round(name: str) -> int | None:
@@ -2013,8 +2097,16 @@ def _cert_round(name: str) -> int | None:
 
 
 def _ordered() -> dict[str, QuerySpec]:
+    from .certified import EVER_GREEN
     names = list(QUERIES)
-    head = [n for n in names if _cert_round(n) is None]
+    uncert = [n for n in names if _cert_round(n) is None]
+    # Never-externally-verified queries (brand-new or rewritten) outrank
+    # dep-evicted ones: a module edit can evict dozens of previously-green
+    # queries at once, and those have pinned-output tests backing them —
+    # a query with NO external green row ever must not be crowded out of
+    # the window by that swarm.
+    head = ([n for n in uncert if n not in EVER_GREEN]
+            + [n for n in uncert if n in EVER_GREEN])
     tail = sorted((n for n in names if _cert_round(n) is not None),
                   key=lambda n: (_cert_round(n), names.index(n)))
     return {n: QUERIES[n] for n in [*head, *tail]}
