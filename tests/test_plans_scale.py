@@ -641,3 +641,57 @@ def test_fingerprint_tracks_operator_module_sources(tmp_path, monkeypatch):
         registry, "_engine_module_files",
         lambda m=dict(mods, windows=str(patched)): m)
     assert registry._fingerprint(spec) != before
+
+
+def test_seq_pack_invariants(spark):
+    """Packing semantics: every doc in exactly one pack; pack token
+    totals never exceed budget + one doc's overrun; consecutive pack
+    ids per stream with no gaps."""
+    from unilever_scraping_etl_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    budget = 512
+    packs = pack_sequences(docs, budget=budget).collect()
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in packs) == n_docs
+    max_doc_tokens = docs.select(
+        F.size(F.split(F.lower("text"), " ")).alias("t")
+    ).agg(F.max("t")).collect()[0][0]
+    for r in packs:
+        assert r["pack_tokens"] < budget + max_doc_tokens
+    by_stream = {}
+    for r in packs:
+        by_stream.setdefault((r["lang"], r["stream"]), []).append(r["pack_id"])
+    for ids in by_stream.values():
+        assert sorted(ids) == list(range(len(ids)))   # dense, from 0
+
+
+def test_shard_positions_are_dense_permutation(spark):
+    from unilever_scraping_etl_spark.operators.packing import assign_shards
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = assign_shards(docs, n_shards=16).collect()
+    assert len(rows) == docs.count()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {shard}"
+
+
+def test_chunking_reassembles_and_has_no_shuffle(spark):
+    from unilever_scraping_etl_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    chunks = chunk_documents(docs, chunk_size=500)
+    assert "Exchange" not in _plan(chunks)            # pure narrow map
+    got = (chunks.groupBy("doc_id").agg(F.sum("chunk_len").alias("n"))
+           .collect())
+    want = {r["doc_id"]: r["n_chars"] for r in
+            docs.filter(F.col("n_chars") > 0).collect()}
+    assert {r["doc_id"]: r["n"] for r in got} == want
+
+
+def test_sample_per_group_uses_window_group_limit(spark):
+    plan = _plan(QUERIES["sample_per_group"].spark(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan

@@ -1994,6 +1994,100 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(stage("03_exact_deduped", s3)))
 
 
+# ===========================================================================
+# §2 addendum: corpus layout (packing / sharding / chunking / sampling)
+# ===========================================================================
+
+@q("seq_pack", """
+WITH t AS (
+    SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+    FROM documents),
+s AS (
+    SELECT lang, substr(h, 1, 1) AS stream, n_tok,
+           coalesce(sum(n_tok) OVER (
+               PARTITION BY lang, substr(h, 1, 1) ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS start
+    FROM t)
+SELECT lang, stream,
+       CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+FROM s GROUP BY lang, stream, pack_id
+""", doc="Greedy training-sequence packing: concatenate docs in "
+         "deterministic hash order, cut every 512 tokens; a doc belongs "
+         "to the pack its first token lands in (packs may overrun by one "
+         "doc tail — the streaming-friendly approximation, since exact "
+         "bin packing is sequential). Each lang subdivides into 16 "
+         "hash-prefix streams so the running-sum window is bounded and "
+         "parallel — at 100 TB widen the prefix, keep the plan. Integer "
+         "token sums only: bit-stable in any engine.")
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
+
+
+@q("shard_assign", """
+WITH t AS (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+s AS (
+    SELECT doc_id, h,
+           CAST((ascii(substr(h, 1, 1)) * 16 + ascii(substr(h, 2, 1))) % 16
+                AS BIGINT) AS shard_id
+    FROM t)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM s
+""", doc="Deterministic global shuffle for training order: shard = hash "
+         "bucket of the stable id, pos = rank of the hash within the "
+         "shard. Reading shards in pos order is a reproducible corpus "
+         "permutation with no RNG and no global sort — each shard ranks "
+         "an independent 1/16 slice, so the plan holds at any scale "
+         "(vs. ORDER BY rand(), which is neither stable nor resumable).")
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import assign_shards
+    return assign_shards(_t(spark, sf_dir, "documents"), n_shards=16)
+
+
+@q("doc_chunks", """
+SELECT doc_id, i AS chunk_id,
+       least(500, n_chars - i * 500) AS chunk_len
+FROM (SELECT doc_id, n_chars,
+             unnest(generate_series(0, (n_chars + 499) // 500 - 1)) AS i
+      FROM documents WHERE n_chars > 0)
+""", doc="Context-window chunking: split each doc into 500-char windows "
+         "(the training-context analog of the reference's page "
+         "pagination, scrap_tokopedia.py pagination loop). A pure "
+         "narrow map — per-row sequence explode, zero shuffle — one "
+         "scan at any corpus size. Empty docs produce no chunks.")
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import chunk_documents
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=500)
+
+
+@q("sample_per_group", """
+SELECT lang, doc_id, rn FROM (
+    SELECT lang, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS rn
+    FROM documents)
+WHERE rn <= 25
+""", doc="Deterministic per-group sample — the k smallest hash keys per "
+         "lang (eval-set carving: the same docs are chosen on every "
+         "run, engine, and cluster, unlike rand() sampling). Spark "
+         "plans the rank filter as WindowGroupLimit, so each partition "
+         "pre-trims to its local top-k before the shuffle — the full "
+         "group never lands on one task.")
+def sample_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import sample_per_group
+    return sample_per_group(_t(spark, sf_dir, "documents"),
+                            group_col="lang", id_col="doc_id", k=25)
+
+
 # Convenience exports ---------------------------------------------------------
 
 # ===========================================================================
