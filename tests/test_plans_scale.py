@@ -583,7 +583,16 @@ def test_export_order_evicts_modified_and_rotates_oldest(monkeypatch):
     victim = names[-1]                                        # a certified one
     rnd, _fp = certified.CERTIFIED[victim]
     monkeypatch.setitem(certified.CERTIFIED, victim, (rnd, "tampered"))
-    assert victim in list(registry.spark_queries())[:50]      # auto-evicted
+    after = list(registry.spark_queries())
+    # auto-evicted: no longer certified, ordered before every
+    # still-certified query (it may sit past the 50-window only when
+    # the uncertified block itself exceeds 50 — e.g. a module edit
+    # evicting dozens at once — in which case the window catches it on
+    # the following round's rotation).
+    assert registry._cert_round(victim) is None
+    first_certified = next(i for i, n in enumerate(after)
+                           if registry._cert_round(n) is not None)
+    assert after.index(victim) < first_certified
 
 
 def test_parse_bytes_handles_suffixed_conf_values():

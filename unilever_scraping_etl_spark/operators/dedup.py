@@ -499,15 +499,19 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     dedup surface is implicit in the (name, platform, createdate)
     snapshot key, SURVEY.md §1.1.)
 
-    Scale: each round is one shuffle join (edges ⋈ labels on the
-    neighbor key) + partial-agg min + one label update join. Rounds =
-    component diameter — near-dup graphs are clique-ish, so a handful.
-    Lineage is truncated with localCheckpoint each round (plans stay
-    O(1), not O(rounds)); convergence is one driver-side count per
-    round, the standard Pregel-style loop (cf. Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC 2014 — whose
-    large-star/small-star variant is the O(log d) upgrade path if
-    diameters ever grow).
+    Scale: each round is ONE job — a message-passing shuffle join
+    (edges ⋈ labels on the neighbor key) unioned with the nodes' own
+    labels into a single partial-agg min (no separate update join), a
+    LAZY localCheckpoint, and one combined (sum, count) action that
+    both materializes the checkpoint and detects convergence: labels
+    only ever decrease, so an unchanged exact sum over a constant node
+    set ⇔ no label changed — replacing the previous per-round eager
+    checkpoint job + changed-count job. The sum runs in DECIMAL(38,0)
+    so it cannot overflow at any node-count x id-magnitude. Rounds =
+    component diameter — near-dup graphs are clique-ish, so a handful
+    (cf. Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014 — whose large-star/small-star variant is the
+    O(log d) upgrade path if diameters ever grow).
     """
     sym = edges.select(F.col(src).cast("long").alias("a"),
                        F.col(dst).cast("long").alias("b"))
@@ -516,33 +520,31 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     sym = sym.localCheckpoint()  # reused every round — cut the upstream plan
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("component", F.col("node")))
-    changed = -1
+    prev_sum, converged = None, False
     for _ in range(max_iterations):
-        nbr_min = (sym.join(labels, sym["b"] == labels["node"])
-                   .groupBy("a").agg(F.min("component").alias("nbr")))
-        updated = (labels.join(nbr_min, labels["node"] == nbr_min["a"],
-                               "left")
-                   .select(labels["node"],
-                           F.least(labels["component"],
-                                   F.coalesce(F.col("nbr"),
-                                              labels["component"]))
-                            .alias("component"),
-                           (F.coalesce(F.col("nbr"), labels["component"])
-                            < labels["component"]).alias("changed")))
-        updated = updated.localCheckpoint()
-        changed = updated.filter("changed").count()
-        labels = updated.select("node", "component")
-        if changed == 0:
+        msgs = (sym.join(labels, sym["b"] == labels["node"])
+                .select(sym["a"].alias("node"), "component"))
+        new_labels = (labels.unionByName(msgs)
+                      .groupBy("node")
+                      .agg(F.min("component").alias("component")))
+        new_labels = new_labels.localCheckpoint(eager=False)
+        cur = tuple(new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")),
+            F.count(F.lit(1))).collect()[0])
+        labels = new_labels
+        if cur == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = cur
+    if not converged:
         # Unconverged labels are WRONG (a long-diameter chain merges
         # components only one hop per round); silent truncation would
         # yield incorrect duplicate clusters at scale with no signal.
         raise RuntimeError(
             f"connected_components did not converge within "
-            f"{max_iterations} iterations ({changed} labels still "
-            f"changing); raise max_iterations or use a large-star/"
-            f"small-star O(log d) variant for long-diameter graphs")
+            f"{max_iterations} iterations; raise max_iterations or use "
+            f"a large-star/small-star O(log d) variant for "
+            f"long-diameter graphs")
     return labels
 
 
