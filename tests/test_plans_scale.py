@@ -704,3 +704,21 @@ def test_chunking_reassembles_and_has_no_shuffle(spark):
 def test_sample_per_group_uses_window_group_limit(spark):
     plan = _plan(QUERIES["sample_per_group"].spark(spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan
+
+
+def test_tpch_q3_plan_take_ordered_and_pushdown(spark):
+    """Q3 analog: the top-10 must plan as TakeOrderedAndProject (no
+    global sort) and the selective filters must reach the scans."""
+    plan = _plan(QUERIES["shipping_priority_topn"].spark(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q5_broadcasts_dimensions(spark):
+    """Q5 analog: region/nation (and the nation-filtered customer side
+    at this scale) must broadcast — the 6-way join's only big shuffle
+    is the fact table's."""
+    plan = _plan(QUERIES["regional_supplier_volume"].spark(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
