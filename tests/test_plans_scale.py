@@ -722,3 +722,58 @@ def test_tpch_q5_broadcasts_dimensions(spark):
     plan = _plan(QUERIES["regional_supplier_volume"].spark(spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]),
+        min_size=1, max_size=40))
+    def test_connected_components_property_vs_union_find(edges):
+        """The one-job-per-round CC rewrite must agree with a reference
+        union-find on arbitrary small graphs (chains, cliques, forests,
+        self-symmetric duplicates) — min-id component labels exactly."""
+        from unilever_scraping_etl_spark.operators.dedup import \
+            connected_components
+        from unilever_scraping_etl_spark.session import get_session
+
+        spark = get_session("tests")
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["component"]
+               for r in connected_components(df, "id_a", "id_b").collect()}
+        assert got == _union_find_components(edges)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(1, 1 << 40),
+           st.sampled_from(["", "k", "K", "m", "M", "g", "G",
+                            "kb", "MB", "gB"]))
+    def test_parse_bytes_property(n, suffix):
+        from unilever_scraping_etl_spark.plans.registry import _parse_bytes
+
+        mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        want = n * mult[suffix.lower().removesuffix("b")]
+        assert _parse_bytes(f"{n}{suffix}") == want
+
+except ImportError:  # hypothesis is available in this container; belt+braces
+    pass
