@@ -329,3 +329,56 @@ def test_jdbc_read_options_partitioned_scan():
     assert (opts["lowerBound"], opts["upperBound"]) == ("0", "1000000")
     with pytest.raises(ValueError):
         ingest.jdbc_read_options(conn, "t", partition_column="id")
+
+
+def test_write_clustered_gives_skippable_row_group_stats(spark, tmp_path):
+    """write_clustered must produce files whose parquet min/max stats on
+    the cluster column are narrow and disjoint (the row-group-skipping
+    enabler at 100 TB) — vs a hash-shuffled write, where every file
+    spans ~the whole key range and no scan can skip anything."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from unilever_scraping_etl_spark.schemas import load_table
+    from unilever_scraping_etl_spark.sources.ingest import write_clustered
+
+    from .conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders") \
+        .select("o_orderkey", "o_totalprice")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    full_range = hi - lo
+
+    def file_ranges(path):
+        out = []
+        for f in (p for p in __import__("pathlib").Path(path).rglob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            for rg in range(md.num_row_groups):
+                col = next(md.row_group(rg).column(i)
+                           for i in range(md.row_group(rg).num_columns)
+                           if md.row_group(rg).column(i).path_in_schema
+                           == "o_orderkey")
+                out.append((col.statistics.min, col.statistics.max))
+        return out
+
+    clustered = str(tmp_path / "clustered")
+    write_clustered(orders, clustered, ["o_orderkey"], n_files=8)
+    spread = str(tmp_path / "spread")
+    orders.repartition(8, "o_totalprice").write.parquet(spread)
+
+    c_ranges = file_ranges(clustered)
+    s_ranges = file_ranges(spread)
+    assert len(c_ranges) >= 4
+    # clustered: every row group covers a narrow slice of the key space
+    assert max(mx - mn for mn, mx in c_ranges) < full_range * 0.5
+    # and slices are pairwise disjoint (range partitioning)
+    c_sorted = sorted(c_ranges)
+    assert all(a_max <= b_min for (_, a_max), (b_min, _)
+               in zip(c_sorted, c_sorted[1:]))
+    # hash-shuffled: every row group spans ~the whole range -> no skipping
+    assert min(mx - mn for mn, mx in s_ranges) > full_range * 0.8
+    # reader-side proof: a point-range filter on the clustered layout
+    # scans fewer rows than the table (parquet stats prune row groups)
+    df = spark.read.parquet(clustered).filter(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + full_range // 8))
+    assert df.count() < orders.count()

@@ -568,10 +568,14 @@ def test_export_order_evicts_modified_and_rotates_oldest(monkeypatch):
 
     names = list(registry.spark_queries())
     window = set(names[:50])
-    touched = {"sessionize_events", "stream_tumbling", "stream_running_totals",
-               "window_running_sum", "stream_sliding", "stream_session",
-               "stream_watermark", "stream_join", "stream_dedup",
-               "dedup_embedding_lsh"}
+    # The window guarantee covers tiers 1-2: never-verified queries and
+    # wrapper-level rewrites. Pure dep-module evictions (tier 3) have
+    # pinned-identical outputs and may wait a rotation when the head
+    # overflows 50.
+    never_green = {n for n in names if n not in certified.EVER_GREEN}
+    rewritten = {"sessionize_events", "stream_tumbling",
+                 "stream_running_totals", "window_running_sum"}
+    touched = never_green | rewritten
     assert touched <= window, f"missing from window: {touched - window}"
 
     rounds = [registry._cert_round(n) for n in names]
@@ -777,3 +781,28 @@ try:
 
 except ImportError:  # hypothesis is available in this container; belt+braces
     pass
+
+
+def test_dep_scan_ignores_docstring_citations():
+    """A comment or docstring citing 'sources/ingest.py' must NOT
+    create a fingerprint dependency edge — one unrelated module edit
+    would cascade into dozens of false certificate evictions. Only code
+    references (mod.attr, from-imports) count."""
+    from unilever_scraping_etl_spark.plans import registry
+
+    mods = registry._engine_module_files()
+    prose = '''
+def q(spark, sf):
+    """Docstring citing ingest.py and scalars.parse_rupiah in prose,
+    plus text.py and 'dedup.minhash' inside a string literal."""
+    # comment mentioning extraction.catalog_links(...)
+    return spark.range(1)
+'''
+    assert registry._deps_of(prose, mods) == set()
+
+    code = '''
+def q(spark, sf):
+    from ..operators.dedup import minhash_candidates
+    return scalars.parse_rupiah(F.col("x"))
+'''
+    assert registry._deps_of(code, mods) == {"dedup", "scalars"}

@@ -56,11 +56,29 @@ if fx.exists():
     mods["fixtures"] = fx
 
 
+def code_only(src):
+    import io, tokenize
+    lines = src.splitlines(keepends=True)
+    try:
+        for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+            if tok.type in (tokenize.COMMENT, tokenize.STRING):
+                (sr, sc), (er, ec) = tok.start, tok.end
+                for r in range(sr - 1, er):
+                    line = lines[r]
+                    a = sc if r == sr - 1 else 0
+                    b = ec if r == er - 1 else len(line)
+                    lines[r] = line[:a] + " " * (b - a) + line[b:]
+    except Exception:
+        return src
+    return "".join(lines)
+
+
 def deps_of(src):
+    code = code_only(src)
     out = set()
     for m in mods:
-        if (re.search(rf"(?<![\w.]){re.escape(m)}\.[A-Za-z_]", src)
-                or re.search(rf"from\s+[.\w]*\b{re.escape(m)}\b\s+import", src)):
+        if (re.search(rf"(?<![\w.]){re.escape(m)}\.[A-Za-z_]", code)
+                or re.search(rf"from\s+[.\w]*\b{re.escape(m)}\b\s+import", code)):
             out.add(m)
     return out
 
@@ -87,7 +105,13 @@ def fp(spec):
         ((spec.oracle or "") + src + dep_part).encode()).hexdigest()
 
 
-print(json.dumps({name: fp(spec) for name, spec in registry.QUERIES.items()}))
+def wrapper_fp(spec):
+    src = inspect.getsource(inspect.unwrap(spec.spark))
+    return hashlib.md5(((spec.oracle or "") + src).encode()).hexdigest()
+
+
+print(json.dumps({name: [fp(spec), wrapper_fp(spec)]
+                  for name, spec in registry.QUERIES.items()}))
 '''
 
 
@@ -124,18 +148,23 @@ def main() -> None:
 
     certified: dict[str, tuple[int, str]] = {}
     ever_green: set[str] = set()
+    last_green_wrapper: dict[str, str] = {}
     for r in rounds:
         fps = fingerprints_at(shas[f"r{r}"])
         green = green_rows(REPO / f"CORRECTNESS_r{r:02d}.json")
         ever_green |= green
         for name in green:
-            if fps.get(name) == fp_now.get(name):
-                certified[name] = (r, fp_now[name])  # later rounds override
+            if name in fps:
+                last_green_wrapper[name] = fps[name][1]  # later rounds win
+            if fps.get(name, [None])[0] == fp_now.get(name, [None, None])[0]:
+                certified[name] = (r, fp_now[name][0])  # later rounds override
 
     evicted = sorted(set(fp_now) - set(certified))
     body = "\n".join(f'    "{n}": ({r}, "{f}"),'
                      for n, (r, f) in sorted(certified.items()))
     green_body = "\n".join(f'    "{n}",' for n in sorted(ever_green))
+    wrapper_body = "\n".join(f'    "{n}": "{f}",'
+                             for n, f in sorted(last_green_wrapper.items()))
     doc = (
         '"""Certification ledger for the external correctness driver.\n'
         "\n"
@@ -153,14 +182,21 @@ def main() -> None:
         "through the least-recently-checked block.\n"
         "\n"
         "EVER_GREEN lists every query the driver has verified green in ANY\n"
-        "round under ANY fingerprint — the export order puts never-verified\n"
-        "queries (brand-new, or rewritten wrappers) ahead of dep-evicted\n"
-        "ones, so a new query cannot be crowded out of the verification\n"
-        "window by a swarm of module-edit evictions.\n"
+        "round under ANY fingerprint, and LAST_GREEN_WRAPPER_FP records the\n"
+        "wrapper-only fingerprint (oracle + registered source, no module\n"
+        "deps) each query had at its most recent green run. Export order\n"
+        "uses both: never-verified queries first, then evicted queries\n"
+        "whose wrapper itself was rewritten since last verified (true\n"
+        "semantic edits), then pure dep-evictions (module edits with\n"
+        "pinned-identical outputs), then certified oldest-first — so a\n"
+        "rewritten query cannot be crowded out of the verification window\n"
+        "by a swarm of module-edit evictions.\n"
         '"""\n')
     (REPO / "unilever_scraping_etl_spark" / "plans" / "certified.py").write_text(
         doc + "\nCERTIFIED: dict[str, tuple[int, str]] = {\n" + body + "\n}\n"
-        + "\nEVER_GREEN: frozenset[str] = frozenset({\n" + green_body + "\n})\n")
+        + "\nEVER_GREEN: frozenset[str] = frozenset({\n" + green_body + "\n})\n"
+        + "\nLAST_GREEN_WRAPPER_FP: dict[str, str] = {\n" + wrapper_body
+        + "\n}\n")
     print(f"certified: {len(certified)}  evicted (head of window): "
           f"{len(evicted)}")
     print("evicted:", ", ".join(evicted))

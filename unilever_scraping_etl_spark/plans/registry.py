@@ -2241,17 +2241,41 @@ def _engine_module_files() -> dict[str, str]:
     return mods
 
 
+def _code_only(src: str) -> str:
+    """Blank out comments and string literals (docstrings, oracle SQL)
+    so the dep scan sees only CODE references — a docstring citing
+    'sources/ingest.py' must not create a fingerprint edge, or one
+    unrelated module edit cascades into dozens of false evictions.
+    Spans are blanked in place (layout preserved) so the regexes in
+    :func:`_deps_of` work unchanged; on any tokenize hiccup the raw
+    text is scanned instead (over-matching only evicts early — safe)."""
+    import io
+    import tokenize
+    lines = src.splitlines(keepends=True)
+    try:
+        for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+            if tok.type in (tokenize.COMMENT, tokenize.STRING):
+                (sr, sc), (er, ec) = tok.start, tok.end
+                for r in range(sr - 1, er):
+                    line = lines[r]
+                    a = sc if r == sr - 1 else 0
+                    b = ec if r == er - 1 else len(line)
+                    lines[r] = line[:a] + " " * (b - a) + line[b:]
+    except Exception:
+        return src
+    return "".join(lines)
+
+
 def _deps_of(src: str, mods: dict[str, str]) -> set[str]:
-    """Module stems referenced by ``src`` as ``mod.attr`` or via
-    ``from ...mod import``. Over-matching (a docstring citing
-    'functions/text.py') only evicts a query early — the safe
-    direction."""
+    """Module stems referenced by ``src`` (code only — comments and
+    strings blanked) as ``mod.attr`` or via ``from ...mod import``."""
     import re
+    code = _code_only(src)
     out = set()
     for m in mods:
-        if (re.search(rf"(?<![\w.]){re.escape(m)}\.[A-Za-z_]", src)
+        if (re.search(rf"(?<![\w.]){re.escape(m)}\.[A-Za-z_]", code)
                 or re.search(rf"from\s+[.\w]*\b{re.escape(m)}\b\s+import",
-                             src)):
+                             code)):
             out.add(m)
     return out
 
@@ -2294,20 +2318,35 @@ def _cert_round(name: str) -> int | None:
     return None
 
 
+def _wrapper_fp(spec: QuerySpec) -> str:
+    """Wrapper-only fingerprint (oracle + registered source, no module
+    deps) — compared against certified.LAST_GREEN_WRAPPER_FP to tell a
+    true semantic rewrite from a pure dep-module eviction."""
+    import hashlib
+    import inspect
+    src = inspect.getsource(inspect.unwrap(spec.spark))
+    return hashlib.md5(((spec.oracle or "") + src).encode()).hexdigest()
+
+
 def _ordered() -> dict[str, QuerySpec]:
-    from .certified import EVER_GREEN
+    from .certified import EVER_GREEN, LAST_GREEN_WRAPPER_FP
     names = list(QUERIES)
     uncert = [n for n in names if _cert_round(n) is None]
-    # Never-externally-verified queries (brand-new or rewritten) outrank
-    # dep-evicted ones: a module edit can evict dozens of previously-green
-    # queries at once, and those have pinned-output tests backing them —
-    # a query with NO external green row ever must not be crowded out of
-    # the window by that swarm.
-    head = ([n for n in uncert if n not in EVER_GREEN]
-            + [n for n in uncert if n in EVER_GREEN])
+    # Verification-window priority within the uncertified head (the
+    # driver checks only the first 50): (1) never externally verified —
+    # brand-new queries; (2) wrapper/oracle text rewritten since last
+    # green — true semantic edits; (3) pure dep-module evictions, whose
+    # outputs are pinned identical by tests. A module edit can evict
+    # dozens at once; it must not crowd a genuine rewrite out of the
+    # window.
+    never = [n for n in uncert if n not in EVER_GREEN]
+    rewritten = [n for n in uncert if n in EVER_GREEN
+                 and LAST_GREEN_WRAPPER_FP.get(n) != _wrapper_fp(QUERIES[n])]
+    dep_evicted = [n for n in uncert if n in EVER_GREEN
+                   and n not in set(rewritten)]
     tail = sorted((n for n in names if _cert_round(n) is not None),
                   key=lambda n: (_cert_round(n), names.index(n)))
-    return {n: QUERIES[n] for n in [*head, *tail]}
+    return {n: QUERIES[n] for n in [*never, *rewritten, *dep_evicted, *tail]}
 
 
 def spark_queries() -> dict[str, SparkQuery]:

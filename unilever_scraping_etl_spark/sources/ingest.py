@@ -194,6 +194,28 @@ def upsert_snapshot(df: DataFrame, path: str) -> None:
        .partitionBy("createdate").parquet(path))
 
 
+def write_clustered(df: DataFrame, path: str, cluster_by: list[str],
+                    n_files: int | None = None) -> None:
+    """Data-clustered parquet write: globally range-partition on
+    ``cluster_by`` then sort within each output file, so every parquet
+    row group carries NARROW, largely-disjoint min/max stats on those
+    columns — the layout that lets a selective scan skip row groups and
+    whole files instead of reading 100 TB to answer a point/range query
+    (the same idea as Delta/Iceberg OPTIMIZE ZORDER for the
+    single-dimension-leading case; for true multi-dimensional locality
+    interleave a computed key and cluster on that).
+
+    ``repartitionByRange`` samples the data to pick balanced split
+    points (one shuffle), so file sizes stay even under skew;
+    ``sortWithinPartitions`` costs no extra shuffle. Readers need no
+    cooperation: parquet predicate pushdown uses the stats
+    automatically."""
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (df.repartitionByRange(n, *[F.col(c) for c in cluster_by])
+       .sortWithinPartitions(*cluster_by)
+       .write.mode("overwrite").parquet(path))
+
+
 def jdbc_options(conn: dict) -> tuple[str, dict[str, str]]:
     """S6 — connection-config source: the engine's form of the
     reference's create_url (unilever_scraping_pipeline.py:21-34, fed by
