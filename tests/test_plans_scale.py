@@ -806,3 +806,29 @@ def q(spark, sf):
     return scalars.parse_rupiah(F.col("x"))
 '''
     assert registry._deps_of(code, mods) == {"dedup", "scalars"}
+
+
+def test_minhash_hot_bucket_guard_caps_pairs_keeps_connectivity(spark):
+    """Duplicate-heavy corpora create LSH mega-buckets whose self-join
+    is quadratic (one 10k-doc template = 50M pairs in one reducer). With
+    max_bucket_size, oversized buckets star-link to the bucket min (O(N) edges, diameter 2) and a
+    downstream connected-components still recovers the full duplicate
+    cluster — connectivity is what dedup needs, not the clique."""
+    from unilever_scraping_etl_spark.operators.dedup import (
+        connected_components, minhash_candidates)
+
+    n_dupes = 60
+    template = "the same boilerplate product page text " * 20
+    dupes = spark.createDataFrame(
+        [(10_000 + i, template) for i in range(n_dupes)],
+        "doc_id long, text string")
+
+    uncapped = minhash_candidates(dupes, "doc_id", "text")
+    assert uncapped.count() == n_dupes * (n_dupes - 1) // 2  # quadratic
+
+    capped = minhash_candidates(dupes, "doc_id", "text", max_bucket_size=10)
+    n_edges = capped.count()
+    assert n_edges < 4 * n_dupes                 # O(N), one chain per band
+    comp = connected_components(capped, "id_a", "id_b")
+    assert comp.select("component").distinct().count() == 1   # still one cluster
+    assert comp.count() == n_dupes

@@ -67,12 +67,27 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 16, bands: int = 4,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """L2 — LSH banding: split the signature into ``bands`` bands of
     r = num_hashes/bands rows; docs sharing any band-hash are candidate
     near-dup pairs. The candidate join is an equi self-join on
     (band_id, band_hash) — a standard shuffle join, NEVER an O(n²)
-    cross — which is the whole point at 100 TB."""
+    cross — which is the whole point at 100 TB.
+
+    ``max_bucket_size`` is the hot-bucket guard for duplicate-heavy
+    corpora (boilerplate templates, mirrored pages): a bucket of N
+    near-identical docs otherwise emits N(N-1)/2 pairs — one 10k-doc
+    template is 50M pairs in ONE reducer, the quadratic blowup banding
+    exists to avoid. Buckets larger than the cap are STAR-LINKED
+    instead: every member links to the bucket's min id, emitting N-1
+    edges that preserve exactly the connectivity a downstream
+    connected-components clustering needs (the clique is recovered
+    transitively) at O(N) cost AND diameter 2 (a chain would hand the
+    label-propagation loop a diameter-N path — its worst case); per-
+    pair verifiers still apply edge-by-edge. Pair-level recall for
+    non-hub members of a capped bucket is traded away knowingly — for
+    DEDUP (cluster-then-keep-one) connectivity is the requirement."""
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     r = num_hashes // bands
     band_cols = F.array(*[
@@ -82,15 +97,32 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
     ])
     banded = (sig.select(F.col(id_col), F.explode(band_cols).alias("band_key"))
                  .select(id_col, "band_key.band", "band_key.bh"))
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (left.join(right, [F.col("l.band") == F.col("r.band"),
-                               F.col("l.bh") == F.col("r.bh"),
-                               F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
-                 .select(F.col(f"l.{id_col}").alias("id_a"),
-                         F.col(f"r.{id_col}").alias("id_b"))
-                 .distinct())
-    return pairs
+    if max_bucket_size is None:
+        left = banded.alias("l")
+        right = banded.alias("r")
+        return (left.join(right, [F.col("l.band") == F.col("r.band"),
+                                  F.col("l.bh") == F.col("r.bh"),
+                                  F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+                .select(F.col(f"l.{id_col}").alias("id_a"),
+                        F.col(f"r.{id_col}").alias("id_b"))
+                .distinct())
+    from pyspark.sql import Window
+    wb = Window.partitionBy("band", "bh")
+    sized = banded.withColumn("n_bucket", F.count(F.lit(1)).over(wb))
+    small = sized.filter(F.col("n_bucket") <= max_bucket_size) \
+                 .drop("n_bucket")
+    left = small.alias("l")
+    right = small.alias("r")
+    joined = (left.join(right, [F.col("l.band") == F.col("r.band"),
+                                F.col("l.bh") == F.col("r.bh"),
+                                F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+              .select(F.col(f"l.{id_col}").alias("id_a"),
+                      F.col(f"r.{id_col}").alias("id_b")))
+    hub = F.min(id_col).over(wb)
+    starred = (sized.filter(F.col("n_bucket") > max_bucket_size)
+               .select(hub.alias("id_a"), F.col(id_col).alias("id_b"))
+               .filter(F.col("id_a") != F.col("id_b")))
+    return joined.unionByName(starred).distinct()
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
