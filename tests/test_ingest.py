@@ -382,3 +382,56 @@ def test_write_clustered_gives_skippable_row_group_stats(spark, tmp_path):
     df = spark.read.parquet(clustered).filter(
         (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + full_range // 8))
     assert df.count() < orders.count()
+
+
+def test_zorder_clustering_bounds_both_dimensions(spark, tmp_path):
+    """Z-order + range-partitioned write must yield row groups whose
+    min/max stats are narrow on BOTH interleaved columns — a plain
+    single-column sort leaves the secondary column spanning ~the full
+    range in every file, so filters on it can never skip."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from unilever_scraping_etl_spark.schemas import load_table
+    from unilever_scraping_etl_spark.sources.ingest import (
+        with_zorder, write_clustered)
+
+    from .conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem") \
+        .select("l_partkey", "l_suppkey")
+    lo_p, hi_p, lo_s, hi_s = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey")).first()
+
+    def col_widths(path, col):
+        widths = []
+        for f in pathlib.Path(path).rglob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            for rg in range(md.num_row_groups):
+                stats = next(
+                    md.row_group(rg).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col)
+                widths.append(stats.max - stats.min)
+        return widths
+
+    zpath = str(tmp_path / "z")
+    write_clustered(with_zorder(li, ["l_partkey", "l_suppkey"]),
+                    zpath, ["zorder"], n_files=16)
+    spath = str(tmp_path / "s")
+    write_clustered(li, spath, ["l_partkey"], n_files=16)
+
+    def mean(xs):
+        return sum(xs) / len(xs)
+
+    # single-column sort: leading column clusters, secondary doesn't
+    assert mean(col_widths(spath, "l_partkey")) < (hi_p - lo_p) * 0.2
+    assert mean(col_widths(spath, "l_suppkey")) > (hi_s - lo_s) * 0.9
+    # z-order: BOTH columns' stats are materially narrower than full
+    # (a file straddling a top-bit flip of the Morton curve can span
+    # wide on one axis — the MEAN is the skip-rate proxy)
+    assert mean(col_widths(zpath, "l_partkey")) < (hi_p - lo_p) * 0.6
+    assert mean(col_widths(zpath, "l_suppkey")) < (hi_s - lo_s) * 0.5

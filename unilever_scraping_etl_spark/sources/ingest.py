@@ -216,6 +216,41 @@ def write_clustered(df: DataFrame, path: str, cluster_by: list[str],
        .write.mode("overwrite").parquet(path))
 
 
+def with_zorder(df: DataFrame, cols: list[str], bits: int = 16,
+                out_col: str = "zorder") -> DataFrame:
+    """Append a Z-order (Morton) key: each column linearly scales to a
+    ``bits``-bit integer and the bits interleave, so sorting by the key
+    clusters rows that are close in EVERY dimension —
+    ``write_clustered(with_zorder(df, [a, b]), path, ["zorder"])`` gives
+    row groups whose min/max stats are narrow on BOTH a and b, and a
+    selective filter on either column alone skips row groups (a
+    single-column sort only helps its leading column). This is the
+    expression-level form of Delta/Iceberg OPTIMIZE ZORDER.
+
+    Everything stays in whole-stage codegen: one broadcast one-row
+    min/max aggregate (no driver action) linearly rescales each column;
+    skewed distributions get uneven cells — the upgrade path is rank
+    normalization via pre-computed quantile boundaries, same interleave.
+    """
+    mins = [F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols]
+    maxs = [F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols]
+    bounds = df.agg(*mins, *maxs)
+    top = (1 << bits) - 1
+    out = df.crossJoin(F.broadcast(bounds))
+    z = F.lit(0).cast("long")
+    for k, c in enumerate(cols):
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        span = mx - mn
+        scaled = F.when(span <= 0, F.lit(0)).otherwise(
+            F.floor((F.col(c).cast("double") - mn) / span * top)).cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(F.shiftleft(
+                F.shiftright(scaled, i).bitwiseAND(F.lit(1)),
+                i * len(cols) + k))
+    return out.withColumn(out_col, z).drop(
+        *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols])
+
+
 def jdbc_options(conn: dict) -> tuple[str, dict[str, str]]:
     """S6 — connection-config source: the engine's form of the
     reference's create_url (unilever_scraping_pipeline.py:21-34, fed by
