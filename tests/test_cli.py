@@ -60,3 +60,30 @@ def test_build_fetcher_specs(tmp_path):
     assert isinstance(build_fetcher("http"), HttpFetcher)
     assert isinstance(build_fetcher("browser"), BrowserFetcher)
     assert isinstance(build_fetcher("auto"), FallbackFetcher)
+
+
+def test_cli_compact_zorder_roundtrip(spark, tmp_path, capsys):
+    """compact subcommand: rewrite a table z-ordered; row count survives
+    and the output carries the zorder column for later incremental
+    maintenance."""
+    import json
+
+    from unilever_scraping_etl_spark.__main__ import main
+    from unilever_scraping_etl_spark.schemas import load_table
+
+    from .conftest import SF_SMOKE
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF_SMOKE, "lineitem") \
+        .select("l_partkey", "l_suppkey", "l_quantity") \
+        .write.parquet(src)
+    out = str(tmp_path / "opt")
+    rc = main(["compact", "--in", src, "--out", out,
+               "--cluster-by", "l_partkey,l_suppkey", "--zorder",
+               "--files", "4"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["zorder"] is True
+    back = spark.read.parquet(out)
+    assert back.count() == spark.read.parquet(src).count()
+    assert "zorder" in back.columns

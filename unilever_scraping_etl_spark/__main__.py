@@ -64,6 +64,23 @@ def _parser() -> argparse.ArgumentParser:
                      help="politeness knob: fetch parallelism")
     run.add_argument("--master", default=None,
                      help="Spark master (default: inherit/local[*])")
+
+    comp = sub.add_parser(
+        "compact", help="rewrite a parquet table clustered for "
+                        "row-group skipping (OPTIMIZE-style maintenance)")
+    comp.add_argument("--in", dest="in_path", required=True,
+                      help="source parquet dir")
+    comp.add_argument("--out", required=True,
+                      help="destination parquet dir (overwritten)")
+    comp.add_argument("--cluster-by", required=True,
+                      help="comma-separated columns; >1 column with "
+                           "--zorder interleaves them into a Morton key")
+    comp.add_argument("--zorder", action="store_true",
+                      help="z-order the cluster columns instead of "
+                           "lexicographic sort")
+    comp.add_argument("--files", type=int, default=None,
+                      help="output file count (default: parallelism)")
+    comp.add_argument("--master", default=None)
     return p
 
 
@@ -78,6 +95,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.master:
         builder = builder.master(args.master)
     spark = builder.getOrCreate()
+
+    if args.cmd == "compact":
+        from .sources.ingest import with_zorder, write_clustered
+        df = spark.read.parquet(args.in_path)
+        cols = [c.strip() for c in args.cluster_by.split(",") if c.strip()]
+        if args.zorder:
+            df = with_zorder(df, cols)
+            cluster_cols = ["zorder"]
+        else:
+            cluster_cols = cols
+        write_clustered(df, args.out, cluster_cols, n_files=args.files)
+        print(json.dumps({"compacted": args.in_path, "out": args.out,
+                          "cluster_by": cols, "zorder": args.zorder,
+                          "rows": spark.read.parquet(args.out).count()},
+                         sort_keys=True))
+        return 0
 
     fetcher = build_fetcher(args.fetcher)
     shops = [s.strip() for s in args.shops.split(",") if s.strip()]
