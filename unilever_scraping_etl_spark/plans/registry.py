@@ -2088,6 +2088,47 @@ def sample_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                             group_col="lang", id_col="doc_id", k=25)
 
 
+@q("dedup_embedding_clusters", f"""
+WITH RECURSIVE
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+pairs AS (SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 4) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cos >= 0.4),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lab) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+SELECT emb.vec_id,
+       COALESCE(c.component, emb.vec_id) AS cluster_id,
+       (emb.vec_id = COALESCE(c.component, emb.vec_id)) AS is_canonical
+FROM embeddings emb LEFT JOIN comp c ON c.node = emb.vec_id
+""", doc="Semantic (embedding-space) dedup end-to-end: exact-cosine "
+         "near-pairs from the distributed grid GEMM feed connected "
+         "components, every vector gets its cluster id (singletons keep "
+         "their own), and the min-id member is canonical — the "
+         "embedding twin of the text-based dedup_clusters pipeline, "
+         "against the same recursive-CTE closure oracle. At 100 TB the "
+         "pair stage would swap in the hyperplane-LSH candidate "
+         "generator with the grid GEMM as verifier — identical "
+         "downstream clustering.")
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_pairs_grid(
+        emb, "vec_id", "embedding", threshold=0.4,
+        n_blocks=similarity.adaptive_n_blocks(emb)).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    return (emb.join(comp, emb["vec_id"] == comp["node"], "left")
+            .select(emb["vec_id"],
+                    F.coalesce("component", "vec_id").alias("cluster_id"))
+            .withColumn("is_canonical",
+                        F.col("vec_id") == F.col("cluster_id")))
+
+
 @q("shipping_priority_topn", """
 SELECT o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
