@@ -435,3 +435,21 @@ def test_zorder_clustering_bounds_both_dimensions(spark, tmp_path):
     # wide on one axis — the MEAN is the skip-rate proxy)
     assert mean(col_widths(zpath, "l_partkey")) < (hi_p - lo_p) * 0.6
     assert mean(col_widths(zpath, "l_suppkey")) < (hi_s - lo_s) * 0.5
+
+
+def test_zorder_clamps_bits_for_many_columns(spark):
+    """4+ columns at the default 16 bits would put the top interleaved
+    bit on the long's sign bit (largest cells sort FIRST) or wrap Java's
+    shift mod 64; bits must clamp so the key stays non-negative."""
+    from pyspark.sql import functions as F
+
+    from unilever_scraping_etl_spark.schemas import load_table
+    from unilever_scraping_etl_spark.sources.ingest import with_zorder
+
+    from .conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+    z = with_zorder(li, ["l_partkey", "l_suppkey", "l_linenumber",
+                         "l_quantity"])
+    assert z.agg(F.min("zorder")).first()[0] >= 0

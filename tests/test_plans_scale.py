@@ -690,6 +690,12 @@ def test_shard_positions_are_dense_permutation(spark):
         by_shard.setdefault(r["shard_id"], []).append(r["pos"])
     for shard, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {shard}"
+    # every shard must actually receive load (the ASCII-code hashing bug
+    # left shards 10-15 permanently empty while the oracle agreed)
+    assert set(by_shard) == set(range(16))
+    expected = len(rows) / 16
+    assert all(expected * 0.5 <= len(ps) <= expected * 1.5
+               for ps in by_shard.values()), "shard load skew > 50%"
 
 
 def test_chunking_reassembles_and_has_no_shuffle(spark):

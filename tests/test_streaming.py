@@ -228,3 +228,28 @@ def test_transform_with_state_gate_raises_cleanly(spark, events_stream_source):
     with pytest.raises(ImportError, match="protobuf"):
         streaming_sessionize(
             spark.readStream.schema(batch.schema).parquet(path))
+
+
+def test_running_totals_stream_tolerates_null_values(spark, tmp_path):
+    """NULL values arrive in the Arrow batch as NaN: the integer-micros
+    accumulator must skip them (matching batch F.sum's null-skipping)
+    instead of raising int(NaN); an all-null group pins to 0.0 on both
+    paths."""
+    from unilever_scraping_etl_spark.streaming.stateful import (
+        running_user_totals)
+
+    batch = spark.createDataFrame(
+        [(1, 1.5), (1, None), (2, None), (2, None), (3, 0.25)],
+        "user_id long, value double")
+    path = str(tmp_path / "null_events")
+    batch.write.parquet(path)
+    src = spark.readStream.schema(batch.schema).parquet(path)
+    q = (running_user_totals(src).writeStream.format("memory")
+         .queryName("t_null_state").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["n_events"], r["sum_value"])
+           for r in spark.table("t_null_state").collect()}
+    want = {r["user_id"]: (r["n_events"], r["sum_value"])
+            for r in running_user_totals(batch).collect()}
+    assert got == want == {1: (2, 1.5), 2: (2, 0.0), 3: (1, 0.25)}

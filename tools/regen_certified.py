@@ -83,8 +83,24 @@ def deps_of(src):
     return out
 
 
+def real_fn(f):
+    """Older trees' @q shim predates ``wrapped.__wrapped__ = fn``:
+    inspect.unwrap returns the generic 'def wrapped(...)' closure for
+    EVERY query there, which would hash the shim instead of the query —
+    silently voiding those rounds' certification evidence. Reach
+    through the closure to the registered function."""
+    f = inspect.unwrap(f)
+    while f.__name__ == "wrapped" and f.__closure__:
+        inner = [c.cell_contents for c in f.__closure__
+                 if callable(getattr(c, "cell_contents", None))]
+        if not inner:
+            break
+        f = inner[0]
+    return f
+
+
 def fp(spec):
-    src = inspect.getsource(inspect.unwrap(spec.spark))
+    src = inspect.getsource(real_fn(spec.spark))
     for h in ("_spread", "_parse_bytes"):
         helper = getattr(registry, h, None)
         if helper is not None and f"{h}(" in src:
@@ -106,7 +122,7 @@ def fp(spec):
 
 
 def wrapper_fp(spec):
-    src = inspect.getsource(inspect.unwrap(spec.spark))
+    src = inspect.getsource(real_fn(spec.spark))
     return hashlib.md5(((spec.oracle or "") + src).encode()).hexdigest()
 
 
@@ -154,9 +170,10 @@ def main() -> None:
         green = green_rows(REPO / f"CORRECTNESS_r{r:02d}.json")
         ever_green |= green
         for name in green:
-            if name in fps:
-                last_green_wrapper[name] = fps[name][1]  # later rounds win
-            if fps.get(name, [None])[0] == fp_now.get(name, [None, None])[0]:
+            if name not in fps or name not in fp_now:
+                continue  # renamed/removed query with a stale green row
+            last_green_wrapper[name] = fps[name][1]  # later rounds win
+            if fps[name][0] == fp_now[name][0]:
                 certified[name] = (r, fp_now[name][0])  # later rounds override
 
     evicted = sorted(set(fp_now) - set(certified))

@@ -447,13 +447,15 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str, vec_col: str,
             a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
             b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-300)
             raw = np.einsum("ij,ij->i", a, b)
-            # Round HALF_UP (away from zero) like Spark's F.round — NOT
-            # np.round, whose IEEE half-to-even can keep/drop a boundary
-            # cosine differently from the exact companions
-            # (embedding_near_pairs / the grid GEMM), breaking the
-            # documented subset-of-exact relationship.
-            scale = 10.0 ** round_digits
-            cos = np.sign(raw) * np.floor(np.abs(raw) * scale + 0.5) / scale
+            # np.round (IEEE half-even), matching the EXACT companion
+            # kernels this output must be a subset of: the grid GEMM
+            # (embedding_near_pairs_grid, the registered dedup_embedding
+            # path) and the broadcast GEMM both round with np.round in
+            # the same numpy float64 kernel family. Emulating Spark's
+            # F.round here instead would diverge from them on half-even
+            # ties — the subset-of-exact property is defined against the
+            # numpy kernels, not against F.round.
+            cos = np.round(raw, round_digits)
             keep = cos >= threshold
             yield pd.DataFrame({
                 "id_a": pdf["id_a"].to_numpy()[keep].astype("int64"),

@@ -64,17 +64,27 @@ def pack_sequences(docs: DataFrame, id_col: str = "doc_id",
                  F.sum("n_tok").alias("pack_tokens")))
 
 
+def hex_val(c: Column) -> Column:
+    """Value 0-15 of one lowercase hex char — via its position in the
+    hex alphabet, NOT its ASCII code: ``ascii('a') % 16`` style tricks
+    leave buckets 10-15 permanently empty and double-load 1-6, because
+    hex chars' ASCII codes (48-57, 97-102) don't cover Z/16."""
+    return F.instr(F.lit("0123456789abcdef"), c) - 1
+
+
 def assign_shards(docs: DataFrame, id_col: str = "doc_id",
                   n_shards: int = 16) -> DataFrame:
     """Deterministic global shuffle + sharding for training order:
     shard = hash-bucket of the id, position = rank of the hash within
     the shard. Reading shards in position order yields a reproducible
     corpus-wide permutation with no RNG and no global sort — each
-    shard's ranking window is an independent 1/n_shards slice.
+    shard's ranking window is an independent ~1/n_shards slice (the
+    first two hex chars of md5 are uniform over 0-255, so every shard
+    count <= 256 gets balanced load).
     """
     h = _key(F.col(id_col))
-    shard = ((F.ascii(F.substring(h, 1, 1)) * 16
-              + F.ascii(F.substring(h, 2, 1))) % n_shards)
+    shard = ((hex_val(F.substring(h, 1, 1)) * 16
+              + hex_val(F.substring(h, 2, 1))) % n_shards)
     w = Window.partitionBy("shard_id").orderBy("h", id_col)
     return (docs.select(F.col(id_col), h.alias("h"),
                         shard.cast("long").alias("shard_id"))

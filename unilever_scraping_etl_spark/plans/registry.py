@@ -906,8 +906,8 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("stream_running_totals", """
 SELECT user_id, count(*) AS n_events,
-       sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0
-           AS sum_value
+       coalesce(sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0,
+                0.0) AS sum_value
 FROM events GROUP BY user_id
 """, doc="ST5+ custom stateful operator (applyInPandasWithState): per-"
          "user running (count, sum) with one fixed-width state row per "
@@ -2033,7 +2033,8 @@ WITH t AS (
     SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
 s AS (
     SELECT doc_id, h,
-           CAST((ascii(substr(h, 1, 1)) * 16 + ascii(substr(h, 2, 1))) % 16
+           CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 16
                 AS BIGINT) AS shard_id
     FROM t)
 SELECT doc_id, shard_id,
@@ -2041,11 +2042,14 @@ SELECT doc_id, shard_id,
             AS BIGINT) AS pos
 FROM s
 """, doc="Deterministic global shuffle for training order: shard = hash "
-         "bucket of the stable id, pos = rank of the hash within the "
-         "shard. Reading shards in pos order is a reproducible corpus "
-         "permutation with no RNG and no global sort — each shard ranks "
-         "an independent 1/16 slice, so the plan holds at any scale "
-         "(vs. ORDER BY rand(), which is neither stable nor resumable).")
+         "bucket of the stable id (the VALUE of the first two hex chars "
+         "— uniform over 0-255 — not their ASCII codes, which skip "
+         "shards 10-15 and double-load 1-6), pos = rank of the hash "
+         "within the shard. Reading shards in pos order is a "
+         "reproducible corpus permutation with no RNG and no global "
+         "sort — each shard ranks an independent ~1/16 slice, so the "
+         "plan holds at any scale (vs. ORDER BY rand(), which is "
+         "neither stable nor resumable).")
 def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import assign_shards
     return assign_shards(_t(spark, sf_dir, "documents"), n_shards=16)
@@ -2265,6 +2269,10 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INFRA_EXCLUDE = {"schemas", "session"}
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _engine_module_files() -> dict[str, str]:
     """Module-stem -> file path for every non-infra engine module."""
     import pathlib
@@ -2323,12 +2331,31 @@ def _deps_of(src: str, mods: dict[str, str]) -> set[str]:
 
 _REGISTRY_HELPERS = ("_spread", "_parse_bytes")
 
+# Module sources are immutable within a process, and _ordered()/
+# _cert_round() fingerprint every query several times per listing —
+# uncached, each call re-reads and re-tokenizes the whole dep closure
+# (~0.4 s per spark_queries() call). Keyed by the module-file map so a
+# test that patches _engine_module_files still sees fresh hashes.
+_FP_CACHE: dict[tuple, str] = {}
+
+
+def _module_source(path: str) -> str:
+    import functools
+    import pathlib
+    if not hasattr(_module_source, "_cache"):
+        _module_source._cache = functools.lru_cache(maxsize=None)(
+            lambda p: pathlib.Path(p).read_text())
+    return _module_source._cache(path)
+
 
 def _fingerprint(spec: QuerySpec) -> str:
     import hashlib
     import inspect
-    import pathlib
     mods = _engine_module_files()
+    key = (spec.name, tuple(sorted(mods.items())))
+    cached = _FP_CACHE.get(key)
+    if cached is not None:
+        return cached
     src = inspect.getsource(inspect.unwrap(spec.spark))
     for h in _REGISTRY_HELPERS:
         if f"{h}(" in src:
@@ -2342,13 +2369,15 @@ def _fingerprint(spec: QuerySpec) -> str:
         if m in seen:
             continue
         seen.add(m)
-        mod_srcs[m] = pathlib.Path(mods[m]).read_text()
+        mod_srcs[m] = _module_source(mods[m])
         frontier |= _deps_of(mod_srcs[m], mods) - seen
     dep_part = "".join(
         f"|{m}:{hashlib.md5(mod_srcs[m].encode()).hexdigest()}"
         for m in sorted(mod_srcs))
-    return hashlib.md5(
+    fp = hashlib.md5(
         ((spec.oracle or "") + src + dep_part).encode()).hexdigest()
+    _FP_CACHE[key] = fp
+    return fp
 
 
 def _cert_round(name: str) -> int | None:

@@ -163,14 +163,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # µs-NTZ generation: read as TIMESTAMP (LTZ); with the session
-        # pinned to UTC the raw µs are epoch µs, matching DuckDB's
-        # naive-timestamp arithmetic bit for bit.
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
+            # NANOS generation, read as raw nanos: truncate to µs.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # µs-NTZ generation: reinterpret the naive value as UTC —
+            # with the session pinned to UTC this matches DuckDB's
+            # naive-timestamp arithmetic bit for bit, and downstream
+            # ts.cast('long') (illegal on NTZ under ANSI) works.
             df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

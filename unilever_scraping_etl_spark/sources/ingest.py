@@ -231,7 +231,18 @@ def with_zorder(df: DataFrame, cols: list[str], bits: int = 16,
     min/max aggregate (no driver action) linearly rescales each column;
     skewed distributions get uneven cells — the upgrade path is rank
     normalization via pre-computed quantile boundaries, same interleave.
+
+    ``bits`` is clamped so bits*len(cols) <= 63: bit 63 is the long's
+    sign bit (a 4-col x 16-bit key would sort its largest cells FIRST),
+    and Java's ``<<`` wraps shifts mod 64 (5+ cols would silently OR
+    high bits onto low positions). The clamp trades per-column
+    resolution for correctness automatically — 63 // len(cols) bits
+    per column is still 15 bits for 4 columns.
     """
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"zorder supports at most 63 columns, got "
+                         f"{len(cols)}")
     mins = [F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols]
     maxs = [F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols]
     bounds = df.agg(*mins, *maxs)

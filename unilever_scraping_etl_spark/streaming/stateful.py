@@ -49,11 +49,16 @@ def running_user_totals(events: DataFrame, key_col: str = "user_id",
         # addition is exact and commutative, so the batch result is
         # bit-stable across runs/partitionings and equals the streaming
         # path's accumulator exactly.
+        # coalesce: a group whose values are ALL null sums to NULL in
+        # SQL but to 0 in the streaming integer accumulator — pin both
+        # paths to 0 so they agree exactly.
         return (events.groupBy(key_col)
                 .agg(F.count(F.lit(1)).alias("n_events"),
-                     (F.sum(F.floor(F.col(value_col) * 1000000)
-                             .cast("decimal(38,0)"))
-                       .cast("double") / F.lit(1000000.0)).alias("sum_value"))
+                     F.coalesce(
+                         F.sum(F.floor(F.col(value_col) * 1000000)
+                                .cast("decimal(38,0)"))
+                          .cast("double") / F.lit(1000000.0),
+                         F.lit(0.0)).alias("sum_value"))
                 .select(F.col(key_col).alias("user_id"), "n_events", "sum_value"))
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -64,9 +69,12 @@ def running_user_totals(events: DataFrame, key_col: str = "user_id",
             n += len(pdf)
             # np.floor on float64 == SQL floor on DOUBLE: same IEEE op,
             # so the streaming accumulator matches the batch plan's
-            # integer sum bit for bit.
-            s_micros += int(np.floor(pdf[value_col].to_numpy()
-                                     * 1000000.0).sum())
+            # integer sum bit for bit. NULL values arrive as NaN — the
+            # batch F.sum skips them (contributes 0), so mask them out
+            # here too instead of letting int(NaN) raise.
+            v = pdf[value_col].to_numpy(dtype="float64")
+            v = v[~np.isnan(v)]
+            s_micros += int(np.floor(v * 1000000.0).sum())
         state.update((n, s_micros))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                             "sum_value": [s_micros / 1000000.0]})
@@ -150,8 +158,12 @@ def streaming_sessionize(events: DataFrame, gap_sec: int = 1800,
             # tz-aware and tz-naive ts both normalize to epoch seconds
             secs = (pd.to_datetime(pdf[ts_col], utc=True)
                     .astype("int64") // 1_000_000_000).to_numpy()
-            vals = np.floor(pdf[value_col].to_numpy()
-                            * 1000000.0).astype("int64")
+            # NULL values arrive as NaN: np.floor(NaN).astype(int64)
+            # silently yields INT64_MIN, corrupting the session total —
+            # treat them as 0 contribution like the batch F.sum does.
+            raw = pdf[value_col].to_numpy(dtype="float64")
+            vals = np.where(np.isnan(raw), 0.0,
+                            np.floor(raw * 1000000.0)).astype("int64")
             if self._open.exists():
                 start, last, n, v = self._open.get()
             else:
