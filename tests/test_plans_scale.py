@@ -838,3 +838,34 @@ def test_minhash_hot_bucket_guard_caps_pairs_keeps_connectivity(spark):
     comp = connected_components(capped, "id_a", "id_b")
     assert comp.select("component").distinct().count() == 1   # still one cluster
     assert comp.count() == n_dupes
+
+
+def test_asof_join_nearest_and_tolerance(spark):
+    """nearest direction picks the closer of backward/forward (ties ->
+    backward, the pandas convention); tolerance voids distant matches;
+    integer time columns use the raw-long path."""
+    from unilever_scraping_etl_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 50, "b"), (1, 100, "c"), (1, 200, "d"),
+         (2, 5, "e")],
+        "k long, t long, lid string")
+    right = spark.createDataFrame(
+        [(1, 8, 1.0), (1, 40, 2.0), (1, 60, 3.0), (1, 105, 4.0)],
+        "k long, t long, rv double")
+
+    got = {r["lid"]: (r["t_r_us"], r["rv"])
+           for r in asof_join(left, right, ["k"], "t", ["lid"], ["rv"],
+                              direction="nearest").collect()}
+    assert got == {"a": (8, 1.0),     # 10: back 8 (d2) beats fwd 40 (d30)
+                   "b": (40, 2.0),    # 50: d10 tie -> backward
+                   "c": (105, 4.0),   # 100: fwd 105 (d5) beats back 60
+                   "d": (105, 4.0),   # 200: only backward exists
+                   "e": (None, None)}  # key 2: no right rows at all
+
+    tol = {r["lid"]: r["t_r_us"]
+           for r in asof_join(left, right, ["k"], "t", ["lid"], ["rv"],
+                              direction="nearest",
+                              tolerance_sec=10 / 1_000_000).collect()}
+    # tolerance is in seconds over the µs axis; 10 raw units here
+    assert tol == {"a": 8, "b": 40, "c": 105, "d": None, "e": None}

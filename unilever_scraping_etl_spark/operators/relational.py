@@ -116,3 +116,92 @@ def page_sequence(spark, base_url: str, last_page: int) -> DataFrame:
     return (spark.range(1, last_page + 1).withColumnRenamed("id", "page")
             .withColumn("page", F.col("page").cast("int"))
             .withColumn("url", page_url(F.lit(base_url), F.col("page"))))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              ts_col: str, left_cols: list[str], right_cols: list[str],
+              direction: str = "backward",
+              tolerance_sec: int | None = None) -> DataFrame:
+    """General two-table as-of join (pandas merge_asof / kdb aj / DuckDB
+    ASOF JOIN semantics): for every left row, attach the single right
+    row per key with the greatest right.ts <= left.ts (``backward``),
+    the smallest right.ts >= left.ts (``forward``), or whichever is
+    closer in time (``nearest``, ties -> backward, the pandas
+    convention). Unmatched left rows keep NULL right columns (left
+    outer); ``tolerance_sec`` voids matches further than the bound.
+
+    Scale shape: NOT a join at all — both tables union into one stream
+    tagged by side, ONE shuffle on the key sorts it by (ts, side), and
+    ``last(..., ignorenulls)`` / ``first(..., ignorenulls)`` window
+    frames carry the prevailing right row onto each left row. A
+    range-join formulation shuffles both tables too but then pays a
+    per-key sort-merge with inequality fan-out (and naive forms explode
+    to |L|x|R| per key); the union form's cost is exactly one sort of
+    |L|+|R| rows per key, the optimal as-of shape at 100 TB. Right rows
+    must be unique per (key, ts) — pre-aggregate otherwise (the
+    tie-winner would be nondeterministic in ANY engine, DuckDB ASOF
+    included).
+
+    Returns left's ``on`` + ts (epoch µs, ``<ts_col>_us``) + left_cols,
+    plus each right col and the matched right timestamp
+    (``<ts_col>_r_us``). Matching compares FULL-microsecond epoch
+    values — truncating to seconds would disagree with an exact engine
+    (DuckDB ASOF) whenever two events share a second.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, "
+                         f"got {direction!r}")
+
+    def us(df: DataFrame) -> Column:
+        t = dict(df.dtypes)[ts_col]
+        return (F.unix_micros(F.col(ts_col)) if t.startswith("timestamp")
+                else F.col(ts_col).cast("long"))
+
+    rv = F.struct(us(right).alias("__rus"),
+                  *[F.col(c) for c in right_cols]).alias("__rv")
+    lv = F.struct(*[F.col(c) for c in left_cols]).alias("__lv")
+    rtype = right.select(rv).schema[0].dataType
+    ltype = left.select(lv).schema[0].dataType
+    # side tag orders equal-ts rows so the frame boundary implements
+    # <= / >= exactly: backward wants same-ts right rows BEFORE the
+    # left row (tag r=0 < l=1), forward wants them AFTER (reversed).
+    lval = left.select(*on, us(left).alias("__us"), F.lit(1).alias("__left"),
+                       lv, F.lit(None).cast(rtype).alias("__rv"))
+    rval = right.select(*on, us(right).alias("__us"), F.lit(0).alias("__left"),
+                        F.lit(None).cast(ltype).alias("__lv"), rv)
+    u = lval.unionByName(rval)
+    back_tag = F.when(F.col("__left") == 1, 1).otherwise(0)
+    wb = (Window.partitionBy(*on).orderBy("__us", back_tag.asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    fwd_tag = F.when(F.col("__left") == 1, 0).otherwise(1)
+    wf = (Window.partitionBy(*on).orderBy("__us", fwd_tag.asc())
+          .rowsBetween(0, Window.unboundedFollowing))
+    carried = u
+    if direction in ("backward", "nearest"):
+        carried = carried.withColumn(
+            "__back", F.last("__rv", ignorenulls=True).over(wb))
+    if direction in ("forward", "nearest"):
+        carried = carried.withColumn(
+            "__fwd", F.first("__rv", ignorenulls=True).over(wf))
+    if direction == "backward":
+        match = F.col("__back")
+    elif direction == "forward":
+        match = F.col("__fwd")
+    else:
+        d_back = F.col("__us") - F.col("__back.__rus")
+        d_fwd = F.col("__fwd.__rus") - F.col("__us")
+        match = (F.when(F.col("__back").isNull(), F.col("__fwd"))
+                  .when(F.col("__fwd").isNull(), F.col("__back"))
+                  .when(d_fwd < d_back, F.col("__fwd"))
+                  .otherwise(F.col("__back")))       # tie -> backward
+    if tolerance_sec is not None:
+        match = F.when(
+            F.abs(F.col("__us") - match["__rus"])
+            <= tolerance_sec * 1_000_000,
+            match)
+    return (carried.filter(F.col("__left") == 1)
+            .withColumn("__m", match)
+            .select(*on, F.col("__us").alias(f"{ts_col}_us"),
+                    *[F.col(f"__lv.{c}").alias(c) for c in left_cols],
+                    F.col("__m.__rus").alias(f"{ts_col}_r_us"),
+                    *[F.col(f"__m.{c}").alias(c) for c in right_cols]))

@@ -2092,6 +2092,71 @@ def sample_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                             group_col="lang", id_col="doc_id", k=25)
 
 
+_ASOF_CTES = """
+clicks AS (SELECT event_id AS click_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, arg_max(value, event_id) AS purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+"""
+
+
+def _asof_event_frames(spark: SparkSession, sf_dir: str):
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.max_by("value", "event_id").alias("purchase_value")))
+    return clicks, purch
+
+
+@q("asof_join_backward", f"""
+WITH {_ASOF_CTES}
+SELECT c.user_id,
+       epoch_us(c.ts) AS ts_us,
+       c.click_id,
+       epoch_us(p.ts) AS ts_r_us,
+       p.purchase_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""", doc="J7+ general two-table as-of join, backward direction: every "
+         "click gets the user's most recent at-or-before purchase "
+         "(pandas merge_asof / kdb aj semantics; oracle is DuckDB's "
+         "native ASOF JOIN). The plan is NOT a join: both tables union "
+         "into one key-sharded stream and a last(ignorenulls) frame "
+         "carries the prevailing purchase onto each click — one "
+         "shuffle of |L|+|R| rows, no inequality fan-out, the optimal "
+         "as-of shape at 100 TB. Matching compares full-microsecond "
+         "epochs; the right side is pre-deduped per (user, ts) so the "
+         "tie winner is deterministic in both engines.")
+def asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks, purch = _asof_event_frames(spark, sf_dir)
+    return relational.asof_join(clicks, purch, ["user_id"], "ts",
+                                ["click_id"], ["purchase_value"],
+                                direction="backward")
+
+
+@q("asof_join_forward", f"""
+WITH {_ASOF_CTES}
+SELECT c.user_id,
+       epoch_us(c.ts) AS ts_us,
+       c.click_id,
+       epoch_us(p.ts) AS ts_r_us,
+       p.purchase_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+""", doc="J7+ as-of join, forward direction: every click gets the "
+         "user's next at-or-after purchase — the conversion-attribution "
+         "query. Same union+window single-shuffle plan as the backward "
+         "form with a first(ignorenulls) forward frame; oracle is "
+         "DuckDB ASOF JOIN with the inequality flipped.")
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks, purch = _asof_event_frames(spark, sf_dir)
+    return relational.asof_join(clicks, purch, ["user_id"], "ts",
+                                ["click_id"], ["purchase_value"],
+                                direction="forward")
+
+
 @q("dedup_embedding_clusters", f"""
 WITH RECURSIVE
 v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
