@@ -167,8 +167,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     # left row (tag r=0 < l=1), forward wants them AFTER (reversed).
     lval = left.select(*on, us(left).alias("__us"), F.lit(1).alias("__left"),
                        lv, F.lit(None).cast(rtype).alias("__rv"))
-    rval = right.select(*on, us(right).alias("__us"), F.lit(0).alias("__left"),
-                        F.lit(None).cast(ltype).alias("__lv"), rv)
+    rval = (right.select(*on, us(right).alias("__us"),
+                         F.lit(0).alias("__left"),
+                         F.lit(None).cast(ltype).alias("__lv"), rv)
+            # a null-ts right row would sort NULLS FIRST and its
+            # non-null struct would be carried into every left row —
+            # it can never be a valid as-of match, so drop it here
+            .filter(F.col("__us").isNotNull()))
     u = lval.unionByName(rval)
     back_tag = F.when(F.col("__left") == 1, 1).otherwise(0)
     wb = (Window.partitionBy(*on).orderBy("__us", back_tag.asc())

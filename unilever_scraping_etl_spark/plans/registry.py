@@ -2092,6 +2092,35 @@ def sample_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                             group_col="lang", id_col="doc_id", k=25)
 
 
+@q("agg_histogram", """
+SELECT event_type,
+       CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0
+           AS bucket_value
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type, bucket
+""", doc="A4+ fixed-width histogram per event type (25-unit bins): the "
+         "distribution primitive dashboards and data-quality monitors "
+         "run over every metric column. floor(value/25) is a pure IEEE "
+         "op (bin edges identical in any engine — width_bucket-style "
+         "rank binning would need a per-engine quantile pass), and the "
+         "per-bucket value mass uses the integer-micros sum, so the "
+         "whole result is bit-stable. One partial-agg shuffle at any "
+         "scale.")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .groupBy("event_type",
+                     F.floor(F.col("value") / 25.0).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.floor(F.col("value") * 1000000)
+                         .cast("decimal(38,0)"))
+                   .cast("double") / F.lit(1000000.0))
+                 .alias("bucket_value")))
+
+
 _ASOF_CTES = """
 clicks AS (SELECT event_id AS click_id, user_id, ts FROM events
            WHERE event_type = 'click'),
