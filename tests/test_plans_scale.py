@@ -866,6 +866,30 @@ def test_asof_join_nearest_and_tolerance(spark):
     tol = {r["lid"]: r["t_r_us"]
            for r in asof_join(left, right, ["k"], "t", ["lid"], ["rv"],
                               direction="nearest",
-                              tolerance_sec=10 / 1_000_000).collect()}
-    # tolerance is in seconds over the µs axis; 10 raw units here
+                              tolerance_sec=10).collect()}
+    # integer time column -> tolerance is in RAW units (10 ticks)
     assert tol == {"a": 8, "b": 40, "c": 105, "d": None, "e": None}
+
+
+def test_asof_join_null_keys_and_timestamps_stay_unmatched(spark):
+    """SQL comparison semantics: a NULL never satisfies <=/>=/=, so
+    NULL-ts left rows and NULL-key rows on either side must not match
+    (pandas merge_asof and DuckDB ASOF agree) — but left rows survive,
+    left-outer style."""
+    from unilever_scraping_etl_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, "null_ts"), (None, 100, "null_key"), (1, 100, "ok")],
+        "k long, t long, lid string")
+    right = spark.createDataFrame(
+        [(1, 50, 1.0), (None, 50, 9.0), (1, None, 8.0)],
+        "k long, t long, rv double")
+    for direction in ("backward", "forward", "nearest"):
+        got = {r["lid"]: r["rv"]
+               for r in asof_join(left, right, ["k"], "t", ["lid"], ["rv"],
+                                  direction=direction).collect()}
+        assert set(got) == {"null_ts", "null_key", "ok"}, direction
+        assert got["null_ts"] is None, direction
+        assert got["null_key"] is None, direction
+        expected_ok = 1.0 if direction != "forward" else None
+        assert got["ok"] == expected_ok, direction

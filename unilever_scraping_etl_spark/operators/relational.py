@@ -121,14 +121,19 @@ def page_sequence(spark, base_url: str, last_page: int) -> DataFrame:
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               ts_col: str, left_cols: list[str], right_cols: list[str],
               direction: str = "backward",
-              tolerance_sec: int | None = None) -> DataFrame:
+              tolerance_sec: float | None = None) -> DataFrame:
     """General two-table as-of join (pandas merge_asof / kdb aj / DuckDB
     ASOF JOIN semantics): for every left row, attach the single right
     row per key with the greatest right.ts <= left.ts (``backward``),
     the smallest right.ts >= left.ts (``forward``), or whichever is
     closer in time (``nearest``, ties -> backward, the pandas
     convention). Unmatched left rows keep NULL right columns (left
-    outer); ``tolerance_sec`` voids matches further than the bound.
+    outer); ``tolerance_sec`` voids matches further than the bound
+    (seconds when ``ts_col`` is a timestamp; RAW UNITS when it is an
+    integer column — the operator cannot know what an integer tick
+    means). NULL-ts and NULL-key left rows stay unmatched, mirroring
+    SQL comparison semantics (a NULL never satisfies <=/>=/=) — pandas
+    merge_asof and DuckDB ASOF agree.
 
     Scale shape: NOT a join at all — both tables union into one stream
     tagged by side, ONE shuffle on the key sorts it by (ts, side), and
@@ -170,10 +175,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     rval = (right.select(*on, us(right).alias("__us"),
                          F.lit(0).alias("__left"),
                          F.lit(None).cast(ltype).alias("__lv"), rv)
-            # a null-ts right row would sort NULLS FIRST and its
-            # non-null struct would be carried into every left row —
-            # it can never be a valid as-of match, so drop it here
+            # a null-ts or null-key right row can never be a valid
+            # as-of match (NULL satisfies no comparison); unfiltered it
+            # would sort NULLS FIRST and its non-null struct would be
+            # carried into every left row of its partition
             .filter(F.col("__us").isNotNull()))
+    for c in on:
+        rval = rval.filter(F.col(c).isNotNull())
     u = lval.unionByName(rval)
     back_tag = F.when(F.col("__left") == 1, 1).otherwise(0)
     wb = (Window.partitionBy(*on).orderBy("__us", back_tag.asc())
@@ -200,10 +208,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
                   .when(d_fwd < d_back, F.col("__fwd"))
                   .otherwise(F.col("__back")))       # tie -> backward
     if tolerance_sec is not None:
+        # seconds for timestamp columns (matching axis is epoch µs);
+        # raw units for integer time columns
+        unit = (1_000_000 if dict(left.dtypes)[ts_col].startswith("timestamp")
+                else 1)
         match = F.when(
             F.abs(F.col("__us") - match["__rus"])
-            <= tolerance_sec * 1_000_000,
+            <= tolerance_sec * unit,
             match)
+    # a NULL-ts or NULL-key left row matches nothing (SQL comparison
+    # semantics) — but the row itself survives, left-outer style
+    null_left = F.col("__us").isNull()
+    for c in on:
+        null_left = null_left | F.col(c).isNull()
+    match = F.when(null_left, F.lit(None).cast(rtype)).otherwise(match)
     return (carried.filter(F.col("__left") == 1)
             .withColumn("__m", match)
             .select(*on, F.col("__us").alias(f"{ts_col}_us"),
