@@ -2121,6 +2121,85 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("bucket_value")))
 
 
+@q("user_activity", """
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY day)
+SELECT strftime(day, '%Y-%m-%d') AS day, dau, n_events,
+       CAST(sum(n_events) OVER (ORDER BY day
+                                RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+           AS events_7d
+FROM d
+""", doc="DAU + trailing-7-day event volume — the engagement query "
+         "every event pipeline serves. Day-level pre-aggregation "
+         "first (one partial-agg shuffle over the corpus), THEN the "
+         "range-frame window runs over the tiny day table — at 100 TB "
+         "the window sees thousands of rows, not trillions; a "
+         "range frame directly over raw events would sort the world. "
+         "All counts are integers: nothing to drift cross-engine.")
+def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.countDistinct("user_id").alias("dau"),
+                  F.count(F.lit(1)).alias("n_events")))
+    w = (Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+         .rangeBetween(-6 * 86400, 0))
+    return (daily.withColumn("events_7d", F.sum("n_events").over(w))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "dau", "n_events", "events_7d"))
+
+
+@q("quality_outliers", """
+WITH m AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(floor(value * 1000000) AS BIGINT)) AS s1,
+           sum(CAST(floor(value * value * 1000000) AS BIGINT)) AS s2
+    FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT e.event_id,
+       e.event_type,
+       round((e.value - CAST(m.s1 AS DOUBLE) / 1000000.0 / m.n)
+             / sqrt(CAST(m.s2 AS DOUBLE) / 1000000.0 / m.n
+                    - (CAST(m.s1 AS DOUBLE) / 1000000.0 / m.n)
+                      * (CAST(m.s1 AS DOUBLE) / 1000000.0 / m.n)), 4)
+           AS zscore
+FROM events e JOIN m USING (event_type)
+WHERE e.value IS NOT NULL
+  AND abs((e.value - CAST(m.s1 AS DOUBLE) / 1000000.0 / m.n)
+          / sqrt(CAST(m.s2 AS DOUBLE) / 1000000.0 / m.n
+                 - (CAST(m.s1 AS DOUBLE) / 1000000.0 / m.n)
+                   * (CAST(m.s1 AS DOUBLE) / 1000000.0 / m.n))) > 2.5
+""", doc="Data-quality outlier flagging: events whose value deviates "
+         ">2.5 sigma from their event type's mean. The per-row z-score "
+         "is bit-stable cross-engine because the group moments are "
+         "EXACT integer sums (floor(v*1e6), floor(v*v*1e6) — pure IEEE "
+         "per-row ops, commutative integer addition) and everything "
+         "after them is an identical elementwise IEEE expression tree; "
+         "computing mean/stddev as raw double aggregates would make "
+         "every z-score depend on accumulation order, flipping "
+         "boundary rows between runs. The tiny per-type moments table "
+         "broadcast-joins back onto the stream — one agg shuffle plus "
+         "a broadcast, no second corpus pass, at any scale.")
+def quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = (ev.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.floor(F.col("value") * 1000000)
+                     .cast("decimal(38,0)")).alias("s1"),
+              F.sum(F.floor(F.col("value") * F.col("value") * 1000000)
+                     .cast("decimal(38,0)")).alias("s2")))
+    mu = F.col("s1").cast("double") / 1000000.0 / F.col("n")
+    sigma = F.sqrt(F.col("s2").cast("double") / 1000000.0 / F.col("n")
+                   - mu * mu)
+    z = (F.col("value") - mu) / sigma
+    return (ev.join(F.broadcast(m), "event_type")
+            .filter(F.abs(z) > 2.5)
+            .select("event_id", "event_type", F.round(z, 4).alias("zscore")))
+
+
 _ASOF_CTES = """
 clicks AS (SELECT event_id AS click_id, user_id, ts FROM events
            WHERE event_type = 'click'),
