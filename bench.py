@@ -28,15 +28,22 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("bench")
 
-    # Warm the session: JVM, parquet footers, and the Python/Arrow UDF
-    # worker pool (first pandas_udf call pays multi-second worker spawn;
-    # steady-state per-query numbers are what the benchmark measures).
+    # Warm the session: JVM, parquet footers, and EVERY Python/Arrow
+    # execution path the queries use — scalar pandas UDF, mapInPandas,
+    # and grouped applyInPandas each spawn their own worker/serializer
+    # lane, and the first query to touch a cold lane pays multi-second
+    # spawn+JIT that would be misattributed to its plan (steady-state
+    # per-query numbers are what the benchmark measures).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     @F.pandas_udf("long")
     def _warm(s: pd.Series) -> pd.Series:
         return s
     spark.range(10).select(_warm("id")).count()
+
+    ten = spark.range(10).withColumn("g", F.col("id") % 2)
+    ten.mapInPandas(lambda it: it, "id long, g long").count()
+    ten.groupBy("g").applyInPandas(lambda pdf: pdf, "id long, g long").count()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
