@@ -45,6 +45,14 @@ def main() -> None:
     ten.mapInPandas(lambda it: it, "id long, g long").count()
     ten.groupBy("g").applyInPandas(lambda pdf: pdf, "id long, g long").count()
 
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="x: long")
+    class _WarmUdtf:
+        def eval(self):
+            yield (1,)
+    _WarmUdtf().count()
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, spec in QUERIES.items():
