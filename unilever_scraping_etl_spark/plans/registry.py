@@ -2121,6 +2121,29 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("bucket_value")))
 
 
+@q("agg_mode", """
+SELECT user_id, event_type AS mode_event, n FROM (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY count(*) DESC, event_type) AS rn
+    FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+""", doc="A4+ per-group mode (most frequent event type per user) with "
+         "an explicit lexical tiebreak — SQL's MODE() leaves ties "
+         "implementation-defined, so the portable form is count + "
+         "ranked window. Integer counts only; the count aggregation "
+         "and the ranking reuse one user_id-clustered shuffle.")
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (_t(spark, sf_dir, "events")
+              .groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"),
+                                              F.asc("event_type"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("mode_event"), "n"))
+
+
 @q("user_activity", """
 WITH d AS (
     SELECT CAST(ts AS DATE) AS day,
