@@ -59,6 +59,17 @@ def test_query_matches_oracle(name, spark, duck):
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
+    rel = duck.sql(spec.oracle)
+    # fetchall() returns HUGEINT as Python int, hiding a divergence the
+    # external driver (pandas path: HUGEINT -> float64) sees as a
+    # per-row 1.0-vs-1 hash mismatch — this kept sessionize_events red
+    # r02-r04. DuckDB types integer SUMs as HUGEINT, so oracles must
+    # CAST them before emitting.
+    bad = [c for c, t in zip(rel.columns, rel.types)
+           if str(t) in ("HUGEINT", "UHUGEINT")]
+    assert not bad, \
+        f"{name}: oracle emits HUGEINT column(s) {bad}; CAST them (the " \
+        "driver's pandas conversion narrows HUGEINT to float64)"
     res = duck.execute(spec.oracle)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()

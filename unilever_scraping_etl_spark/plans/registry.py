@@ -1617,8 +1617,10 @@ WITH flagged AS (
 ),
 numbered AS (
     SELECT user_id, ts, value,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS session_id
     FROM flagged
 )
 SELECT user_id, session_id,
@@ -1640,7 +1642,12 @@ FROM numbered GROUP BY user_id, session_id
          "they can legitimately disagree on a boundary value, which is "
          "what kept this row red in r03). floor of a double is a pure "
          "IEEE op, bit-identical everywhere; integer sums are exact and "
-         "commutative.")
+         "commutative. session_id is CAST to BIGINT in the oracle: this "
+         "was the ONLY query emitting a raw windowed integer SUM, and "
+         "DuckDB types that HUGEINT, which pandas narrows to float64 — "
+         "so every row value-hashed 1.0-vs-1 against Spark's long "
+         "(rows/schema matched, hash didn't, r02-r04). Every other "
+         "query already casts integer sums before emitting them.")
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.col("ts").cast("long")
