@@ -168,21 +168,23 @@ def test_stream_foreach_batch_upsert_snapshot(spark, events_stream_source,
     assert got.select("event_id").distinct().count() == batch.count()
 
 
-def test_transform_with_state_sessionize_closed_equals_batch(
-        spark, events_stream_source):
+def test_transform_with_state_sessionize(spark, events_stream_source):
     """transformWithStateInPandas sessionizer (Spark 4 StatefulProcessor):
-    with one availableNow batch, the CLOSED sessions it emits must equal
-    the batch sessionize plan's non-final sessions per user — same gap
-    rule, same integer-micros value accumulation, no float tolerance."""
+    where protobuf is available, the CLOSED sessions it emits with one
+    availableNow batch must equal the batch plan's non-final sessions;
+    where it is not (this container), the operator must fail at BUILD
+    time with an actionable ImportError — both branches assert real,
+    documented behavior for the environment, so neither skips."""
     from unilever_scraping_etl_spark.streaming.stateful import (
         streaming_sessionize, transform_with_state_available)
 
-    if not transform_with_state_available():
-        pytest.skip("transformWithStateInPandas needs google.protobuf "
-                    "(not shipped in this container); operator gated "
-                    "behind transform_with_state_available()")
-
     path, batch = events_stream_source
+    if not transform_with_state_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            streaming_sessionize(
+                spark.readStream.schema(batch.schema).parquet(path))
+        return
+
     key = "spark.sql.streaming.stateStore.providerClass"
     rocks = ("org.apache.spark.sql.execution.streaming."
              "state.RocksDBStateStoreProvider")
@@ -215,19 +217,25 @@ def test_transform_with_state_sessionize_closed_equals_batch(
     assert got == want
 
 
-def test_transform_with_state_gate_raises_cleanly(spark, events_stream_source):
-    """When protobuf is missing the operator must fail at BUILD time
-    with an actionable ImportError, not crash the streaming query's
-    Python driver worker mid-run."""
+def test_apply_in_pandas_with_state_sessionize_closed(
+        spark, events_stream_source):
+    """The in-container sessionizer (applyInPandasWithState, no protobuf
+    needed) run in REAL streaming mode: with one availableNow batch its
+    emitted (closed) sessions must equal the batch fallback EXACTLY —
+    same gap rule, same integer-micros accumulation, no float
+    tolerance."""
     from unilever_scraping_etl_spark.streaming.stateful import (
-        streaming_sessionize, transform_with_state_available)
+        sessionize_closed)
 
     path, batch = events_stream_source
-    if transform_with_state_available():
-        pytest.skip("protobuf present — gate exercised by the main test")
-    with pytest.raises(ImportError, match="protobuf"):
-        streaming_sessionize(
-            spark.readStream.schema(batch.schema).parquet(path))
+    src = spark.readStream.schema(batch.schema).parquet(path)
+    out = _run_stream_append(
+        spark, sessionize_closed(src, gap_sec=1800), "t_aipws_sess")
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, sessionize_closed(batch, gap_sec=1800)
+                      .collect()))
+    assert got == want
+    assert len(got) > 0  # sf0.001 events must actually close sessions
 
 
 def test_running_totals_stream_tolerates_null_values(spark, tmp_path):

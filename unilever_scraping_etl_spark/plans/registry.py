@@ -1669,6 +1669,51 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("session_value")))
 
 
+@q("stream_sessionize", """
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT user_id, ts, value,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS sid
+    FROM flagged
+),
+sess AS (
+    SELECT user_id, sid,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_sec,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(epoch(max(ts))) AS BIGINT)
+               - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+           coalesce(sum(CAST(floor(value * 1000000) AS BIGINT))
+                        / 1000000.0, 0.0) AS session_value
+    FROM numbered GROUP BY user_id, sid
+)
+SELECT user_id, session_start_sec, n_events, duration_sec, session_value
+FROM (SELECT s.*, max(sid) OVER (PARTITION BY user_id) AS last_sid
+      FROM sess s)
+WHERE sid < last_sid
+""", doc="ST3+ gap-close streaming sessionizer (applyInPandasWithState — "
+         "runs in this container, unlike the protobuf-gated "
+         "transformWithStateInPandas twin). Batch mode returns exactly "
+         "the sessions the streaming path EMITS: every session except "
+         "each user's final one (still open when input ends), which is "
+         "what the oracle computes. Value totals are per-row "
+         "floor(value*1e6) int64 micros on both paths; the stream==batch "
+         "equality is pinned exactly in tests/test_streaming.py.")
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import sessionize_closed
+    return sessionize_closed(_t(spark, sf_dir, "events"), gap_sec=1800)
+
+
 @q("split_train_test", """
 SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM (
