@@ -535,17 +535,24 @@ def connected_components(edges: DataFrame, src: str, dst: str,
 
     Scale: each round is ONE job — a message-passing shuffle join
     (edges ⋈ labels on the neighbor key) unioned with the nodes' own
-    labels into a single partial-agg min (no separate update join), a
-    LAZY localCheckpoint, and one combined (sum, count) action that
-    both materializes the checkpoint and detects convergence: labels
+    labels into a single partial-agg min, then a POINTER-JUMPING
+    shortcut (label <- label's label: a self-join of the label table,
+    which is |nodes| rows — far smaller than the edge join) so label
+    paths halve every round and convergence takes O(log d) rounds
+    instead of d (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014 — same round bound as large-star/small-star
+    with a simpler per-round shape; r4 verdict flagged diameter-bound
+    rounds as the 100 TB risk). The jump preserves correctness: a
+    node's label is always the id of a node in the SAME component
+    (edges never cross components, initial labels are own ids), so
+    label(label(n)) is too, and min-labels only decrease. A converged
+    (hop+jump)-round implies a converged hop-round, whose fixed point
+    is label constancy on every edge = exact components. Each round
+    ends in a LAZY localCheckpoint and one combined (sum, count)
+    action that both materializes it and detects convergence: labels
     only ever decrease, so an unchanged exact sum over a constant node
-    set ⇔ no label changed — replacing the previous per-round eager
-    checkpoint job + changed-count job. The sum runs in DECIMAL(38,0)
-    so it cannot overflow at any node-count x id-magnitude. Rounds =
-    component diameter — near-dup graphs are clique-ish, so a handful
-    (cf. Kiveris et al., "Connected Components in MapReduce and
-    Beyond", SoCC 2014 — whose large-star/small-star variant is the
-    O(log d) upgrade path if diameters ever grow).
+    set ⇔ no label changed. The sum runs in DECIMAL(38,0) so it cannot
+    overflow at any node-count x id-magnitude.
     """
     sym = edges.select(F.col(src).cast("long").alias("a"),
                        F.col(dst).cast("long").alias("b"))
@@ -558,9 +565,25 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     for _ in range(max_iterations):
         msgs = (sym.join(labels, sym["b"] == labels["node"])
                 .select(sym["a"].alias("node"), "component"))
-        new_labels = (labels.unionByName(msgs)
-                      .groupBy("node")
-                      .agg(F.min("component").alias("component")))
+        hopped = (labels.unionByName(msgs)
+                  .groupBy("node")
+                  .agg(F.min("component").alias("component")))
+        # pointer jump: component <- label(component). Every component
+        # value is a node id present in `hopped` (labels are node ids
+        # from the same closed node set), so the left join misses only
+        # when component == node already (self-label) — coalesce keeps
+        # it. least() guards the (impossible by monotonicity, cheap to
+        # pin) case of a jump ever increasing a label.
+        jmp = hopped.select(F.col("node").alias("jnode"),
+                            F.col("component").alias("jcomp"))
+        new_labels = (hopped.join(
+                          jmp, hopped["component"] == jmp["jnode"], "left")
+                      .select(hopped["node"],
+                              F.least(
+                                  hopped["component"],
+                                  F.coalesce(jmp["jcomp"],
+                                             hopped["component"]))
+                               .alias("component")))
         new_labels = new_labels.localCheckpoint(eager=False)
         cur = tuple(new_labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")),

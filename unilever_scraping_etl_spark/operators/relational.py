@@ -228,3 +228,119 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
                     *[F.col(f"__lv.{c}").alias(c) for c in left_cols],
                     F.col("__m.__rus").alias(f"{ts_col}_r_us"),
                     *[F.col(f"__m.{c}").alias(c) for c in right_cols]))
+
+
+def asof_join_sliced(left: DataFrame, right: DataFrame, on: list[str],
+                     ts_col: str, left_cols: list[str],
+                     right_cols: list[str], direction: str = "backward",
+                     tolerance_sec: float | None = None,
+                     slice_sec: int = 86400) -> DataFrame:
+    """Skew-resistant as-of join: identical output to :func:`asof_join`,
+    but the window partition key is EXTENDED with a time slice
+    (``floor(epoch / slice_sec)``), the same bounded-stream idea as
+    ``seq_pack``'s hash-prefix streams. ``asof_join`` sorts each key's
+    entire |L|+|R| row set in one task — correct, but one hot key
+    carrying 80% of the events becomes one straggler task at 1000
+    executors. Here a hot key's rows spread over its active time
+    slices, so no task ever sorts more than one (key, slice) cell.
+
+    The carry that crosses slice boundaries is restored from a tiny
+    summary frame: per (key, slice), the last (backward) / first
+    (forward) right-side value; a window over the per-key slice
+    sequence — O(active slices) rows per key, not O(events) — computes
+    each slice's carry-in, and a slice-local miss coalesces to it.
+    Proof: a left row's prevailing right row either lies in its own
+    slice (the local window finds it exactly as asof_join does, tags
+    included) or in an earlier slice, in which case it is by
+    definition the LAST right row of the latest earlier slice holding
+    one — precisely the summary window's carry-in. The summary join
+    keys on (key, slice), so even its shuffle is skew-spread.
+
+    ``nearest`` is deliberately unsupported here (it needs both carry
+    directions stitched; compose two sliced calls if ever needed).
+    Pick ``slice_sec`` so one key's densest slice fits a task
+    comfortably and its active-slice count stays far below its row
+    count — for event streams, a day is a natural default.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("asof_join_sliced supports backward/forward "
+                         f"only, got {direction!r}")
+
+    def us(df: DataFrame) -> Column:
+        t = dict(df.dtypes)[ts_col]
+        return (F.unix_micros(F.col(ts_col)) if t.startswith("timestamp")
+                else F.col(ts_col).cast("long"))
+
+    rv = F.struct(us(right).alias("__rus"),
+                  *[F.col(c) for c in right_cols]).alias("__rv")
+    lv = F.struct(*[F.col(c) for c in left_cols]).alias("__lv")
+    rtype = right.select(rv).schema[0].dataType
+    ltype = left.select(lv).schema[0].dataType
+    lval = left.select(*on, us(left).alias("__us"), F.lit(1).alias("__left"),
+                       lv, F.lit(None).cast(rtype).alias("__rv"))
+    rval = (right.select(*on, us(right).alias("__us"),
+                         F.lit(0).alias("__left"),
+                         F.lit(None).cast(ltype).alias("__lv"), rv)
+            .filter(F.col("__us").isNotNull()))
+    for c in on:
+        rval = rval.filter(F.col(c).isNotNull())
+    # NULL-ts left rows have no slice; park them in slice NULL (they
+    # match nothing anyway, and a NULL slice never equals a real one in
+    # the summary join — they just pass through unmatched).
+    u = (lval.unionByName(rval)
+         .withColumn("__slice",
+                     F.floor(F.col("__us") / F.lit(slice_sec * 1_000_000))))
+
+    if direction == "backward":
+        tag = F.when(F.col("__left") == 1, 1).otherwise(0)
+        w_local = (Window.partitionBy(*on, "__slice")
+                   .orderBy("__us", tag.asc())
+                   .rowsBetween(Window.unboundedPreceding, 0))
+        local = u.withColumn("__loc",
+                             F.last("__rv", ignorenulls=True).over(w_local))
+        summary = (u.filter(F.col("__left") == 0)
+                   .groupBy(*on, "__slice")
+                   .agg(F.max_by("__rv", "__us").alias("__srv")))
+        w_carry = (Window.partitionBy(*on).orderBy("__slice")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    else:
+        tag = F.when(F.col("__left") == 1, 0).otherwise(1)
+        w_local = (Window.partitionBy(*on, "__slice")
+                   .orderBy("__us", tag.asc())
+                   .rowsBetween(0, Window.unboundedFollowing))
+        local = u.withColumn("__loc",
+                             F.first("__rv", ignorenulls=True).over(w_local))
+        summary = (u.filter(F.col("__left") == 0)
+                   .groupBy(*on, "__slice")
+                   .agg(F.min_by("__rv", "__us").alias("__srv")))
+        w_carry = (Window.partitionBy(*on).orderBy("__slice")
+                   .rowsBetween(1, Window.unboundedFollowing))
+
+    # Per-key slice spine: every (key, slice) either side touches, with
+    # that slice's carry-in from the summary window. Tiny relative to
+    # the event stream (O(keys x active slices)).
+    spine = (u.select(*on, "__slice").distinct()
+             .join(summary, [*on, "__slice"], "left"))
+    carry_fn = F.last if direction == "backward" else F.first
+    spine = spine.withColumn(
+        "__carry", carry_fn("__srv", ignorenulls=True).over(w_carry)
+    ).select(*on, "__slice", "__carry")
+
+    joined = (local.filter(F.col("__left") == 1)
+              .join(spine, [*on, "__slice"], "left"))
+    match = F.coalesce(F.col("__loc"), F.col("__carry"))
+    if tolerance_sec is not None:
+        unit = (1_000_000 if dict(left.dtypes)[ts_col].startswith("timestamp")
+                else 1)
+        match = F.when(
+            F.abs(F.col("__us") - match["__rus"]) <= tolerance_sec * unit,
+            match)
+    null_left = F.col("__us").isNull()
+    for c in on:
+        null_left = null_left | F.col(c).isNull()
+    match = F.when(null_left, F.lit(None).cast(rtype)).otherwise(match)
+    return (joined.withColumn("__m", match)
+            .select(*on, F.col("__us").alias(f"{ts_col}_us"),
+                    *[F.col(f"__lv.{c}").alias(c) for c in left_cols],
+                    F.col("__m.__rus").alias(f"{ts_col}_r_us"),
+                    *[F.col(f"__m.{c}").alias(c) for c in right_cols]))

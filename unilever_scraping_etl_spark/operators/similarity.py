@@ -128,6 +128,9 @@ def assign_ivf_buckets(emb: DataFrame, nlist: int = 16,
     argmax cosine per row — a narrow map over the corpus, no shuffle."""
     cent = centroids if centroids is not None else (
         emb.orderBy(id_col).limit(nlist)
+           # global (unpartitioned) window over <= nlist rows by
+           # construction (the limit above) — the WindowExec warning it
+           # logs is benign; this never sees corpus-scale data.
            .withColumn("bucket", F.row_number().over(Window.orderBy(id_col)) - 1)
            .select("bucket", F.col(vec_col).alias("centroid")))
     assigned = (emb.join(F.broadcast(cent))
@@ -366,6 +369,8 @@ def kmeans_centroids(emb: DataFrame, k: int, n_iter: int = 5,
     spark = emb.sparkSession
     x = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cent = (x.orderBy("id").limit(k)
+            # global window over <= k rows by construction (the limit
+            # above) — the WindowExec no-partition warning is benign.
             .withColumn("bucket", F.row_number().over(Window.orderBy("id")) - 1)
             .select("bucket", F.col("v").alias("centroid")))
 
