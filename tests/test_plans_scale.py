@@ -788,6 +788,56 @@ def test_tpch_q5_broadcasts_dimensions(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_q4_exists_plans_as_semi_join_with_residual(spark):
+    """Q4 analog: the EXISTS must plan as ONE LeftSemi hash join whose
+    cross-side date comparison rides as a join residual — not a fan-out
+    join + distinct, and never a cartesian."""
+    plan = _plan(QUERIES["order_priority_check"].spark(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "Distinct" not in plan
+
+
+def test_tpch_q19_disjunction_pushes_supersets_into_scans(spark):
+    """Q19 analog: CNF extraction must push the per-side superset of
+    the OR-ed clauses into each parquet scan (quantity ranges into
+    lineitem, type/size into part) instead of filtering after the
+    join."""
+    plan = _plan(QUERIES["disjunctive_filter_revenue"].spark(spark, SF_SMOKE))
+    li_scan = next(l for l in plan.splitlines()
+                   if "FileScan" in l and "lineitem" in l)
+    part_scan = next(l for l in plan.splitlines()
+                     if "FileScan" in l and "part.parquet" in l)
+    assert "l_quantity" in li_scan.split("DataFilters")[1]
+    assert "p_type" in part_scan.split("DataFilters")[1]
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q18_aggregates_before_joining(spark):
+    """Q18 analog: the quantity HAVING must collapse lineitem BEFORE
+    the orders/customer joins — the aggregate sits under the joins in
+    the physical plan, so only surviving orderkeys shuffle onward."""
+    plan = _plan(QUERIES["large_order_customers"].spark(spark, SF_SMOKE))
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1
+    # every join operator appears ABOVE (before, in toString order)
+    # the lineitem aggregate's FileScan
+    li_scan_pos = plan.find("FileScan parquet", agg_pos)
+    join_positions = [plan.find(j) for j in
+                      ("BroadcastHashJoin", "SortMergeJoin",
+                       "ShuffledHashJoin") if j in plan]
+    assert join_positions and min(join_positions) < li_scan_pos
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22 analog: NOT EXISTS must plan as LeftAnti; the global-average
+    scalar joins back as a broadcast (nested-loop over ONE row is
+    fine); no full cartesian against a multi-row side."""
+    plan = _plan(QUERIES["dormant_customer_balance"].spark(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def _union_find_components(edges):
     parent = {}
 

@@ -2544,6 +2544,374 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("revenue")))
 
 
+@q("order_priority_check", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""", doc="TPC-H Q4 analog (order priority check): orders in one quarter "
+         "having at least one lineitem shipped >90 days after the order "
+         "date, counted per priority. The EXISTS is a LEFT SEMI join "
+         "whose condition spans both sides (l_shipdate vs o_orderdate) "
+         "— Spark plans the equi-part as the shuffle key and evaluates "
+         "the date comparison as a join residual, so no fan-out and no "
+         "dedup-by-count workaround. The quarter filter prunes the "
+         "orders scan before the join; at 100 TB the semi join shuffles "
+         "each side once on l_orderkey and the integer count is "
+         "order-independent.")
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate")
+                       >= F.lit("1997-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit("1997-04-01").cast("timestamp")))
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = ((li["l_orderkey"] == orders["o_orderkey"])
+            & (li["l_shipdate"]
+               > F.date_add(orders["o_orderdate"], 90).cast("timestamp")))
+    return (orders.join(li, late, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@q("returned_items_topn", """
+SELECT c_custkey, c_name, n_name,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) / 10000.0 AS revenue
+FROM customer
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) DESC, c_custkey
+LIMIT 20
+""", doc="TPC-H Q10 analog (returned item reporting): top-20 customers "
+         "by revenue lost to returns in a half-year window. Both "
+         "selective filters (order-date range, returnflag='R') push "
+         "into the fact scans; nation broadcasts onto the customer "
+         "side; the ranking sorts EXACT integer revenue in "
+         "decimal(38,0) (overflow-proof, order-independent) with a "
+         "c_custkey tiebreak so the top-20 cut is engine-stable, and "
+         "TakeOrderedAndProject keeps it a per-partition heap + merge "
+         "rather than a global sort at any scale.")
+def returned_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_e4 = F.floor(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount")) * 10000)
+    nation = F.broadcast(_t(spark, sf_dir, "nation")
+                         .select("n_nationkey", "n_name"))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_name", "n_name"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate")
+                       >= F.lit("1997-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit("1997-07-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", rev_e4.alias("rev_e4")))
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(F.col("rev_e4").cast("decimal(38,0)"))
+                 .alias("rev_sum"))
+            .orderBy(F.desc("rev_sum"), F.asc("c_custkey"))
+            .limit(20)
+            .select("c_custkey", "c_name", "n_name",
+                    (F.col("rev_sum").cast("double") / F.lit(10000.0))
+                    .alias("revenue")))
+
+
+@q("promo_revenue_share", """
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(floor(l_extendedprice
+                                             * (1 - l_discount) * 10000)
+                                       AS BIGINT) ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(floor(l_extendedprice
+                                   * (1 - l_discount) * 10000)
+                             AS BIGINT)) AS DOUBLE)
+           AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+""", doc="TPC-H Q14 analog (promo revenue share): percentage of one "
+         "month's revenue from PROMO-type parts. Conditional "
+         "aggregation over a broadcast part⋈lineitem join — part is "
+         "the build side (dimension), the date filter prunes the fact "
+         "scan, and ONE pass computes both sums map-side. The final "
+         "percentage divides two exact decimal(38,0) integer sums cast "
+         "to double — one IEEE division on identical operands in both "
+         "engines, so the scalar is bit-stable with no rounding "
+         "tolerance needed.")
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_e4 = (F.floor(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount")) * 10000)
+              .cast("decimal(38,0)"))
+    part = F.broadcast(_t(spark, sf_dir, "part")
+                       .select("p_partkey", "p_type"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1997-09-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1997-10-01").cast("timestamp")))
+          .select("l_partkey", rev_e4.alias("rev_e4")))
+    zero = F.lit(0).cast("decimal(38,0)")
+    return (li.join(part, li["l_partkey"] == part["p_partkey"])
+            .agg((F.lit(100.0)
+                  * F.sum(F.when(F.col("p_type") == "PROMO",
+                                 F.col("rev_e4")).otherwise(zero))
+                     .cast("double")
+                  / F.sum("rev_e4").cast("double"))
+                 .alias("promo_share_pct")))
+
+
+@q("large_order_customers", """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       total_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""", doc="TPC-H Q18 analog (large-volume customers): orders whose total "
+         "quantity exceeds 250 (top ~1%% of orders), joined back to "
+         "their customers. The HAVING is a partial-agg groupBy on the "
+         "already-shuffle-keyed l_orderkey whose output is tiny, so "
+         "the subsequent orders/customer joins see only the surviving "
+         "keys — at 100 TB the heavy side collapses BEFORE any "
+         "customer data moves (aggregate-then-join, never "
+         "join-then-aggregate). Quantities in this corpus are integral "
+         "doubles; casting each to BIGINT before the sum makes the "
+         "HAVING threshold exact in both engines instead of comparing "
+         "order-dependent float sums.")
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (_t(spark, sf_dir, "lineitem")
+           .groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("bigint"))
+                .alias("total_qty"))
+           .filter(F.col("total_qty") > 250))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .select("c_custkey", "c_name", "o_orderkey", "order_date",
+                    "total_qty"))
+
+
+@q("nation_trade_volume", """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+""", doc="TPC-H Q7 analog (volume shipping): bilateral trade between "
+         "two nations per ship-year. The disjunctive nation-pair "
+         "predicate sits ABOVE two broadcast nation joins (a 25-row "
+         "dim joined twice under different roles), so Catalyst still "
+         "pushes each side's nation-key IN-list into the supplier/"
+         "customer scans; the two-year ship window prunes the fact "
+         "scan. One fact shuffle (orderkey), then broadcast dims — at "
+         "100 TB the only large exchange is lineitem⋈orders. Revenue "
+         "is the exact decimal(38,0) integer sum, year is integer: "
+         "every output cell is order-independent.")
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_e4 = F.floor(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount")) * 10000)
+    nation = _t(spark, sf_dir, "nation")
+    pair = F.col("n_name").isin("NATION_3", "NATION_7")
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation.filter(pair)
+                              .select(F.col("n_nationkey").alias("snk"),
+                                      F.col("n_name").alias("supp_nation"))),
+                  F.col("s_nationkey") == F.col("snk"))
+            .select("s_suppkey", "supp_nation"))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(nation.filter(pair)
+                              .select(F.col("n_nationkey").alias("cnk"),
+                                      F.col("n_name").alias("cust_nation"))),
+                  F.col("c_nationkey") == F.col("cnk"))
+            .select("c_custkey", "cust_nation"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1998-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_suppkey",
+                  F.year("l_shipdate").cast("bigint").alias("l_year"),
+                  rev_e4.alias("rev_e4")))
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg((F.sum(F.col("rev_e4").cast("decimal(38,0)"))
+                   .cast("double") / F.lit(10000.0))
+                 .alias("revenue")))
+
+
+@q("small_quantity_revenue", """
+WITH pa AS (
+    SELECT l_partkey AS pk,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+    FROM lineitem GROUP BY l_partkey)
+SELECT CAST(sum(CAST(floor(l_extendedprice * 10000) AS BIGINT))
+            AS DOUBLE) / 10000.0 / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa   ON pk = l_partkey
+WHERE p_brand = 'Brand#5'
+  AND CAST(l_quantity AS BIGINT) * 5 * n < sq
+""", doc="TPC-H Q17 analog (small-quantity-order revenue): revenue/7 "
+         "from lineitems whose quantity is below 20%% of their part's "
+         "average quantity, for one brand. The correlated scalar "
+         "subquery (per-part avg) is expressed as aggregate-then-join "
+         "— the per-part (count, sum) table is tiny relative to "
+         "lineitem and joins on the same l_partkey shuffle key. The "
+         "20%%-of-average comparison is algebraically cleared of "
+         "division: qty < 0.2*(sq/n) <=> 5*qty*n < sq — ALL-INTEGER "
+         "math, so the boundary rows cannot flip on float rounding in "
+         "either engine. Only the final scalar divides (two identical "
+         "IEEE ops on an exact integer sum).")
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pa = (li.groupBy(F.col("l_partkey").alias("pk"))
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum(F.col("l_quantity").cast("bigint")).alias("sq")))
+    part = F.broadcast(_t(spark, sf_dir, "part")
+                       .filter(F.col("p_brand") == "Brand#5")
+                       .select("p_partkey"))
+    price_e4 = F.floor(F.col("l_extendedprice") * 10000)
+    sel = (li.select("l_partkey", "l_quantity", price_e4.alias("price_e4"))
+           .join(part, F.col("l_partkey") == F.col("p_partkey"))
+           .join(pa, F.col("l_partkey") == F.col("pk"))
+           .filter(F.col("l_quantity").cast("bigint") * 5 * F.col("n")
+                   < F.col("sq")))
+    return sel.agg((F.sum(F.col("price_e4").cast("decimal(38,0)"))
+                    .cast("double") / F.lit(10000.0) / F.lit(7.0))
+                   .alias("avg_yearly"))
+
+
+@q("disjunctive_filter_revenue", """
+SELECT sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_type = 'PROMO'  AND p_size BETWEEN 1  AND 10
+       AND l_quantity BETWEEN 1  AND 11)
+   OR (p_type = 'MEDIUM' AND p_size BETWEEN 5  AND 20
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_type = 'LARGE'  AND p_size BETWEEN 15 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+""", doc="TPC-H Q19 analog (discounted revenue, disjunctive "
+         "predicates): three OR-ed (type, size-range, quantity-range) "
+         "clauses spanning both join sides. Catalyst extracts the "
+         "common sub-predicates: the p_type IN-list and p_size "
+         "superset-range push into the part scan and the l_quantity "
+         "superset-range into the lineitem scan (CNF conversion of the "
+         "OR), with the exact disjunction evaluated as a join residual "
+         "— the classic test that an engine doesn't fall back to "
+         "filter-after-cartesian. part broadcasts; one scan each side; "
+         "exact integer revenue sum.")
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_e4 = F.floor(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount")) * 10000)
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_quantity", rev_e4.alias("rev_e4")))
+    part = F.broadcast(_t(spark, sf_dir, "part")
+                       .select("p_partkey", "p_type", "p_size"))
+    qty, typ, size = F.col("l_quantity"), F.col("p_type"), F.col("p_size")
+    cond = (((typ == "PROMO") & size.between(1, 10) & qty.between(1, 11))
+            | ((typ == "MEDIUM") & size.between(5, 20)
+               & qty.between(10, 20))
+            | ((typ == "LARGE") & size.between(15, 50)
+               & qty.between(20, 30)))
+    return (li.join(part, li["l_partkey"] == part["p_partkey"])
+            .filter(cond)
+            .agg((F.sum(F.col("rev_e4").cast("decimal(38,0)"))
+                   .cast("double") / F.lit(10000.0))
+                 .alias("revenue")))
+
+
+@q("dormant_customer_balance", """
+WITH pos AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS s
+    FROM customer WHERE c_acctbal > 0)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+CROSS JOIN pos
+WHERE c_acctbal > 0
+  AND CAST(floor(c_acctbal * 100) AS BIGINT) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-08-01')
+GROUP BY n_name
+""", doc="TPC-H Q22 analog (dormant high-balance customers): customers "
+         "with above-average positive balance and NO orders in the "
+         "final year, counted and totalled per nation. Three optimizer "
+         "shapes in one: a 1-row global aggregate broadcast back as a "
+         "cross join (the scalar-subquery rewrite), a LEFT ANTI join "
+         "against the date-pruned recent-orders scan for NOT EXISTS, "
+         "and a broadcast nation dim. The above-average comparison is "
+         "division-free integer math (cents*n > s) so no boundary row "
+         "flips on rounding; balances total exact cents and divide "
+         "once at the end.")
+def dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.floor(F.col("c_acctbal") * 100).cast("bigint")
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_acctbal") > 0)
+            .select("c_custkey", "c_nationkey", cents.alias("cents")))
+    pos = (cust.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("cents").alias("s")))
+    recent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate")
+                      >= F.lit("2000-08-01").cast("timestamp"))
+              .select("o_custkey"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation")
+                         .select("n_nationkey", "n_name"))
+    return (cust.crossJoin(F.broadcast(pos))
+            .filter(F.col("cents") * F.col("n") > F.col("s"))
+            .join(recent, cust["c_custkey"] == recent["o_custkey"],
+                  "left_anti")
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 (F.sum("cents").cast("double") / F.lit(100.0))
+                 .alias("totacctbal")))
+
+
 # Convenience exports ---------------------------------------------------------
 
 # ===========================================================================
