@@ -627,8 +627,14 @@ def test_export_order_evicts_modified_and_rotates_oldest(monkeypatch):
     # pinned-identical outputs and may wait a rotation when the head
     # overflows 50.
     never_green = {n for n in names if n not in certified.EVER_GREEN}
-    rewritten = {"sessionize_events", "stream_tumbling",
-                 "stream_running_totals", "window_running_sum"}
+    # tier 2 = ever-green queries whose wrapper/oracle text changed
+    # since their last green run (true semantic rewrites), derived
+    # from the ledger rather than hardcoded per round
+    rewritten = {
+        n for n in names
+        if registry._cert_round(n) is None and n in certified.EVER_GREEN
+        and certified.LAST_GREEN_WRAPPER_FP.get(n)
+        != registry._wrapper_fp(registry.QUERIES[n])}
     touched = never_green | rewritten
     assert touched <= window, f"missing from window: {touched - window}"
 

@@ -2912,6 +2912,160 @@ def dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("totacctbal")))
 
 
+@q("nucleus_top_p", """
+WITH scored AS (
+    SELECT source, doc_id, n_chars,
+           CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT)
+               AS total,
+           CAST(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS run
+    FROM documents)
+SELECT source, doc_id, n_chars
+FROM scored WHERE (run - n_chars) * 5 < total * 4
+""", doc="Nucleus (top-p) corpus selection: per source, keep the "
+         "smallest prefix of quality-ranked documents covering 80%% of "
+         "the group's total mass — the cumulative-share counterpart of "
+         "quality_filter_percentile's rank cut (top-p keeps more of a "
+         "flat-quality source and less of a spiky one). ONE shuffle on "
+         "source serves both window passes (group total and running "
+         "sum share the partition key); the threshold test is "
+         "division-free integer math ((run-own)*5 < total*4 <=> "
+         "cumulative-before < 0.8*total), so boundary documents cannot "
+         "flip on float rounding in either engine. Deterministic "
+         "(n_chars DESC, doc_id) ordering makes the cut reproducible "
+         "across runs and cluster sizes.")
+def nucleus_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars")
+    w_total = Window.partitionBy("source")
+    w_run = (Window.partitionBy("source")
+             .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs
+            .withColumn("total", F.sum("n_chars").over(w_total))
+            .withColumn("run", F.sum("n_chars").over(w_run))
+            .filter((F.col("run") - F.col("n_chars")) * 5
+                    < F.col("total") * 4)
+            .select("source", "doc_id", "n_chars"))
+
+
+@q("vocab_topk", """
+SELECT term,
+       CAST(count(*) AS BIGINT) AS term_freq,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents)
+WHERE term <> ''
+GROUP BY term
+ORDER BY term_freq DESC, term
+LIMIT 100
+""", doc="Corpus vocabulary build: top-100 terms by corpus frequency "
+         "with exact document frequency — the first step of any "
+         "tokenizer/BPE training run. Explode-then-aggregate with "
+         "partial (map-side) counts; the exact count(DISTINCT doc_id) "
+         "plans as a two-level aggregate (dedup on (term, doc_id), "
+         "then count) sharing the term shuffle key, so at 100 TB the "
+         "only wide exchange is one hash partition on term — no "
+         "per-term row explosion reaches the driver, and the top-100 "
+         "cut is TakeOrdered with a term tiebreak. Tokenization "
+         "matches functions/text.py (single-space corpus).")
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    terms = (docs.select(
+        "doc_id",
+        F.explode(text.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != ""))
+    return (terms.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("term_freq"),
+                 F.count_distinct("doc_id").alias("doc_freq"))
+            .orderBy(F.desc("term_freq"), F.asc("term"))
+            .limit(100))
+
+
+@q("embedding_norms", """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       floor(sqrt(list_aggregate(
+           list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           'sum')) * 1000000) / 1000000.0 AS l2_norm
+FROM embeddings
+""", doc="Embedding L2 norms — the validation pass run before any "
+         "cosine-based dedup/ANN stage (catches unnormalized or "
+         "zero vectors early; this corpus should be ~1.0 everywhere). "
+         "Pure narrow map in whole-stage codegen: F.transform + "
+         "F.aggregate fold in DOUBLE, strictly left-to-right — the "
+         "same sequential-sum contract DuckDB's list_aggregate gives, "
+         "so the fold is bit-identical cross-engine; the emitted norm "
+         "is floor-quantized at 1e-6 as rounding-mode armor. No "
+         "shuffle at any scale.")
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        (F.floor(vectors.norm(F.col("embedding")) * 1000000)
+         / F.lit(1000000.0)).alias("l2_norm"))
+
+
+@q("window_ntile", """
+SELECT c_custkey, c_nationkey,
+       CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey)
+            AS INTEGER) AS balance_quartile
+FROM customer
+""", doc="W1 companion: NTILE(4) spend-tier assignment per nation — "
+         "equal-height bucketing by rank (differs from percent_rank/"
+         "cume_dist in window_distribution: ntile emits the BUCKET "
+         "with deterministic remainder distribution to the leading "
+         "buckets). Unique (c_acctbal DESC, c_custkey) ordering makes "
+         "every assignment engine-stable. One shuffle on the partition "
+         "key; per-nation groups are bounded.")
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("c_nationkey")
+         .orderBy(F.desc("c_acctbal"), F.asc("c_custkey")))
+    return (_t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey",
+                    F.ntile(4).over(w).alias("balance_quartile")))
+
+
+@q("unpivot_stats", """
+WITH wide AS (
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS sum_price,
+           CAST(count(*) AS DOUBLE) AS n_items
+    FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, metric, metric_value
+FROM wide UNPIVOT (metric_value FOR metric
+                   IN (sum_qty, sum_price, n_items))
+""", doc="O-family companion: unpivot (wide->long melt) of a per-flag "
+         "stats block — the standard reshape before feeding metrics "
+         "tables to plotting/monitoring sinks. Spark's UNPIVOT "
+         "(df.unpivot) and DuckDB's UNPIVOT agree on emitting the "
+         "source column NAME as the metric key. The melt itself is a "
+         "narrow map over the already-aggregated 3-row frame; all "
+         "measures are exact integer sums cast to a common double "
+         "type (unpivot requires one value type) AFTER aggregation, "
+         "so values stay order-independent.")
+def unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.col("l_quantity").cast("bigint"))
+                 .cast("double").alias("sum_qty"),
+                 (F.sum(F.floor(F.col("l_extendedprice") * 100)
+                        .cast("decimal(38,0)")).cast("double")
+                  / F.lit(100.0)).alias("sum_price"),
+                 F.count(F.lit(1)).cast("double").alias("n_items")))
+    return wide.unpivot(["l_returnflag"],
+                        ["sum_qty", "sum_price", "n_items"],
+                        "metric", "metric_value")
+
+
 # Convenience exports ---------------------------------------------------------
 
 # ===========================================================================
