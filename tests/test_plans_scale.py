@@ -844,6 +844,16 @@ def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_conversion_funnel_single_event_shuffle(spark):
+    """The funnel's chained windows and per-user collapse must all ride
+    ONE user_id exchange (plus the final 3-number SinglePartition agg);
+    no count_distinct Expand tripling the stream, no second scan."""
+    plan = _plan(QUERIES["conversion_funnel"].spark(spark, SF_SMOKE))
+    assert plan.count("FileScan") == 1
+    assert plan.count("Expand") == 0
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def _union_find_components(edges):
     parent = {}
 

@@ -3066,6 +3066,169 @@ def unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "metric", "metric_value")
 
 
+@q("conversion_funnel", """
+WITH v AS (
+    SELECT user_id, event_type, ts,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS first_view
+    FROM events),
+c AS (
+    SELECT *, min(CASE WHEN event_type = 'click' AND ts >= first_view
+                       THEN ts END)
+                  OVER (PARTITION BY user_id) AS first_click
+    FROM v),
+per_user AS (
+    SELECT user_id, max(first_view) AS fv, max(first_click) AS fc,
+           min(CASE WHEN event_type = 'purchase' AND ts >= first_click
+                    THEN ts END) AS fp
+    FROM c GROUP BY user_id)
+SELECT CAST(count(fv) AS BIGINT) AS n_view,
+       CAST(count(fc) AS BIGINT) AS n_click_after_view,
+       CAST(count(fp) AS BIGINT) AS n_purchase_after_click
+FROM per_user
+""", doc="Ordered conversion funnel (view -> click -> purchase): users "
+         "counted at each stage only if the stage event happened AT OR "
+         "AFTER the previous stage's first event — the strict-ordering "
+         "semantics ad-hoc funnel SQL usually gets wrong by comparing "
+         "unconditioned per-type minima. Two chained conditional "
+         "windows plus the per-user flag aggregate all key on user_id, "
+         "so Catalyst plans ONE exchange of the event stream for the "
+         "whole funnel (the last stage folds into the groupBy — no "
+         "third window), the per-user collapse happens before any "
+         "global operator, and the final stage counts are a "
+         "three-number plain aggregate — no count_distinct Expand "
+         "tripling the stream, no self-joins, no second scan.")
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("first_view", v)
+    c = F.min(F.when((F.col("event_type") == "click")
+                     & (F.col("ts") >= F.col("first_view")),
+                     F.col("ts"))).over(w)
+    staged = staged.withColumn("first_click", c)
+    per_user = (staged.groupBy("user_id")
+                .agg(F.max("first_view").alias("fv"),
+                     F.max("first_click").alias("fc"),
+                     F.min(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("ts") >= F.col("first_click")),
+                                  F.col("ts"))).alias("fp")))
+    return per_user.agg(F.count("fv").alias("n_view"),
+                        F.count("fc").alias("n_click_after_view"),
+                        F.count("fp").alias("n_purchase_after_click"))
+
+
+@q("cohort_retention", """
+WITH cohorts AS (
+    SELECT user_id,
+           CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+    FROM events GROUP BY user_id),
+active AS (
+    SELECT DISTINCT e.user_id, cohort,
+           CAST(date_trunc('week', ts) AS DATE) AS wk
+    FROM events e JOIN cohorts USING (user_id))
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM active GROUP BY cohort, wk
+""", doc="Weekly cohort retention: users grouped by first-activity week "
+         "(ISO Monday truncation — Spark and DuckDB agree), counted "
+         "distinct in each subsequent active week, keyed by integer "
+         "week offset. The cohort label rides the same user_id shuffle "
+         "as the first-week min (aggregate-then-join on the shared "
+         "key); the (user, week) dedup collapses the stream BEFORE the "
+         "small cohort-grid aggregate, so the wide exchange count is "
+         "two on the event stream (user key, then dedup) and nothing "
+         "afterwards scales with raw volume. All outputs are integer "
+         "or date-derived strings — nothing order-dependent.")
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    cohorts = (ev.groupBy("user_id")
+               .agg(F.date_trunc("week", F.min("ts")).cast("date")
+                    .alias("cohort")))
+    active = (ev.join(cohorts, "user_id")
+              .select("user_id", "cohort",
+                      F.date_trunc("week", F.col("ts")).cast("date")
+                       .alias("wk"))
+              .distinct())
+    return (active.groupBy("cohort", "wk")
+            .agg(F.count(F.lit(1)).alias("n_active"))
+            .select(F.date_format("cohort", "yyyy-MM-dd")
+                     .alias("cohort_week"),
+                    (F.datediff("wk", "cohort") / 7).cast("bigint")
+                     .alias("week_offset"),
+                    "n_active"))
+
+
+@q("user_value_trend", """
+WITH m AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)
+                    - CAST(floor(epoch(TIMESTAMP '2024-01-01')) AS BIGINT))
+                AS BIGINT) AS sx,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT))
+                AS BIGINT) AS sy,
+           CAST(sum((CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(TIMESTAMP '2024-01-01')) AS BIGINT))
+                    * (CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(TIMESTAMP '2024-01-01')) AS BIGINT)))
+                AS BIGINT) AS sxx,
+           CAST(sum((CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(TIMESTAMP '2024-01-01')) AS BIGINT))
+                    * CAST(floor(value * 1000000) AS BIGINT))
+                AS BIGINT) AS sxy
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+    GROUP BY user_id)
+SELECT user_id, n,
+       floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * 1000000) / 1000000.0 AS slope_micros_per_sec
+FROM m
+WHERE n >= 2
+  AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+""", doc="Per-user purchase-value trend: OLS slope of value over time "
+         "from EXACT integer moments — one partial-agg shuffle "
+         "computes (n, Σx, Σy, Σxx, Σxy) as integer sums (x = epoch "
+         "seconds re-based to the corpus start to keep products in "
+         "int64 range; y = floor-micros), so the moments are "
+         "order-independent, and the slope is then pure per-group IEEE "
+         "arithmetic on identical operands in both engines — the same "
+         "bit-stability recipe as quality_outliers, where the built-in "
+         "regr_slope would be accumulation-order-dependent. "
+         "Zero-time-variance users are filtered (slope undefined), "
+         "output floor-quantized at 1e-6. One shuffle, no window, no "
+         "second pass — at 100 TB this is a single map-combine "
+         "aggregate.")
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+    x = F.unix_timestamp("ts") - base
+    y = F.floor(F.col("value") * 1000000).cast("bigint")
+    m = (_t(spark, sf_dir, "events")
+         .filter((F.col("event_type") == "purchase")
+                 & F.col("value").isNotNull())
+         .select(F.col("user_id"), x.alias("x"), y.alias("y"))
+         .groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") \
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") \
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    return (m.filter((F.col("n") >= 2) & (den > 0))
+            .select("user_id", "n",
+                    (F.floor(num / den * 1000000) / F.lit(1000000.0))
+                    .alias("slope_micros_per_sec")))
+
+
 # Convenience exports ---------------------------------------------------------
 
 # ===========================================================================
