@@ -1013,3 +1013,111 @@ def test_asof_join_null_keys_and_timestamps_stay_unmatched(spark):
         assert got["null_key"] is None, direction
         expected_ok = 1.0 if direction != "forward" else None
         assert got["ok"] == expected_ok, direction
+
+
+def test_tpch_q6_all_filters_push_into_scan(spark):
+    """Q6 analog: pure scan-filter-aggregate — the shipdate range,
+    discount band, and quantity cap must ALL reach the parquet scan,
+    and the plan must contain no join or exchange beyond the 1-row
+    final aggregate's."""
+    plan = _plan(QUERIES["revenue_forecast_delta"].spark(spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "CartesianProduct"):
+        assert join not in plan
+
+
+def test_tpch_q13_filter_pushes_below_outer_join(spark):
+    """Q13 analog: the non-join predicate must prune the orders scan
+    BEFORE the left outer join (filtering after an outer join silently
+    turns it inner), and orders must pre-aggregate per custkey before
+    joining the customer spine."""
+    plan = _plan(QUERIES["customer_order_distribution"].spark(spark, SF_SMOKE))
+    orders_scan = next(l for l in plan.splitlines()
+                       if "FileScan" in l and "orders.parquet" in l)
+    assert "o_orderpriority" in orders_scan
+    # the per-custkey aggregate sits below the outer join: at least one
+    # HashAggregate appears after (deeper than) the join in toString order
+    join_pos = max(plan.find(j) for j in
+                   ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert plan.find("HashAggregate", join_pos) != -1
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q15_scalar_max_broadcast_no_global_window(spark):
+    """Q15 analog: the max-revenue compare must ride a 1-row broadcast
+    (scalar-subquery rewrite), never a global unpartitioned window over
+    the per-supplier aggregate."""
+    plan = _plan(QUERIES["top_supplier_revenue"].spark(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tpch_q11_fact_scanned_once(spark):
+    """Q11 analog: the grand total re-aggregates the per-part table —
+    lineitem must appear at most ONCE in the final plan (the per-part
+    aggregate is checkpoint-pinned because AQE does not reuse the
+    exchange across both consumers; the second pass runs on the
+    dimension-sized aggregate)."""
+    df = QUERIES["important_parts_share"].spark(spark, SF_SMOKE)
+    plan = _plan(df)
+    li_scans = [l for l in plan.splitlines()
+                if "FileScan" in l and "lineitem" in l]
+    assert len(li_scans) <= 1, plan
+    # and the checkpointed aggregate feeds both branches
+    assert "ExistingRDD" in plan or len(li_scans) == 1
+
+
+def test_tpch_q2_window_partitioned_and_dims_broadcast(spark):
+    """Q2 analog: the per-part min must be a PARTITIONED window (never
+    a global sort) and the region->nation->supplier chain plus the
+    size-filtered part dim must broadcast; p_size reaches the part
+    scan."""
+    plan = _plan(QUERIES["min_cost_supplier"].spark(spark, SF_SMOKE))
+    assert "Window" in plan
+    part_scan = next(l for l in plan.splitlines()
+                     if "FileScan" in l and "part.parquet" in l)
+    assert "p_size" in part_scan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q8_single_fact_shuffle_rest_broadcast(spark):
+    """Q8 analog: the widest join tree in the suite — customer,
+    supplier, part, and nation(x2) must ALL broadcast; the only
+    shuffle join is lineitem x orders."""
+    plan = _plan(QUERIES["nation_market_share"].spark(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_single_scan_no_expand_take_ordered(spark):
+    """Q21 analog: the EXISTS/NOT-EXISTS rewrite must scan lineitem
+    exactly ONCE (pair aggregate + keyed window, no self-join), carry
+    no count-distinct Expand, and plan the top-20 as
+    TakeOrderedAndProject."""
+    plan = _plan(QUERIES["late_supplier_blame"].spark(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    li_scans = [l for l in plan.splitlines()
+                if "FileScan" in l and "lineitem" in l]
+    assert len(li_scans) == 1, plan
+    assert "Expand" not in plan
+    # the window is keyed — never a global sort
+    assert "Window" in plan
+
+
+def test_tpch_q16_q20_semi_anti_shapes(spark):
+    """Q16 analog plans a LeftAnti against the flagged-supplier
+    broadcast; Q20 analog plans a LeftSemi of supplier against the
+    aggregated bulk-shipper keys."""
+    p16 = _plan(QUERIES["parts_supplier_counts"].spark(spark, SF_SMOKE))
+    assert "LeftAnti" in p16
+    assert "CartesianProduct" not in p16
+    p20 = _plan(QUERIES["bulk_suppliers"].spark(spark, SF_SMOKE))
+    assert "LeftSemi" in p20
+    assert "CartesianProduct" not in p20

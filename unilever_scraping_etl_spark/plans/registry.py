@@ -3229,6 +3229,575 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("slope_micros_per_sec")))
 
 
+@q("revenue_forecast_delta", """
+SELECT sum(CAST(floor(l_extendedprice * l_discount * 10000) AS BIGINT))
+           / 10000.0 AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+""", doc="TPC-H Q6 analog (forecasting revenue change): the canonical "
+         "pure scan-filter-aggregate — how much revenue the discounts "
+         "in a band gave away over one year. Every predicate is a "
+         "simple comparison on a scan column, so ALL THREE push into "
+         "the parquet scan (PushedFilters shows the shipdate range, "
+         "discount band, and quantity cap); no join, no shuffle beyond "
+         "the 1-row partial-agg combine. The discount literals parse "
+         "to identical doubles in both engines, and the summed term is "
+         "floor-quantized to integer e4 units before aggregation, so "
+         "the single output value is bit-stable regardless of "
+         "accumulation order — at 100 TB this query is pure scan "
+         "bandwidth, the shape AQE cannot improve and codegen fully "
+         "fuses.")
+def revenue_forecast_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    delta_e4 = F.floor(F.col("l_extendedprice") * F.col("l_discount")
+                       * 10000)
+    return (_t(spark, sf_dir, "lineitem")
+            .filter((F.col("l_shipdate")
+                     >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate")
+                       < F.lit("1998-01-01").cast("timestamp"))
+                    & F.col("l_discount").between(0.04, 0.06)
+                    & (F.col("l_quantity") < 24))
+            .agg((F.sum(delta_e4.cast("decimal(38,0)")).cast("double")
+                  / F.lit(10000.0)).alias("revenue_delta")))
+
+
+@q("customer_order_distribution", """
+WITH counts AS (
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS c_count
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+                     AND o_orderpriority <> '5-LOW'
+    GROUP BY c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM counts GROUP BY c_count
+""", doc="TPC-H Q13 analog (customer order-count distribution): how "
+         "many customers placed 0, 1, 2, ... qualifying orders — the "
+         "classic histogram-of-counts double aggregate with an outer "
+         "join that must preserve order-less customers. The plan "
+         "aggregates orders per custkey FIRST (map-side combine on the "
+         "fact table collapses it to one row per customer) and only "
+         "then left-joins the customer spine, so the expensive side "
+         "never carries customer attributes through the shuffle; "
+         "customers with no orders enter as NULL and are coalesced to "
+         "0. The non-join predicate on o_orderpriority is pushed into "
+         "the orders scan, NOT applied after the join (the Q13 trap: "
+         "filtering after an outer join silently turns it inner). "
+         "Both aggregates are exact integer counts.")
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (_t(spark, sf_dir, "orders")
+                .filter(F.col("o_orderpriority") != "5-LOW")
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n_orders")))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (cust.join(per_cust,
+                      cust["c_custkey"] == per_cust["o_custkey"], "left")
+            .select(F.coalesce(F.col("n_orders"), F.lit(0))
+                    .cast("bigint").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@q("top_supplier_revenue", """
+WITH rev AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 10000) AS BIGINT)) AS BIGINT)
+               AS total_rev_e4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev_e4 / 10000.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+""", doc="TPC-H Q15 analog (top supplier): the supplier(s) with the "
+         "maximum revenue in one quarter. The reference formulation is "
+         "a view consumed twice (once aggregated to max, once row- "
+         "wise); here the per-supplier revenue aggregate is computed "
+         "ONCE and its 1-row max is broadcast back as a cross join — "
+         "the scalar-subquery rewrite that avoids a global window "
+         "sort. Ties are kept, matching WHERE = (SELECT max...). "
+         "Revenue is the exact integer-e4 sum in both engines so the "
+         "max comparison is exact equality on integers, never a float "
+         "boundary. At 100 TB: one date-pruned fact shuffle on "
+         "l_suppkey, then broadcasts only.")
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_e4 = F.floor(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount")) * 10000)
+    rev = (_t(spark, sf_dir, "lineitem")
+           .filter((F.col("l_shipdate")
+                    >= F.lit("1997-01-01").cast("timestamp"))
+                   & (F.col("l_shipdate")
+                      < F.lit("1997-04-01").cast("timestamp")))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(rev_e4.cast("decimal(38,0)")).cast("bigint")
+                .alias("total_rev_e4")))
+    top = rev.agg(F.max("total_rev_e4").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(top))
+            .filter(F.col("total_rev_e4") == F.col("mx"))
+            .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    (F.col("total_rev_e4") / F.lit(10000.0))
+                    .alias("total_revenue")))
+
+
+@q("ship_delay_priority", """
+SELECT CAST(floor(date_diff('day', o_orderdate, l_shipdate) / 30.0)
+            AS BIGINT) AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY delay_bucket
+""", doc="TPC-H Q12 analog (shipping delay vs order priority): this "
+         "corpus has no l_shipmode column, so the Q12 group key is "
+         "replaced by a derived 30-day ship-delay bucket — same plan "
+         "shape: fact-fact equi join, then conditional counts split by "
+         "order priority per group. The ship-year filter prunes the "
+         "lineitem scan before the join; the only shuffle is the "
+         "orderkey join (the groupBy's input is small after partial "
+         "agg). datediff is exact integer days in both engines (both "
+         "timestamps are midnight-aligned) and floor(x/30.0) on a "
+         "small integer is one deterministic IEEE op, so bucket edges "
+         "cannot disagree; counts are exact integers.")
+def ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1998-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_shipdate"))
+    orders = (_t(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.floor(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                     / F.lit(30.0)).cast("bigint")
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select(bucket.alias("delay_bucket"), high.alias("high"))
+            .groupBy("delay_bucket")
+            .agg(F.sum(F.when(F.col("high"), 1).otherwise(0))
+                 .cast("bigint").alias("high_line_count"),
+                 F.sum(F.when(F.col("high"), 0).otherwise(1))
+                 .cast("bigint").alias("low_line_count")))
+
+
+@q("important_parts_share", """
+WITH pr AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 10000) AS BIGINT)) AS BIGINT) AS rev_e4
+    FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(sum(rev_e4) AS BIGINT) AS total_e4 FROM pr)
+SELECT l_partkey AS p_partkey, rev_e4 / 10000.0 AS part_revenue
+FROM pr CROSS JOIN tot
+WHERE rev_e4 * 1500 > total_e4
+""", doc="TPC-H Q11 analog (important parts): parts whose revenue "
+         "exceeds 1/1500 of ALL revenue — the group-HAVING-against-"
+         "global-aggregate shape (Q11 does it over partsupp inventory "
+         "value; this corpus has no partsupp, so lineitem revenue "
+         "stands in). The per-part aggregate is computed once; its "
+         "1-row grand total re-aggregates FROM THE PER-PART TABLE "
+         "(2,000 rows, not a second 60k-row fact scan) and broadcasts "
+         "back as a cross join. The threshold compare is division-"
+         "free integer math (rev*1500 > total), so no part flips on "
+         "float rounding; at 100 TB the fact table is read exactly "
+         "once — the per-part aggregate is pinned with a LAZY "
+         "localCheckpoint because Catalyst/AQE does NOT reuse the "
+         "aggregate exchange across the two consumers (verified: the "
+         "un-checkpointed plan scans lineitem twice), and the second "
+         "pass then touches only the dimension-sized per-key table.")
+def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_e4 = F.floor(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount")) * 10000)
+    pr = (_t(spark, sf_dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(F.sum(rev_e4.cast("decimal(38,0)")).cast("bigint")
+               .alias("rev_e4"))
+          .localCheckpoint(eager=False))
+    tot = pr.agg(F.sum(F.col("rev_e4").cast("decimal(38,0)"))
+                 .cast("bigint").alias("total_e4"))
+    return (pr.crossJoin(F.broadcast(tot))
+            .filter(F.col("rev_e4") * 1500 > F.col("total_e4"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    (F.col("rev_e4") / F.lit(10000.0))
+                    .alias("part_revenue")))
+
+
+@q("min_cost_supplier", """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(min(CAST(floor(l_extendedprice * 10000 / l_quantity)
+                         AS BIGINT)) AS BIGINT) AS cost_e4
+    FROM lineitem GROUP BY l_partkey, l_suppkey),
+eu AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'),
+cand AS (
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+           cost_e4,
+           min(cost_e4) OVER (PARTITION BY p_partkey) AS min_cost
+    FROM part
+    JOIN ps ON l_partkey = p_partkey
+    JOIN eu ON s_suppkey = l_suppkey
+    WHERE p_size = 25)
+SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+       cost_e4 / 10000.0 AS unit_cost
+FROM cand WHERE cost_e4 = min_cost
+""", doc="TPC-H Q2 analog (minimum-cost supplier): for each part of "
+         "one size, the European supplier(s) offering it at the "
+         "lowest observed unit cost. partsupp does not exist in this "
+         "corpus, so supply cost is derived as the minimum shipped "
+         "unit price per (part, supplier) — one partial-agg shuffle "
+         "on the composite key. Q2's correlated min subquery becomes "
+         "a window MIN over p_partkey: the candidate table is already "
+         "keyed by part after the join, so the window reuses that "
+         "partitioning instead of a second aggregate+self-join pass. "
+         "Region/nation/supplier fold into one broadcast dim chain; "
+         "ties on min cost are all kept, exactly as the SQL = "
+         "comparison does. Unit cost is floor-quantized BEFORE the "
+         "min, so cross-engine min/equality run on exact integers.")
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cost_e4 = F.floor(F.col("l_extendedprice") * 10000
+                      / F.col("l_quantity"))
+    ps = (_t(spark, sf_dir, "lineitem")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.min(cost_e4.cast("bigint")).alias("cost_e4")))
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (_t(spark, sf_dir, "supplier")
+          .join(F.broadcast(nation.join(
+              F.broadcast(region.select("r_regionkey")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+              .select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    part = F.broadcast(_t(spark, sf_dir, "part")
+                       .filter(F.col("p_size") == 25)
+                       .select("p_partkey", "p_name"))
+    cand = (ps.join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(eu),
+                  F.col("l_suppkey") == F.col("s_suppkey")))
+    w = Window.partitionBy("p_partkey")
+    return (cand.withColumn("min_cost", F.min("cost_e4").over(w))
+            .filter(F.col("cost_e4") == F.col("min_cost"))
+            .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                    "s_acctbal", "n_name",
+                    (F.col("cost_e4") / F.lit(10000.0))
+                    .alias("unit_cost")))
+
+
+@q("nation_market_share", """
+WITH base AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT) AS rev_e4,
+           n2.n_name AS supp_nation
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n1.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s_nationkey
+    JOIN part     ON p_partkey = l_partkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01')
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_e4
+                     ELSE 0 END) AS DOUBLE)
+           / CAST(sum(rev_e4) AS DOUBLE) AS mkt_share
+FROM base GROUP BY o_year
+""", doc="TPC-H Q8 analog (national market share): NATION_7 suppliers' "
+         "share of PROMO-part revenue sold to ASIA customers, per "
+         "order year. The widest join tree in the suite — lineitem "
+         "joined to orders (the one big shuffle) with customer, "
+         "supplier, part, and a twice-used nation dim all BROADCAST; "
+         "the region filter prunes the customer side through its "
+         "nation join before any fact row moves. The share is one "
+         "division of two exact integer sums (the conditional "
+         "numerator sums the same quantized units as the "
+         "denominator), so each year's output is a single "
+         "deterministic IEEE op — never a float accumulation.")
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_e4 = F.floor(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount")) * 10000)
+    nation = _t(spark, sf_dir, "nation")
+    region = (_t(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA")
+              .select("r_regionkey"))
+    asia_nk = (nation.join(F.broadcast(region),
+                           F.col("n_regionkey") == F.col("r_regionkey"))
+               .select(F.col("n_nationkey").alias("ank")))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(asia_nk),
+                  F.col("c_nationkey") == F.col("ank"))
+            .select("c_custkey"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation.select(
+                F.col("n_nationkey").alias("snk"),
+                F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("snk"))
+            .select("s_suppkey", "supp_nation"))
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "PROMO")
+            .select("p_partkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate")
+                       >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit("1998-01-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey",
+                      F.year("o_orderdate").cast("bigint")
+                      .alias("o_year")))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+                  rev_e4.cast("bigint").alias("rev_e4")))
+    zero = F.lit(0).cast("decimal(38,0)")
+    joined = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+              .join(F.broadcast(cust),
+                    orders["o_custkey"] == cust["c_custkey"])
+              .join(F.broadcast(supp),
+                    li["l_suppkey"] == supp["s_suppkey"])
+              .join(F.broadcast(part),
+                    li["l_partkey"] == part["p_partkey"]))
+    return (joined.groupBy("o_year")
+            .agg((F.sum(F.when(F.col("supp_nation") == "NATION_7",
+                               F.col("rev_e4").cast("decimal(38,0)"))
+                        .otherwise(zero)).cast("double")
+                  / F.sum(F.col("rev_e4").cast("decimal(38,0)"))
+                     .cast("double"))
+                 .alias("mkt_share")))
+
+
+@q("part_type_profit", """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)
+           - CAST(floor(p_retailprice * l_quantity * 10000)
+                  AS BIGINT)) / 10000.0 AS profit
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN part     ON p_partkey = l_partkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2
+""", doc="TPC-H Q9 analog (product-type profit): profit on one part "
+         "family per supplier nation per order year. partsupp's "
+         "supplycost does not exist here, so cost is modeled as "
+         "retailprice x quantity; the profit term quantizes revenue "
+         "and cost SEPARATELY to integer e4 units before subtracting, "
+         "keeping every per-row term and the sum exact integers in "
+         "both engines. The p_name LIKE filter cannot push below the "
+         "join, but it prunes the broadcast part dim to a fraction "
+         "before the fact join; orders joins on the one orderkey "
+         "shuffle; supplier->nation is a broadcast chain. Profit can "
+         "be negative — the signed integer sum is still exact.")
+def part_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_e4 = F.floor(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount")) * 10000).cast("bigint")
+    cost_e4 = F.floor(F.col("p_retailprice") * F.col("l_quantity")
+                      * 10000).cast("bigint")
+    part = F.broadcast(_t(spark, sf_dir, "part")
+                       .filter(F.col("p_name").like("%bolt%"))
+                       .select("p_partkey", "p_retailprice"))
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")
+                          .select("n_nationkey",
+                                  F.col("n_name").alias("nation"))),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "nation"))
+    orders = (_t(spark, sf_dir, "orders")
+              .select("o_orderkey",
+                      F.year("o_orderdate").cast("bigint")
+                      .alias("o_year")))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                  "l_extendedprice", "l_discount"))
+    return (li.join(part, li["l_partkey"] == part["p_partkey"])
+            .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+            .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select("nation", "o_year",
+                    (rev_e4 - cost_e4).alias("profit_e4"))
+            .groupBy("nation", "o_year")
+            .agg((F.sum(F.col("profit_e4").cast("decimal(38,0)"))
+                  .cast("double") / F.lit(10000.0)).alias("profit")))
+
+
+@q("parts_supplier_counts", """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""", doc="TPC-H Q16 analog (supplier counts per part class): how many "
+         "distinct suppliers ship each (brand, type, size) class, "
+         "excluding one brand, restricted to listed sizes, and "
+         "excluding flagged suppliers (negative balance stands in for "
+         "Q16's complaint-comment filter). The part-supplier link is "
+         "derived from lineitem as a DISTINCT pair projection — the "
+         "partial-agg dedup collapses the fact table to ~|part|x"
+         "avg-suppliers rows before anything joins. The supplier "
+         "exclusion is a LEFT ANTI against a 6-row broadcast (NOT IN "
+         "without the null trap — s_suppkey is non-null by "
+         "construction); part filters prune the broadcast dim. "
+         "count(DISTINCT) over the already-distinct pairs is exact.")
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (_t(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    part = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1")
+                & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+        .select("p_partkey", "p_brand", "p_type", "p_size"))
+    return (pairs
+            .join(F.broadcast(bad),
+                  pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+            .join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").cast("bigint")
+                 .alias("supplier_cnt")))
+
+
+@q("bulk_suppliers", """
+WITH shipped AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13', 'NATION_18',
+                 'NATION_23')
+  AND s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 150)
+""", doc="TPC-H Q20 analog (bulk suppliers): suppliers in one region's "
+         "nations who shipped over 150 units of red parts in a year — "
+         "Q20's nested IN chain (supplier IN (partsupp IN (part)), "
+         "availqty threshold) re-expressed over lineitem shipments. "
+         "The inner worklist aggregates the date- and part-pruned "
+         "fact table per supplier FIRST (one small shuffle), applies "
+         "the integer quantity threshold, and the outer query is a "
+         "LEFT SEMI join of the supplier dim against that tiny key "
+         "set — the supplier table is never widened by fact columns. "
+         "Quantities are integral doubles cast to BIGINT before "
+         "summing, so the threshold compare is exact in both "
+         "engines.")
+def bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = F.broadcast(_t(spark, sf_dir, "part")
+                       .filter(F.col("p_name").like("red%"))
+                       .select("p_partkey"))
+    shipped = (_t(spark, sf_dir, "lineitem")
+               .filter((F.col("l_shipdate")
+                        >= F.lit("1997-01-01").cast("timestamp"))
+                       & (F.col("l_shipdate")
+                          < F.lit("1998-01-01").cast("timestamp")))
+               .join(part, F.col("l_partkey") == F.col("p_partkey"))
+               .groupBy("l_suppkey")
+               .agg(F.sum(F.col("l_quantity").cast("bigint"))
+                    .alias("qty"))
+               .filter(F.col("qty") > 150)
+               .select("l_suppkey"))
+    nations = ("NATION_3", "NATION_8", "NATION_13", "NATION_18",
+               "NATION_23")
+    nation = F.broadcast(_t(spark, sf_dir, "nation")
+                         .filter(F.col("n_name").isin(*nations))
+                         .select("n_nationkey"))
+    return (_t(spark, sf_dir, "supplier")
+            .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+@q("late_supplier_blame", """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey,
+           CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 1 ELSE 0 END AS late
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'),
+per_order AS (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+               AS n_late
+    FROM li GROUP BY l_orderkey),
+blamed AS (
+    SELECT DISTINCT li.l_orderkey, li.l_suppkey
+    FROM li JOIN per_order USING (l_orderkey)
+    WHERE li.late = 1 AND n_supp > 1 AND n_late = 1)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM blamed JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20
+""", doc="TPC-H Q21 analog (suppliers who kept orders waiting): for "
+         "finalized multi-supplier orders, blame the supplier who was "
+         "the ONLY late one (late = shipped >60 days after the order "
+         "date; the corpus has no commit/receipt dates). Q21's "
+         "EXISTS + NOT EXISTS double correlation is re-expressed "
+         "WITHOUT any self-join: one (order, supplier) aggregate "
+         "collapses the fact table to distinct pairs with a late "
+         "flag (max), then a window over l_orderkey computes the "
+         "per-order supplier and late-supplier counts in place — the "
+         "fact is SCANNED ONCE and shuffled twice on shrinking keys "
+         "(the naive exists-rewrite scans it twice and adds a "
+         "count-distinct Expand; three correlated self-joins would "
+         "scan it three times). Blame is counted once per (order, "
+         "supplier) pair; the top-20 is TakeOrdered on the exact "
+         "integer count with s_name as total tiebreak, so the limit "
+         "boundary is deterministic in both engines.")
+def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    pairs = (_t(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_suppkey", "l_shipdate")
+             .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("l_orderkey", "l_suppkey")
+             .agg(F.max(late.cast("int")).alias("late")))
+    w = Window.partitionBy("l_orderkey")
+    blamed = (pairs
+              .withColumn("n_supp", F.count(F.lit(1)).over(w))
+              .withColumn("n_late", F.sum("late").over(w))
+              .filter((F.col("late") == 1) & (F.col("n_supp") > 1)
+                      & (F.col("n_late") == 1)))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier")
+                       .select("s_suppkey", "s_name"))
+    return (blamed.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(20))
+
+
 # Convenience exports ---------------------------------------------------------
 
 # ===========================================================================
