@@ -1121,3 +1121,48 @@ def test_tpch_q16_q20_semi_anti_shapes(spark):
     p20 = _plan(QUERIES["bulk_suppliers"].spark(spark, SF_SMOKE))
     assert "LeftSemi" in p20
     assert "CartesianProduct" not in p20
+
+
+def test_plan_linter_all_queries(spark):
+    """Suite-wide physical-plan invariants over EVERY registered query
+    at sf0.001 — the properties that decide 100 TB survival, enforced
+    globally so a new query cannot silently ship an anti-pattern:
+
+    - no CartesianProduct (the only sanctioned cross shapes are
+      BroadcastNestedLoopJoin over 1-row scalar broadcasts and the
+      explicit join_cross demo);
+    - no row-at-a-time Python evaluation (BatchEvalPython) — every
+      Python lane must be Arrow-batched (ArrowEvalPython, MapInPandas,
+      FlatMapGroupsInPandas, PythonUDTF are fine);
+    - no unpartitioned Window fed by an Exchange SinglePartition unless
+      the frame is bounded by construction (whitelist documents each).
+    """
+    # global windows over provably tiny frames (see each site's
+    # bounded-by-construction comment)
+    global_window_ok = {
+        "user_activity",        # day-level table: <= ~3 years of rows
+        "sim_ann_ivf",          # centroid numbering over <= nlist rows
+        "corpus_funnel",        # stage-audit rows: 4
+        "conversion_funnel",    # funnel stages: 3 rows
+        "unpivot_stats",        # per-flag aggregate: <= 9 rows
+        "vocab_topk",           # merged top-100 vocabulary
+        "cohort_retention",     # weekly cohorts x offsets: <= dozens
+    }
+    cartesian_ok = {"join_cross"}
+    failures = []
+    for name, spec in QUERIES.items():
+        plan = _plan(spec.spark(spark, SF_SMOKE))
+        if "CartesianProduct" in plan and name not in cartesian_ok:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan and "UDTF" not in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            head = line.lstrip(" :+-*")
+            if head.startswith("Window ") and name not in global_window_ok:
+                below = "\n".join(lines[i + 1:i + 5])
+                if "Exchange SinglePartition" in below:
+                    failures.append(f"{name}: global window over "
+                                    "SinglePartition exchange")
+                    break
+    assert not failures, failures
