@@ -114,6 +114,19 @@ def test_apply_in_pandas_with_state_running_totals(spark, events_stream_source):
     assert got == want
 
 
+def test_stream_static_enrich_equals_batch(spark, events_stream_source):
+    """Stream-static broadcast enrichment join must reproduce the batch
+    join exactly — the static dim is stateless and re-read per
+    micro-batch."""
+    path, batch = events_stream_source
+    dim = (load_table(spark, SF_SMOKE, "customer")
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_mktsegment").alias("segment")))
+    src = spark.readStream.schema(batch.schema).parquet(path)
+    out = _run_stream(spark, W.static_enrich_counts(src, dim), "t_enrich")
+    _assert_same(W.static_enrich_counts(batch, dim), out)
+
+
 def test_stream_stream_interval_join(spark, events_stream_source):
     """Stream-stream interval join must reproduce the batch interval
     join when one availableNow batch carries all rows (watermarks bound

@@ -850,6 +850,31 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(_t(spark, sf_dir, "events"))
 
 
+@q("stream_static_enrich", f"""
+SELECT strftime({_BUCKET10}, '%Y-%m-%d %H:%M:%S') AS window_start,
+       c_mktsegment AS segment,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 1000000) AS BIGINT)) / 1000000.0
+           AS sum_value
+FROM events JOIN customer ON c_custkey = user_id
+GROUP BY 1, 2
+""", doc="ST6 stream-static enrichment: events joined to a broadcast "
+         "customer-segment dimension, then tumbling 10-min counts and "
+         "integer-micros value sums per segment. The static side of a "
+         "stream-static join is stateless (re-planned per micro-batch, "
+         "no watermark, no state store) and the broadcast keeps each "
+         "micro-batch shuffle-free on the join — the canonical "
+         "enrich-at-ingest shape for a 100 TB/day stream. Identical "
+         "plan serves batch (this registration) and readStream "
+         "(tests/test_streaming.py pins stream == batch).")
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import static_enrich_counts
+    dim = (_t(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_mktsegment").alias("segment")))
+    return static_enrich_counts(_t(spark, sf_dir, "events"), dim)
+
+
 @q("stream_sliding", f"""
 WITH b AS (SELECT {_BUCKET5} AS s5 FROM events)
 SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -35,6 +35,28 @@ def tumbling_counts(events: DataFrame, width: str = "10 minutes",
                     "event_type", "n_events", "sum_value"))
 
 
+def static_enrich_counts(events: DataFrame, dim: DataFrame,
+                         width: str = "10 minutes",
+                         ts_col: str = "ts") -> DataFrame:
+    """ST6 — stream-static enrichment join + tumbling agg. The static
+    (dimension) side of a stream-static equi join is STATELESS: Spark
+    re-evaluates the static relation per micro-batch with no watermark
+    and no state store, and the broadcast hint keeps every micro-batch
+    join shuffle-free — the canonical shape for enriching a high-volume
+    event stream with a dimension table at 100 TB/day. The identical
+    plan serves batch; sums follow the floor(value*1e6) integer
+    discipline so stream and batch agree bit-for-bit."""
+    enriched = events.join(F.broadcast(dim), "user_id")
+    return (enriched
+            .groupBy(F.window(ts_col, width).alias("w"), F.col("segment"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum(F.floor(F.col("value") * 1000000)
+                         .cast("decimal(38,0)"))
+                   .cast("double") / F.lit(1000000.0)).alias("sum_value"))
+            .select(F.date_format("w.start", TS_FMT).alias("window_start"),
+                    "segment", "n_events", "sum_value"))
+
+
 def sliding_counts(events: DataFrame, width: str = "10 minutes",
                    slide: str = "5 minutes", ts_col: str = "ts") -> DataFrame:
     """ST2 — sliding window: each event lands in width/slide windows."""
