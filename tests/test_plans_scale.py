@@ -1166,3 +1166,39 @@ def test_plan_linter_all_queries(spark):
                                     "SinglePartition exchange")
                     break
     assert not failures, failures
+
+
+def test_quantile_rollup_merge_invariance_and_accuracy(spark):
+    """The per-day quantile sketch must be merge-invariant (rolling up
+    day histograms == one-pass histogram over all events) and each
+    estimate must sit within one bin width (8) below the exact
+    percentile."""
+    ev = load_table(spark, SF_SMOKE, "events").filter(F.col("value").isNotNull())
+    bin_ = F.least(F.lit(127), F.floor(F.col("value") / 8).cast("int"))
+    via_days = (ev.groupBy("event_type", F.to_date("ts").alias("day"),
+                           bin_.alias("bin"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .groupBy("event_type", "bin").agg(F.sum("n").alias("n")))
+    one_pass = (ev.groupBy("event_type", bin_.alias("bin"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    assert sorted(map(tuple, via_days.collect())) == \
+        sorted(map(tuple, one_pass.collect()))
+
+    est = {r["event_type"]: r for r in
+           QUERIES["quantile_rollup"].spark(spark, SF_SMOKE).collect()}
+    # defining property of the sketch quantile: strictly less than q%
+    # of the mass lies below the reported bin, and at least q% lies at
+    # or below its upper edge — exact rank semantics, any data shape
+    rows = ev.select("event_type", "value").collect()
+    from collections import defaultdict
+    vals = defaultdict(list)
+    for r in rows:
+        vals[r["event_type"]].append(r["value"])
+    for etype, vs in vals.items():
+        total = len(vs)
+        for q in (50, 95, 99):
+            got = est[etype][f"p{q}"]
+            below = sum(1 for v in vs if v < got)
+            through = sum(1 for v in vs if v < got + 8)
+            assert below * 100 < q * total, (etype, q, got)
+            assert through * 100 >= q * total, (etype, q, got)

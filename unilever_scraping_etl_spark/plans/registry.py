@@ -1966,6 +1966,74 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("approx_users")))
 
 
+@q("quantile_rollup", """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           least(127, CAST(floor(value / 8) AS INT)) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2, 3),
+merged AS (
+    SELECT event_type, bin, CAST(sum(n) AS BIGINT) AS n
+    FROM daily GROUP BY 1, 2),
+cum AS (
+    SELECT event_type, bin,
+           CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run,
+           CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+    FROM merged)
+SELECT event_type,
+       CAST(min(CASE WHEN run * 100 >= 50 * total THEN bin END) * 8
+            AS DOUBLE) AS p50,
+       CAST(min(CASE WHEN run * 100 >= 95 * total THEN bin END) * 8
+            AS DOUBLE) AS p95,
+       CAST(min(CASE WHEN run * 100 >= 99 * total THEN bin END) * 8
+            AS DOUBLE) AS p99
+FROM cum GROUP BY event_type
+""", doc="Mergeable QUANTILE-sketch rollup with an EXACT oracle — the "
+         "agg_sketch_rollup pattern (store per-day sketches, answer "
+         "any window by merging) applied to percentiles instead of "
+         "distinct counts. The per-(event_type, day) sketch is a "
+         "fixed-bin histogram: bin = least(127, floor(value/8)) — one "
+         "deterministic IEEE op, data-independent edges — and merging "
+         "is integer bin-count addition, associative and commutative, "
+         "so day sketches roll up across ANY partitioning or window "
+         "with no rescan of raw events. Unlike t-digest/KLL (whose "
+         "estimates are implementation-specific, forcing rows-only "
+         "checks), this sketch is a deterministic function of the "
+         "data, so DuckDB reproduces p50/p95/p99 bit-for-bit: the "
+         "quantile pick is division-free integer math (run*100 >= "
+         "q*total) over the cumulative bin mass. Plan: two shrinking "
+         "partial-agg shuffles (day grain -> bin grain), one keyed "
+         "window over <=128 rows per type, one tiny final aggregate. "
+         "Resolution is the bin width (8): a p99 answer is the bin's "
+         "lower edge — the documented accuracy/state tradeoff every "
+         "mergeable sketch makes.")
+def quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bin_ = F.least(F.lit(127),
+                   F.floor(F.col("value") / 8).cast("int")).alias("bin")
+    daily = (_t(spark, sf_dir, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy("event_type", F.to_date("ts").alias("day"), bin_)
+             .agg(F.count(F.lit(1)).alias("n")))
+    merged = (daily.groupBy("event_type", "bin")
+              .agg(F.sum("n").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (merged
+           .withColumn("run", F.sum("n").over(w))
+           .withColumn("total",
+                       F.sum("n").over(Window.partitionBy("event_type"))))
+
+    def pick(q: int):
+        return (F.min(F.when(F.col("run") * 100 >= q * F.col("total"),
+                             F.col("bin"))) * 8).cast("double")
+
+    return (cum.groupBy("event_type")
+            .agg(pick(50).alias("p50"), pick(95).alias("p95"),
+                 pick(99).alias("p99")))
+
+
 @q("text_repetition", """
 SELECT doc_id,
        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
