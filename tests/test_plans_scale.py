@@ -1202,3 +1202,43 @@ def test_quantile_rollup_merge_invariance_and_accuracy(spark):
             through = sum(1 for v in vs if v < got + 8)
             assert below * 100 < q * total, (etype, q, got)
             assert through * 100 >= q * total, (etype, q, got)
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    """resize_images emits fixed-dimension binary payloads of exactly
+    width*height bytes; sample_frames fans out 1 + n_bytes % 4 rows per
+    input with the deterministic (frame_idx, ts_ms) lattice and
+    partitions every payload byte across frames; strict mode raises for
+    both (honest codec stubs)."""
+    import pytest as _pytest
+
+    from unilever_scraping_etl_spark.sources import multimodal
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    media = multimodal.synthetic_media_from_documents(docs)
+
+    rs = multimodal.resize_images(media, width=16, height=9).collect()
+    assert len(rs) == 40
+    assert all(r["width"] == 16 and r["height"] == 9 for r in rs)
+    assert all(len(r["payload"]) == 16 * 9 for r in rs)
+
+    frames = multimodal.sample_frames(media, batch_rows=5).collect()
+    src = {r["media_id"]: bytes(r["payload"])
+           for r in media.select("media_id", "payload").collect()}
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(src)
+    for mid, rows in by_media.items():
+        n = 1 + len(src[mid]) % 4
+        assert len(rows) == n
+        assert sorted(r["frame_idx"] for r in rows) == list(range(n))
+        assert all(r["ts_ms"] == r["frame_idx"] * 40 for r in rows)
+        # every input byte lands in exactly one frame (k::n slicing)
+        total = sum(len(bytes(r["frame_payload"])) for r in rows)
+        assert total == len(src[mid])
+
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.resize_images(media, strict=True).collect()
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.sample_frames(media, strict=True).collect()

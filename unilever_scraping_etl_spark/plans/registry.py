@@ -1446,6 +1446,31 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("feature_sum"))
 
 
+@q("multimodal_frames", """
+WITH f AS (
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, 1 + octet_length(encode(text)) % 4))
+                AS INT) AS frame_idx
+    FROM documents)
+SELECT media_id, frame_idx, CAST(frame_idx * 40 AS BIGINT) AS ts_ms
+FROM f
+""", doc="L5 video frame sampling: one payload row fans out to "
+         "n_frames rows through a chunk-bounded mapInPandas (the ~100x "
+         "row explosion of frame extraction at corpus scale must bound "
+         "OUTPUT batches independently of input batch size). The codec "
+         "is stubbed, but the fan-out is a deterministic function of "
+         "the byte length (n_frames = 1 + n_bytes %% 4, ts = idx * "
+         "40 ms), so the (media_id, frame_idx, ts_ms) lattice — the "
+         "part Spark is responsible for — is EXACTLY verified against "
+         "a DuckDB unnest(range(octet_length)) oracle; only the fake "
+         "frame bytes stay unchecked.")
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthetic_media_from_documents(
+        _t(spark, sf_dir, "documents"))
+    return (multimodal.sample_frames(media)
+            .select("media_id", "frame_idx", "ts_ms"))
+
+
 # ===========================================================================
 # Additional relational surface (J8, grouping sets, pivot, running agg)
 # ===========================================================================

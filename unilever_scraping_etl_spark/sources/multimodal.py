@@ -141,6 +141,104 @@ def decode_images(media: DataFrame, strict: bool = False,
     return media.mapInPandas(run, DECODED_IMAGE_SCHEMA)
 
 
+RESIZED_IMAGE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("frame_payload", T.BinaryType()),
+])
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224,
+                  strict: bool = False, batch_rows: int = 64) -> DataFrame:
+    """Resize images to a fixed (width, height) with mapInPandas — the
+    standard normalize-before-embed step of a multimodal training
+    pipeline. ``strict=True`` raises NotImplementedError (no codec libs
+    in this container); ``strict=False`` runs a deterministic fake
+    (payload truncated/cycled to width*height bytes) so the Spark-side
+    plumbing — schema, Arrow batching, binary output column — is
+    testable end-to-end. Same input-batch-cap contract as
+    decode_images: cap Arrow batches at session build time."""
+
+    def run(batches):
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image resize requires codec libraries not present "
+                    "in this environment; the fake path exercises the "
+                    "plumbing")
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo:lo + batch_rows]
+                out = {"media_id": [], "width": [], "height": [],
+                       "payload": []}
+                target = width * height
+                for _, row in chunk.iterrows():
+                    p = row["payload"] or b""
+                    # STUB: cycle/truncate bytes to the target size —
+                    # a real deployment swaps in PIL.Image.resize here.
+                    resized = ((p * (target // max(1, len(p)) + 1))[:target]
+                               if p else bytes(target))
+                    out["media_id"].append(row["media_id"])
+                    out["width"].append(width)
+                    out["height"].append(height)
+                    out["payload"].append(resized)
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, RESIZED_IMAGE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_interval_ms: int = 40,
+                  strict: bool = False, batch_rows: int = 64) -> DataFrame:
+    """Sample frames from video payloads with mapInPandas — one input
+    row fans out to n_frames output rows, the shape that matters at
+    scale (a 100 TB video corpus explodes ~100x on frame extraction, so
+    output batches must stay bounded regardless of input batch size —
+    hence the chunked generator). ``strict=True`` raises (no libav
+    here); the fake path is DETERMINISTIC in the byte length:
+    n_frames = 1 + len(payload) % 4, frame k carries every n_frames-th
+    byte starting at k and ts_ms = k * frame_interval_ms — so the
+    (media_id, frame_idx, ts_ms) lattice is exactly reproducible by an
+    external oracle even though the payload stub is fake."""
+
+    def run(batches):
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "frame sampling requires video codec libraries not "
+                    "present in this environment; the fake path "
+                    "exercises the fan-out plumbing")
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [],
+                   "frame_payload": []}
+            n_out = 0
+            for _, row in pdf.iterrows():
+                p = row["payload"] or b""
+                n_frames = 1 + len(p) % 4
+                for k in range(n_frames):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(k)
+                    out["ts_ms"].append(k * frame_interval_ms)
+                    out["frame_payload"].append(p[k::n_frames])
+                    n_out += 1
+                    if n_out >= batch_rows:
+                        yield pd.DataFrame(out)
+                        out = {"media_id": [], "frame_idx": [],
+                               "ts_ms": [], "frame_payload": []}
+                        n_out = 0
+            if n_out:
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, FRAME_SCHEMA)
+
+
 def synthetic_media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a MEDIA_SCHEMA frame from the documents table (UTF-8 bytes
     as payload) — the deterministic test corpus for the decode path."""
