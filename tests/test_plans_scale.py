@@ -1242,3 +1242,58 @@ def test_resize_and_frame_sample_plumbing(spark):
         multimodal.resize_images(media, strict=True).collect()
     with _pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.sample_frames(media, strict=True).collect()
+
+
+try:
+    from hypothesis import given as _given
+    from hypothesis import settings as _settings
+    from hypothesis import strategies as _st
+
+    _asof_rows = _st.lists(
+        _st.tuples(_st.integers(1, 3),        # key
+                   _st.integers(0, 50)),      # ts (raw units)
+        min_size=1, max_size=14)
+
+    @_settings(max_examples=10, deadline=None)
+    @_given(_asof_rows, _asof_rows,
+            _st.sampled_from(["backward", "forward"]),
+            _st.sampled_from([None, 0, 3, 10]))
+    def test_asof_join_property_vs_pandas_merge_asof(lrows, rrows,
+                                                     direction, tol):
+        """asof_join claims pandas merge_asof semantics — check them
+        against the real pandas implementation on arbitrary small
+        integer-timestamp frames (random keys, duplicate left
+        timestamps, sparse right sides, with and without tolerance)."""
+        import pandas as _pd
+
+        from unilever_scraping_etl_spark.operators.relational import \
+            asof_join
+        from unilever_scraping_etl_spark.session import get_session
+
+        spark = get_session("tests")
+        left_rows = [(k, t, i) for i, (k, t) in enumerate(lrows)]
+        # right must be unique per (key, ts) — documented contract
+        rseen, right_rows = set(), []
+        for k, t in rrows:
+            if (k, t) not in rseen:
+                rseen.add((k, t))
+                right_rows.append((k, t, float(len(right_rows))))
+        left = spark.createDataFrame(left_rows, "k long, t long, lid long")
+        right = spark.createDataFrame(right_rows, "k long, t long, rv double")
+        got = {r["lid"]: r["rv"]
+               for r in asof_join(left, right, ["k"], "t", ["lid"], ["rv"],
+                                  direction=direction,
+                                  tolerance_sec=tol).collect()}
+
+        lp = _pd.DataFrame(left_rows, columns=["k", "t", "lid"]) \
+                .sort_values(["t", "lid"]).reset_index(drop=True)
+        rp = _pd.DataFrame(right_rows, columns=["k", "t", "rv"]) \
+                .sort_values(["t", "k"]).reset_index(drop=True)
+        merged = _pd.merge_asof(lp, rp, on="t", by="k",
+                                direction=direction, tolerance=tol)
+        want = {int(r.lid): (None if _pd.isna(r.rv) else float(r.rv))
+                for r in merged.itertuples()}
+        assert got == want, (direction, tol, left_rows, right_rows)
+
+except ImportError:
+    pass
