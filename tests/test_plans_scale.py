@@ -1256,7 +1256,7 @@ try:
 
     @_settings(max_examples=10, deadline=None)
     @_given(_asof_rows, _asof_rows,
-            _st.sampled_from(["backward", "forward"]),
+            _st.sampled_from(["backward", "forward", "nearest"]),
             _st.sampled_from([None, 0, 3, 10]))
     def test_asof_join_property_vs_pandas_merge_asof(lrows, rrows,
                                                      direction, tol):
