@@ -348,6 +348,63 @@ def brute_force_topk_grid(queries: DataFrame, corpus: DataFrame, k: int,
                     F.col("rank").cast("int").alias("rank")))
 
 
+def range_search_grid(queries: DataFrame, corpus: DataFrame,
+                      threshold: float, n_blocks: int = 4,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      round_digits: int = 4) -> DataFrame:
+    """Cosine range search at cluster scale — the thresholded twin of
+    brute_force_topk_grid, closing range_search's broadcast-corpus
+    limit (that form streams queries against a broadcast corpus, so the
+    CORPUS side could never outgrow a broadcast). Here the corpus is
+    hashed into ``n_blocks`` blocks and queries replicate to every
+    block (queries are the small side); each cogroup cell runs ONE
+    numpy GEMM and emits every pair whose ROUNDED cosine clears the
+    threshold. Unlike top-k there is no global merge at all: the
+    corpus blocks partition the corpus, so the union of cell outputs
+    IS the exact answer — no window, no second shuffle. Results are
+    byte-identical to range_search (same rounding, same self-exclusion;
+    test-pinned), so the same DuckDB oracle covers both."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = queries.sparkSession
+    blocks = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk"))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"))
+         .crossJoin(F.broadcast(blocks)))
+    c = (corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
+         .withColumn("blk", F.pmod(F.xxhash64(F.col("nid")),
+                                   F.lit(n_blocks)).cast("int")))
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def cell_range(qpdf, cpdf):
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []})
+        ids_q = qpdf["query_id"].to_numpy()
+        ids_c = cpdf["nid"].to_numpy()
+        mq = np.vstack(qpdf["qv"].to_numpy()).astype("float64")
+        mc = np.vstack(cpdf["cv"].to_numpy()).astype("float64")
+        mq /= np.maximum(np.linalg.norm(mq, axis=1, keepdims=True), 1e-300)
+        mc /= np.maximum(np.linalg.norm(mc, axis=1, keepdims=True), 1e-300)
+        sim = np.round(mq @ mc.T, round_digits)
+        keep = (sim >= threshold) & (ids_q[:, None] != ids_c[None, :])
+        qi, ci = np.nonzero(keep)
+        return pd.DataFrame({
+            "query_id": ids_q[qi].astype("int64"),
+            "neighbor_id": ids_c[ci].astype("int64"),
+            "cos": sim[qi, ci],
+        })
+
+    return (q.groupby("blk").cogroup(c.groupby("blk"))
+            .applyInPandas(cell_range, out_schema))
+
+
 def kmeans_centroids(emb: DataFrame, k: int, n_iter: int = 5,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:

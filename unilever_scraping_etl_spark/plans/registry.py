@@ -987,11 +987,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("dedup_near", None,
    doc="L2 MinHash LSH near-dup candidates (16 hashes, 4 bands) verified "
        "with exact 3-gram Jaccard >= 0.5. Banded equi-join keeps the pair "
-       "space linear-ish — the 100 TB path. LSH is seed-dependent -> "
-       "rows-only check.")
+       "space linear-ish — the 100 TB path. The hot-bucket guard is ON "
+       "(max_bucket_size=1024): a template-heavy corpus otherwise turns "
+       "one 10k-doc bucket into 50M pairs in a single reducer; oversized "
+       "buckets are star-linked (N-1 edges, connectivity-preserving, "
+       "diameter 2 — operators/dedup.py) instead. No sf0.01 bucket is "
+       "near the cap, so local output is identical to the unguarded plan. "
+       "LSH is seed-dependent -> rows-only check.")
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
-    cand = dedup.minhash_candidates(docs, "doc_id", "text")
+    cand = dedup.minhash_candidates(docs, "doc_id", "text",
+                                    max_bucket_size=1024)
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
                                      threshold=0.5, candidates=cand)
 
@@ -1210,16 +1216,22 @@ SELECT query_id, neighbor_id, cos FROM (
   FROM (SELECT * FROM v WHERE vec_id % 50 = 0) a
   JOIN v b ON b.vec_id != a.vec_id
 ) WHERE cos >= 0.35
-""", doc="L3 cosine range search (radius companion to top-k): every "
-         "neighbor with rounded cosine >= 0.35 for a deterministic "
-         "query subset. Queries stream against a broadcast corpus "
-         "block — the side that grows unbounded at 100 TB is the "
-         "narrow-map side; thresholding on the rounded score keeps the "
-         "result set stable under accumulation-order differences.")
+""", doc="L3 cosine range search (radius companion to top-k) on the "
+         "DISTRIBUTED grid kernel (range_search_grid): corpus hashed "
+         "into data-aware blocks (adaptive_n_blocks), queries "
+         "replicated to each block, one GEMM + threshold per cell — "
+         "no corpus broadcast, no driver collect, and (unlike top-k) "
+         "no merge window at all, because the corpus blocks partition "
+         "the output disjointly. Byte-identical to the broadcast "
+         "range_search twin (test-pinned); thresholding on the rounded "
+         "score keeps the result set stable under accumulation-order "
+         "differences.")
 def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.range_search(queries, emb, threshold=0.35)
+    return similarity.range_search_grid(
+        queries, emb, threshold=0.35,
+        n_blocks=similarity.adaptive_n_blocks(emb))
 
 
 @q("dedup_embedding_lsh", None,
@@ -1449,7 +1461,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("multimodal_frames", """
 WITH f AS (
     SELECT doc_id AS media_id,
-           CAST(unnest(range(0, 1 + octet_length(encode(text)) % 4))
+           CAST(unnest(range(0, 1 + coalesce(octet_length(encode(text)), 0)
+                                % 4))
                 AS INT) AS frame_idx
     FROM documents)
 SELECT media_id, frame_idx, CAST(frame_idx * 40 AS BIGINT) AS ts_ms
@@ -1469,6 +1482,37 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"))
     return (multimodal.sample_frames(media)
             .select("media_id", "frame_idx", "ts_ms"))
+
+
+@q("resize_images", """
+WITH h AS (
+    SELECT doc_id AS media_id,
+           hex(encode(text)) AS hx,
+           coalesce(octet_length(encode(text)), 0) AS n_bytes
+    FROM documents)
+SELECT media_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       md5(CASE WHEN n_bytes = 0 THEN repeat('00', 256)
+                ELSE substring(repeat(hx, 256 // n_bytes + 1), 1, 512)
+           END) AS payload_md5
+FROM h
+""", doc="L5 image resize plumbing (normalize-before-embed): payload -> "
+         "chunk-bounded mapInPandas resize stub (deterministic fake: "
+         "bytes cycled/truncated to width*height; real codecs slot into "
+         "the same mapInPandas — sources/multimodal.py). The resized "
+         "payload CONTENT is verified, not just its shape: both sides "
+         "md5 the uppercase-hex rendering of the bytes (this DuckDB "
+         "build has no blob md5/substring, and byte-cycling is exact "
+         "in hex-space at 2 chars/byte — repeat the hex, take "
+         "2*target chars). Empty/NULL payloads resize to target-size "
+         "zero bytes on both sides.")
+def resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthetic_media_from_documents(
+        _t(spark, sf_dir, "documents"))
+    return (multimodal.resize_images(media, width=16, height=16)
+            .select("media_id", "width", "height",
+                    F.md5(F.hex("payload")).alias("payload_md5")))
 
 
 # ===========================================================================
@@ -3531,7 +3575,14 @@ WHERE rev_e4 * 1500 > total_e4
          "localCheckpoint because Catalyst/AQE does NOT reuse the "
          "aggregate exchange across the two consumers (verified: the "
          "un-checkpointed plan scans lineitem twice), and the second "
-         "pass then touches only the dimension-sized per-key table.")
+         "pass then touches only the dimension-sized per-key table. "
+         "Checkpoint-block retention (r5 ADVICE): the blocks live as "
+         "long as the returned frame — Spark's ContextCleaner "
+         "unpersists a localCheckpoint's RDD when the last reference "
+         "is GC'd, so repeated invocations (bench loops, the plan "
+         "linter) do not accumulate storage beyond driver GC lag; a "
+         "long-lived caller pinning many results should drop its "
+         "references (or call .unpersist() on the blocks) when done.")
 def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_e4 = F.floor(F.col("l_extendedprice")
                      * (1 - F.col("l_discount")) * 10000)
