@@ -6,7 +6,10 @@ Each query is executed to completion with a noop-sink write — unlike
 count(), which lets Catalyst prune every unreferenced computed column,
 the noop write evaluates ALL output columns without materializing them
 driver-side — and timed wall-clock after a warmup of the session +
-parquet footers.
+parquet footers. Each query runs $SPARK_GRAFT_BENCH_RUNS passes
+(default 2, suite-interleaved) and the headline is the per-query min,
+so the committed artifact is reproducible on a noisy shared host; raw
+per-pass timings land in bench_detail.json.
 """
 
 from __future__ import annotations
@@ -53,15 +56,29 @@ def main() -> None:
             yield (1,)
     _WarmUdtf().count()
 
-    timings: dict[str, float] = {}
+    # Best-of-N timing (r5 VERDICT item 3): single-shot suite totals
+    # swung 117-283 s on identical code because the shared host lands
+    # multi-second CPU-steal bursts on arbitrary queries. Each query
+    # runs N passes (default 2) and the headline records the per-query
+    # MIN — the estimator least sensitive to one-sided contention noise
+    # — with every raw pass kept in bench_detail.json. Passes are
+    # interleaved suite-wide (pass 1 over all queries, then pass 2) so
+    # a burst cannot hit both runs of the same query back-to-back.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs: dict[str, list[float]] = {name: [] for name in QUERIES}
     failures: dict[str, str] = {}
-    for name, spec in QUERIES.items():
-        t0 = time.perf_counter()
-        try:
-            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # keep benching; surface at the end
-            failures[name] = f"{type(exc).__name__}: {exc}"
+    for _ in range(n_runs):
+        for name, spec in QUERIES.items():
+            if name in failures:
+                continue
+            t0 = time.perf_counter()
+            try:
+                spec.spark(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                runs[name].append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # keep benching; surface at the end
+                failures[name] = f"{type(exc).__name__}: {exc}"
+    timings = {name: min(ts) for name, ts in runs.items() if ts}
 
     # Scrape-path throughput: pages/s through fetch-shaped rows -> DOM
     # extraction UDF -> typed parse (the reference's ceiling is ~0.5-5
@@ -88,6 +105,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs_per_query": n_runs,
+        "raw_runs": {name: ts for name, ts in runs.items() if ts},
         "sf": float(sf),
         "scrape_pages_per_sec": round(scrape_pps, 1),
     }
