@@ -1352,5 +1352,41 @@ try:
                 for r in merged.itertuples()}
         assert got == want, (direction, tol, left_rows, right_rows)
 
+    _vec = _st.lists(_st.integers(-3, 3), min_size=3, max_size=3)
+
+    @_settings(max_examples=8, deadline=None)
+    @_given(_st.lists(_vec, min_size=1, max_size=10),
+            _st.sampled_from([0.0, 0.35, 0.9]),
+            _st.sampled_from([1, 2, 3]))
+    def test_range_search_grid_property_vs_numpy(vecs, threshold, n_blocks):
+        """range_search_grid against a direct numpy reference on
+        arbitrary small integer vectors (including zero vectors, which
+        the kernel must score as cos 0 via the norm floor, and block
+        counts that leave some grid cells empty): every (query,
+        neighbor, rounded-cos) pair with cos >= threshold, self
+        excluded, independent of how the corpus hashes into blocks."""
+        import numpy as _np
+
+        from unilever_scraping_etl_spark.operators.similarity import \
+            range_search_grid
+        from unilever_scraping_etl_spark.session import get_session
+
+        spark = get_session("tests")
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qs = df.filter(F.col("vec_id") % 2 == 0)
+        got = {(r.query_id, r.neighbor_id, r.cos)
+               for r in range_search_grid(qs, df, threshold=threshold,
+                                          n_blocks=n_blocks).collect()}
+
+        m = _np.array([v for _, v in rows], dtype="float64")
+        m = m / _np.maximum(_np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        sim = _np.round(m @ m.T, 4)
+        want = {(qi, ci, float(sim[qi, ci]))
+                for qi in range(len(rows)) if qi % 2 == 0
+                for ci in range(len(rows))
+                if ci != qi and sim[qi, ci] >= threshold}
+        assert got == want, (vecs, threshold, n_blocks)
+
 except ImportError:
     pass
