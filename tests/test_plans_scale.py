@@ -78,6 +78,35 @@ def test_topk_window_group_limit_pushdown(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_range_search_grid_plan_shape(spark):
+    """The registered sim_range_search must carry no corpus broadcast
+    (the r5 'weak' scale spot it replaced) and no window at all — the
+    grid's corpus blocks partition the output disjointly, so unlike the
+    top-k grid there is nothing to merge. The only broadcast allowed is
+    the n_blocks-row block-id spine the queries replicate over."""
+    plan = _plan(QUERIES["sim_range_search"].spark(spark, SF_SMOKE))
+    assert "FlatMapCoGroupsInPandas" in plan          # the grid cells
+    assert "Window" not in plan                        # no merge stage
+    # any BroadcastExchange must feed from the tiny Range spine, never
+    # from the embeddings scan
+    for i, line in enumerate(plan.splitlines()):
+        if "BroadcastExchange" in line:
+            below = "\n".join(plan.splitlines()[i:i + 6])
+            assert "embeddings" not in below, below
+
+
+def test_dedup_near_guard_plan_shape(spark):
+    """The registered dedup_near runs WITH the hot-bucket guard: the
+    plan must contain the per-(band, bucket) counting window that sizes
+    buckets (partitioned — not a global window) and still no cartesian
+    product; the candidate join stays a banded equi-join."""
+    plan = _plan(QUERIES["dedup_near"].spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "count(1)" in plan and "windowspecdefinition" in plan.lower()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
 def test_snapshot_partition_pruning(spark, tmp_path):
     """A createdate filter on the date-partitioned snapshot must prune
     partitions at the scan (the property that makes as-of queries cheap
