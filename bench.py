@@ -64,13 +64,21 @@ def main() -> None:
     # — with every raw pass kept in bench_detail.json. Passes are
     # interleaved suite-wide (pass 1 over all queries, then pass 2) so
     # a burst cannot hit both runs of the same query back-to-back.
+    # A wall-clock budget bounds the extra passes: once it is spent,
+    # remaining queries keep their pass-1 time (min of available runs)
+    # instead of risking an external timeout on a slow host window —
+    # pass 1 always completes regardless.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
     runs: dict[str, list[float]] = {name: [] for name in QUERIES}
     failures: dict[str, str] = {}
-    for _ in range(n_runs):
+    t_suite = time.perf_counter()
+    for pass_i in range(n_runs):
         for name, spec in QUERIES.items():
             if name in failures:
                 continue
+            if pass_i > 0 and time.perf_counter() - t_suite > budget:
+                break
             t0 = time.perf_counter()
             try:
                 spec.spark(spark, sf_dir).write.format("noop") \
