@@ -87,3 +87,25 @@ def test_cli_compact_zorder_roundtrip(spark, tmp_path, capsys):
     back = spark.read.parquet(out)
     assert back.count() == spark.read.parquet(src).count()
     assert "zorder" in back.columns
+
+
+def test_round_report_tool_runs_and_tiers_the_window():
+    """tools/round_report.py is the round-start gate: it must run
+    without a Spark session, print the four window tiers, and account
+    for exactly 50 window slots."""
+    import pathlib
+    import re
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, str(repo / "tools" / "round_report.py")],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    text = out.stdout
+    assert "window (50 of" in text
+    sizes = [int(m) for m in re.findall(
+        r"(?:never-verified|wrapper-rewritten|dep-evicted|"
+        r"certified-refresh) \((\d+)\)", text)]
+    assert len(sizes) == 4 and sum(sizes) == 50, text
