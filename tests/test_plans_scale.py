@@ -1417,5 +1417,50 @@ try:
                 if ci != qi and sim[qi, ci] >= threshold}
         assert got == want, (vecs, threshold, n_blocks)
 
+    _doc_texts = _st.sampled_from([
+        "alpha beta gamma delta",          # clusters of identical docs
+        "alpha beta gamma delta",          # (dup of above, on purpose)
+        "epsilon zeta eta theta iota",
+        "one two three four five six",
+        "lorem ipsum dolor sit amet",
+    ])
+
+    @_settings(max_examples=6, deadline=None)
+    @_given(_st.lists(_doc_texts, min_size=2, max_size=12),
+            _st.sampled_from([2, 3, 5]))
+    def test_minhash_guard_connectivity_property(texts, cap):
+        """The hot-bucket guard trades pair recall, never CLUSTER
+        recall: on arbitrary corpora (duplicate-heavy by construction)
+        the connected components of the capped candidate graph must
+        equal those of the uncapped graph — star-linking an oversized
+        bucket keeps every member reachable through the bucket's min
+        id. Checked with a reference union-find over each edge set,
+        restricted to nodes that appear in edges on both sides."""
+        from unilever_scraping_etl_spark.operators.dedup import \
+            minhash_candidates
+        from unilever_scraping_etl_spark.session import get_session
+
+        spark = get_session("tests")
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        uncapped = [(r.id_a, r.id_b) for r in
+                    minhash_candidates(docs, "doc_id", "text").collect()]
+        capped = [(r.id_a, r.id_b) for r in
+                  minhash_candidates(docs, "doc_id", "text",
+                                     max_bucket_size=cap).collect()]
+        cu = _union_find_components(uncapped)
+        cc = _union_find_components(capped)
+        # identical node sets and identical component partitions
+        assert set(cu) == set(cc), (texts, cap)
+        groups_u = {}
+        groups_c = {}
+        for n, c in cu.items():
+            groups_u.setdefault(c, set()).add(n)
+        for n, c in cc.items():
+            groups_c.setdefault(c, set()).add(n)
+        assert (sorted(map(sorted, groups_u.values()))
+                == sorted(map(sorted, groups_c.values()))), (texts, cap)
+
 except ImportError:
     pass
