@@ -72,10 +72,11 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
     runs: dict[str, list[float]] = {name: [] for name in QUERIES}
     failures: dict[str, str] = {}
+    flaky_failures: dict[str, str] = {}
     t_suite = time.perf_counter()
     for pass_i in range(n_runs):
         for name, spec in QUERIES.items():
-            if name in failures:
+            if name in failures or name in flaky_failures:
                 continue
             if pass_i > 0 and time.perf_counter() - t_suite > budget:
                 break
@@ -85,7 +86,15 @@ def main() -> None:
                     .mode("overwrite").save()
                 runs[name].append(round(time.perf_counter() - t0, 3))
             except Exception as exc:  # keep benching; surface at the end
-                failures[name] = f"{type(exc).__name__}: {exc}"
+                # A failure AFTER a successful pass is flaky (host burst,
+                # OOM under contention) — recorded separately so timings
+                # and failures stay disjoint: the pass-1 min still counts
+                # toward the headline, but the artifact says so (r6
+                # ADVICE: the same query must not appear in both).
+                if runs[name]:
+                    flaky_failures[name] = f"{type(exc).__name__}: {exc}"
+                else:
+                    failures[name] = f"{type(exc).__name__}: {exc}"
     timings = {name: min(ts) for name, ts in runs.items() if ts}
 
     # Scrape-path throughput: pages/s through fetch-shaped rows -> DOM
@@ -100,9 +109,14 @@ def main() -> None:
         F.concat(F.lit("u"), F.col("id")).alias("url"),
         F.element_at(page_pool, (F.col("id") % 6 + 1).cast("int")).alias("html"))
     # Same best-of-N discipline as the query suite: the probe's fixed
-    # workload swung 24k-38k pages/s with host interference.
+    # workload swung 24k-38k pages/s with host interference. The probe
+    # honors the same wall-clock budget (r6 ADVICE): on a host window
+    # slow enough to exhaust it, extra passes are skipped (one always
+    # runs) instead of risking an external timeout.
     pps_runs = []
-    for _ in range(max(1, n_runs)):
+    for probe_i in range(max(1, n_runs)):
+        if probe_i > 0 and time.perf_counter() - t_suite > budget:
+            break
         t0 = time.perf_counter()
         ingest.parse_products(pages).write.format("noop") \
             .mode("overwrite").save()
@@ -127,6 +141,8 @@ def main() -> None:
     }
     if failures:
         detail["failures"] = failures
+    if flaky_failures:
+        detail["flaky_failures"] = flaky_failures
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL",
                                  "bench_detail.json")
     with open(detail_path, "w") as f:
@@ -141,6 +157,7 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(timings),
         "n_failures": len(failures),
+        "n_flaky": len(flaky_failures),
         "scrape_pages_per_sec": round(scrape_pps, 1),
         "detail_file": detail_path,
     }

@@ -107,6 +107,35 @@ def test_dedup_near_guard_plan_shape(spark):
         or "BroadcastHashJoin" in plan
 
 
+def test_dedup_simhash_guard_plan_shape(spark):
+    """The registered dedup_simhash runs WITH the hot-bucket guard
+    (r6 VERDICT item 1): the plan must contain the per-(chunk, ck)
+    bucket-sizing window (partitioned — not global) and still no
+    cartesian product; the candidate join stays a banded equi-join."""
+    plan = _plan(QUERIES["dedup_simhash"].spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "count(1)" in plan and "windowspecdefinition" in plan.lower()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_dedup_embedding_lsh_guard_plan_shape(spark):
+    """The registered dedup_embedding_lsh runs WITH the hot-bucket
+    guard AND the verify-balancing pair repartition (r6 VERDICT items
+    1 + 4): the plan must contain the per-(band, bkt) bucket-sizing
+    window, an Exchange hash-partitioned on the candidate PAIR feeding
+    the Arrow verify (so a hub id cannot concentrate the verify), and
+    no cartesian product."""
+    import re
+
+    plan = _plan(QUERIES["dedup_embedding_lsh"].spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "count(1)" in plan and "windowspecdefinition" in plan.lower()
+    assert "MapInPandas" in plan
+    assert re.search(r"Exchange hashpartitioning\(id_a#\d+L, id_b#\d+L",
+                     plan), plan
+
+
 def test_snapshot_partition_pruning(spark, tmp_path):
     """A createdate filter on the date-partitioned snapshot must prune
     partitions at the scan (the property that makes as-of queries cheap
@@ -274,6 +303,81 @@ def test_grid_gemm_pairs_equal_broadcast_gemm(spark):
     gr = {tuple(r) for r in dedup.embedding_near_pairs_grid(
         emb, "vec_id", "embedding", threshold=0.4, n_blocks=4).collect()}
     assert bc == gr and len(gr) > 0
+
+
+def test_simhash_guard_identity_below_cap(spark):
+    """With every bucket under the cap, the guarded simhash plan is
+    output-identical to the unguarded one (the registered
+    dedup_simhash relies on this: max_bucket_size=1024 changes nothing
+    at sf0.01, only the 100 TB failure mode)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plain = sorted(map(tuple, dedup.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3).collect()))
+    guarded = sorted(map(tuple, dedup.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3,
+        max_bucket_size=1024).collect()))
+    assert plain == guarded and len(guarded) > 0
+
+
+def test_embedding_lsh_guard_identity_below_cap(spark):
+    """Same identity pin for the hyperplane-LSH family at the
+    registered settings (16 bands x 8 planes, cap 1024)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plain = sorted(map(tuple, dedup.embedding_lsh_pairs(
+        emb, "vec_id", "embedding", threshold=0.4,
+        n_bands=16, n_planes=8).collect()))
+    guarded = sorted(map(tuple, dedup.embedding_lsh_pairs(
+        emb, "vec_id", "embedding", threshold=0.4,
+        n_bands=16, n_planes=8, max_bucket_size=1024).collect()))
+    assert plain == guarded and len(guarded) > 0
+
+
+def test_lsh_verify_stage_balanced_on_clustered_corpus(spark):
+    """r6 VERDICT item 4: on a corpus where EVERY vector lands in the
+    same LSH buckets (one dense cluster — the adversarial case for the
+    verify stage), the Arrow verify input must spread across
+    partitions instead of concentrating where a hub id hashes. The
+    pair repartition makes the verify partitioning a hash of the
+    unique (id_a, id_b) pair, so with P partitions and M >> P pairs no
+    partition should hold more than a few times M/P rows."""
+    n = 64
+    base = [0.25, -0.5, 1.0, 0.125] * 16
+    rows = [(i, base) for i in range(n)]  # one exact cluster
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.embedding_lsh_pairs(emb, "vec_id", "embedding",
+                                    threshold=-1.0, n_bands=4, n_planes=4,
+                                    max_bucket_size=4096)
+    # AQE coalescing would legitimately merge these tiny partitions
+    # locally; what's under test is the pre-coalesce spread at scale,
+    # so pin the raw partitioning for this one query.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        per_part = (out.withColumn("pid", F.spark_partition_id())
+                    .groupBy("pid").count().collect())
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "true")
+    counts = [r["count"] for r in per_part]
+    total = sum(counts)
+    assert total == n * (n - 1) // 2  # every pair verified exactly once
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert len(counts) > n_parts // 2   # spread, not concentrated
+    assert max(counts) <= 4 * total / n_parts
+
+
+def test_ngram_design_point_pinned():
+    """r6 VERDICT item 5: the naive shared-shingle Jaccard join is the
+    ORACLE COMPANION, not the production path — the designation must be
+    stated on the operator and on the registered query so a user
+    picking a dedup path at 100 TB is routed to the prefix/minhash
+    forms (mirrors how sim_topk routes to sim_topk_gemm)."""
+    doc = dedup.ngram_jaccard_pairs.__doc__
+    assert "ORACLE COMPANION" in doc
+    assert "ngram_jaccard_pairs_prefix" in doc
+    assert "minhash_candidates" in doc
+    qdoc = QUERIES["dedup_ngram"].doc
+    assert "ORACLE COMPANION" in qdoc
+    assert "dedup_ngram_prefix" in qdoc and "dedup_near" in qdoc
 
 
 def test_grid_topk_equals_broadcast_topk(spark):
@@ -1461,6 +1565,73 @@ try:
             groups_c.setdefault(c, set()).add(n)
         assert (sorted(map(sorted, groups_u.values()))
                 == sorted(map(sorted, groups_c.values()))), (texts, cap)
+
+    def _assert_same_components(uncapped, capped, ctx):
+        cu = _union_find_components(uncapped)
+        cc = _union_find_components(capped)
+        assert set(cu) == set(cc), ctx
+        gu, gc = {}, {}
+        for n, c in cu.items():
+            gu.setdefault(c, set()).add(n)
+        for n, c in cc.items():
+            gc.setdefault(c, set()).add(n)
+        assert (sorted(map(sorted, gu.values()))
+                == sorted(map(sorted, gc.values()))), ctx
+
+    @_settings(max_examples=6, deadline=None)
+    @_given(_st.lists(_doc_texts, min_size=2, max_size=12),
+            _st.sampled_from([2, 3, 5]))
+    def test_simhash_guard_connectivity_property(texts, cap):
+        """r6 VERDICT items 1+6: the guard generalized to the simhash
+        chunk banding must preserve candidate-graph connectivity on
+        arbitrary duplicate-heavy corpora, exactly as proven for the
+        minhash sibling — star-linking an oversized (chunk, ck) bucket
+        keeps every member reachable through the bucket's min id."""
+        from unilever_scraping_etl_spark.operators.dedup import \
+            simhash_candidates
+        from unilever_scraping_etl_spark.session import get_session
+
+        spark = get_session("tests")
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        uncapped = [(r.id_a, r.id_b) for r in
+                    simhash_candidates(docs, "doc_id", "text").collect()]
+        capped = [(r.id_a, r.id_b) for r in
+                  simhash_candidates(docs, "doc_id", "text",
+                                     max_bucket_size=cap).collect()]
+        _assert_same_components(uncapped, capped, (texts, cap))
+
+    @_settings(max_examples=6, deadline=None)
+    @_given(_st.lists(_st.sampled_from([
+                (1.0, 0.5, -0.25), (1.0, 0.5, -0.25),   # dup cluster
+                (-0.5, 1.0, 0.75), (0.25, -1.0, 0.5),
+                (0.0, 0.0, 1.0)]),
+            min_size=2, max_size=12),
+            _st.sampled_from([1, 2, 3]))
+    def test_hyperplane_guard_connectivity_property(vecs, cap):
+        """Same guard property for the hyperplane-LSH candidate
+        generator: capped (band, bucket) buckets star-link, and the
+        connected components of the candidate graph are unchanged for
+        every (corpus, cap) pair."""
+        from unilever_scraping_etl_spark.operators.dedup import \
+            hyperplane_lsh_candidates
+        from unilever_scraping_etl_spark.session import get_session
+
+        spark = get_session("tests")
+        emb = spark.createDataFrame(
+            [(i, list(v)) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        uncapped = [(r.id_a, r.id_b) for r in
+                    hyperplane_lsh_candidates(
+                        emb, "vec_id", "embedding", n_bands=2,
+                        n_planes=2, dim=3).collect()]
+        capped = [(r.id_a, r.id_b) for r in
+                  hyperplane_lsh_candidates(
+                      emb, "vec_id", "embedding", n_bands=2,
+                      n_planes=2, dim=3,
+                      max_bucket_size=cap).collect()]
+        _assert_same_components(uncapped, capped, (vecs, cap))
 
 except ImportError:
     pass

@@ -45,9 +45,11 @@ def main() -> None:
         between = subprocess.run(
             ["git", "log", "--oneline", f"{snap}..HEAD"],
             cwd=REPO, capture_output=True, text=True).stdout.splitlines()
-        # the driver's own artifact commit lands right after the snapshot
-        work = [l for l in between if not l.split(" ", 1)[1]
-                .startswith("round ")]
+        # the driver's own artifact commit lands right after the snapshot;
+        # a subject-less oneline (empty commit message) has no second part
+        work = [l for l in between
+                if not (len(p := l.split(" ", 1)) > 1
+                        and p[1].startswith("round "))]
         print(f"post-verdict commits: {len(work)}"
               + (" — check them against VERDICT/ADVICE before redoing "
                  "items" if work else " (fresh round)"))

@@ -362,8 +362,15 @@ def range_search_grid(queries: DataFrame, corpus: DataFrame,
     threshold. Unlike top-k there is no global merge at all: the
     corpus blocks partition the corpus, so the union of cell outputs
     IS the exact answer — no window, no second shuffle. Results are
-    byte-identical to range_search (same rounding, same self-exclusion;
-    test-pinned), so the same DuckDB oracle covers both."""
+    byte-identical to range_search for NONZERO vectors at POSITIVE
+    thresholds (same rounding, same self-exclusion; test-pinned), so
+    the same DuckDB oracle covers both. Degenerate inputs diverge by
+    design (r6 ADVICE): on a zero-norm vector the broadcast twin's
+    expression-level cosine divides by zero -> NULL -> row filtered,
+    while this kernel's 1e-300 norm floor scores cos = 0.0, which a
+    threshold <= 0 would admit. The floor is the right scale behavior
+    (a zero embedding is a data bug, not a reason for NULL-sensitive
+    output); the equality pin is scoped accordingly."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T

@@ -1008,12 +1008,17 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
        "is derived as max_hamming+1 so pigeonhole recall is COMPLETE at "
        "the queried threshold (round 1 ran max_hamming=8 over a fixed "
        "4-chunk split, which silently dropped pairs with hamming 4-8 "
-       "spread across all chunks). Hash banding is engine-specific -> "
-       "rows-only check.")
+       "spread across all chunks). The hot-bucket guard is ON "
+       "(max_bucket_size=1024, star-linked oversize chunk buckets — "
+       "operators/dedup.banded_pair_candidates): without it one "
+       "template-heavy chunk bucket emits N^2/2 pairs into a single "
+       "reducer at 100 TB; no sf0.01 bucket is near the cap, so local "
+       "output is identical to the unguarded plan (test-pinned). Hash "
+       "banding is engine-specific -> rows-only check.")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(
         _spread(_t(spark, sf_dir, "documents")), "doc_id", "text",
-        max_hamming=3)
+        max_hamming=3, max_bucket_size=1024)
 
 
 @q("dedup_ngram", """
@@ -1034,7 +1039,12 @@ JOIN sz sb ON sb.doc_id = id_b
 WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.12
 """, doc="L2 exact n-gram (3-token shingle) Jaccard pairs >= 0.12 — the "
          "exact verifier behind MinHash, oracle-checked. Shared-shingle "
-         "equi-join bounds the pair space (never a cross join).")
+         "equi-join bounds the pair space (never a cross join) but is "
+         "quadratic in a shingle's document frequency — this query is "
+         "the ORACLE COMPANION, registered to pin the exact semantics; "
+         "the 100 TB paths are dedup_ngram_prefix (t >= ~0.5) and "
+         "dedup_near (minhash + this verifier) — design point pinned in "
+         "operators/dedup.ngram_jaccard_pairs and tests.")
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         _spread(_t(spark, sf_dir, "documents")), "doc_id", "text",
@@ -1245,13 +1255,20 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
        "candidate fraction ~10x below the 6-plane setting while recall "
        "at the near-dup design point (cos >= ~0.9) stays ~1-(1-p)^16 "
        "~= 0.996 with p = (1-theta/pi)^8; planted-near-dup recall "
-       ">= 0.9 is pinned in tests/test_plans_scale.py. Approximate by "
+       ">= 0.9 is pinned in tests/test_plans_scale.py. The hot-bucket "
+       "guard is ON (max_bucket_size=1024, star-linked oversize "
+       "(band, bucket) buckets — operators/dedup.banded_pair_candidates) "
+       "and the Arrow verify is repartitioned on the candidate PAIR so "
+       "a hub document cannot hand one partition a disproportionate "
+       "verify batch; no sf0.01 bucket is near the cap, so local output "
+       "is identical to the unguarded plan (test-pinned). Approximate by "
        "construction -> rows-only check; exact companion is "
        "dedup_embedding (grid GEMM).")
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_lsh_pairs(emb, "vec_id", "embedding",
-                                     threshold=0.4, n_bands=16, n_planes=8)
+                                     threshold=0.4, n_bands=16, n_planes=8,
+                                     max_bucket_size=1024)
 
 
 @q("dedup_incremental", """
