@@ -26,6 +26,44 @@ from unilever_scraping_etl_spark.plans.registry import QUERIES
 from unilever_scraping_etl_spark.session import get_session
 
 
+def collect_timings(names, run_one, n_runs: int, budget: float,
+                    clock=time.perf_counter):
+    """The suite-interleaved best-of-N pass loop, factored out so the
+    failure taxonomy is unit-testable without a SparkSession. Returns
+    (runs, failures, flaky_failures):
+
+    - ``runs[name]`` — wall seconds for every completed pass;
+    - ``failures`` — queries whose FIRST pass raised (no timing; bench
+      exits nonzero);
+    - ``flaky_failures`` — queries that succeeded at least once and
+      raised on a LATER pass (host burst, OOM under contention): their
+      min-of-successes still counts toward the headline, but they are
+      recorded separately so timings and failures stay disjoint in the
+      artifact (r6 ADVICE).
+
+    Passes after the first stop once ``budget`` wall-seconds have
+    elapsed since the loop started — pass 1 always completes, so every
+    query keeps at least one timing on a slow host window."""
+    runs: dict[str, list[float]] = {name: [] for name in names}
+    failures: dict[str, str] = {}
+    flaky_failures: dict[str, str] = {}
+    t_suite = clock()
+    for pass_i in range(n_runs):
+        for name in names:
+            if name in failures or name in flaky_failures:
+                continue
+            if pass_i > 0 and clock() - t_suite > budget:
+                break
+            t0 = clock()
+            try:
+                run_one(name)
+                runs[name].append(round(clock() - t0, 3))
+            except Exception as exc:  # keep benching; surface at the end
+                sink = flaky_failures if runs[name] else failures
+                sink[name] = f"{type(exc).__name__}: {exc}"
+    return runs, failures, flaky_failures
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -70,31 +108,14 @@ def main() -> None:
     # pass 1 always completes regardless.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
-    runs: dict[str, list[float]] = {name: [] for name in QUERIES}
-    failures: dict[str, str] = {}
-    flaky_failures: dict[str, str] = {}
     t_suite = time.perf_counter()
-    for pass_i in range(n_runs):
-        for name, spec in QUERIES.items():
-            if name in failures or name in flaky_failures:
-                continue
-            if pass_i > 0 and time.perf_counter() - t_suite > budget:
-                break
-            t0 = time.perf_counter()
-            try:
-                spec.spark(spark, sf_dir).write.format("noop") \
-                    .mode("overwrite").save()
-                runs[name].append(round(time.perf_counter() - t0, 3))
-            except Exception as exc:  # keep benching; surface at the end
-                # A failure AFTER a successful pass is flaky (host burst,
-                # OOM under contention) — recorded separately so timings
-                # and failures stay disjoint: the pass-1 min still counts
-                # toward the headline, but the artifact says so (r6
-                # ADVICE: the same query must not appear in both).
-                if runs[name]:
-                    flaky_failures[name] = f"{type(exc).__name__}: {exc}"
-                else:
-                    failures[name] = f"{type(exc).__name__}: {exc}"
+
+    def run_one(name: str) -> None:
+        QUERIES[name].spark(spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+
+    runs, failures, flaky_failures = collect_timings(
+        list(QUERIES), run_one, n_runs, budget)
     timings = {name: min(ts) for name, ts in runs.items() if ts}
 
     # Scrape-path throughput: pages/s through fetch-shaped rows -> DOM

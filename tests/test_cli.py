@@ -109,3 +109,52 @@ def test_round_report_tool_runs_and_tiers_the_window():
         r"(?:never-verified|wrapper-rewritten|dep-evicted|"
         r"certified-refresh) \((\d+)\)", text)]
     assert len(sizes) == 4 and sum(sizes) == 50, text
+
+
+def _fake_clock(step=1.0):
+    t = {"now": 0.0}
+
+    def clock():
+        t["now"] += step
+        return t["now"]
+
+    return clock
+
+
+def test_bench_flaky_failure_is_disjoint_from_failures():
+    """r6 ADVICE: a query that succeeds on pass 1 and raises on pass 2
+    must land in flaky_failures (timing kept) — never in BOTH timings
+    and failures — while a pass-1 raise is a hard failure with no
+    timing."""
+    from bench import collect_timings
+
+    calls = {"flaky": 0}
+
+    def run_one(name):
+        if name == "hard":
+            raise RuntimeError("always")
+        if name == "flaky":
+            calls["flaky"] += 1
+            if calls["flaky"] > 1:
+                raise RuntimeError("second pass only")
+
+    runs, failures, flaky = collect_timings(
+        ["good", "flaky", "hard"], run_one, n_runs=3, budget=1e9,
+        clock=_fake_clock())
+    assert list(failures) == ["hard"] and not runs["hard"]
+    assert list(flaky) == ["flaky"] and len(runs["flaky"]) == 1
+    assert len(runs["good"]) == 3
+    assert set(failures) & set(flaky) == set()
+
+
+def test_bench_budget_stops_extra_passes_only():
+    """Pass 1 always completes; once the wall budget is spent, later
+    passes stop and every query keeps its pass-1 timing."""
+    from bench import collect_timings
+
+    runs, failures, flaky = collect_timings(
+        ["a", "b"], lambda name: None, n_runs=5, budget=3.0,
+        clock=_fake_clock(step=1.0))
+    assert not failures and not flaky
+    assert len(runs["a"]) >= 1 and len(runs["b"]) == 1
+    assert sum(len(v) for v in runs.values()) < 10  # budget cut passes
