@@ -611,9 +611,11 @@ def embedding_near_pairs_gemm(emb: DataFrame, id_col: str, vec_col: str,
 def connected_components(edges: DataFrame, src: str, dst: str,
                          max_iterations: int = 30) -> DataFrame:
     """Connected components over an undirected edge list by iterative
-    min-label propagation: every node starts labeled with its own id;
-    each round a node takes the min of its label and its neighbors'
-    labels; converged when no label changes. Returns (node, component)
+    min-label propagation: every node starts labeled with
+    min(own id, min neighbor id) — a free one-hop head start, since
+    enumerating the nodes costs the same aggregation; each round a
+    node takes the min of its label and its neighbors' labels;
+    converged when no label changes. Returns (node, component)
     with component = min node id in the component.
 
     This is the clustering step a dedup pipeline needs AFTER pair
@@ -649,8 +651,18 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     sym = sym.union(sym.select(F.col("b").alias("a"),
                                F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint()  # reused every round — cut the upstream plan
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-              .withColumn("component", F.col("node")))
+    # One-hop head start for FREE: the node list needs a groupBy("a")
+    # anyway (sym is symmetric, so every node appears as "a"), and
+    # aggregating min(neighbor) in the same pass starts every label at
+    # min(node, min neighbor) — one full propagation round ahead of
+    # the identity init at identical shuffle cost. Correctness is the
+    # same monotonic argument: the init label is the min over a set of
+    # same-component node ids, so it never crosses components and
+    # never undershoots the component minimum.
+    labels = (sym.groupBy("a")
+              .agg(F.min("b").alias("min_nb"))
+              .select(F.col("a").alias("node"),
+                      F.least("a", "min_nb").alias("component")))
     prev_sum, converged = None, False
     for _ in range(max_iterations):
         msgs = (sym.join(labels, sym["b"] == labels["node"])
