@@ -380,6 +380,31 @@ def test_ngram_design_point_pinned():
     assert "dedup_ngram_prefix" in qdoc and "dedup_near" in qdoc
 
 
+def test_editdist_length_band_identity(spark):
+    """The length-banded edit-distance join must be output-identical
+    to plain key blocking (levenshtein <= d bounds the length delta by
+    d, so band width d+1 with neighbor replication loses no pair) —
+    including pairs that STRADDLE a band boundary."""
+    p = load_table(spark, SF_SMOKE, "part") \
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+    banded = sorted(map(tuple, dedup.editdist_pairs(
+        p, "p_partkey", "p_name", ["p_brand", "p_size"],
+        max_dist=8).collect()))
+    plain = sorted(map(tuple, dedup.editdist_pairs(
+        p, "p_partkey", "p_name", ["p_brand", "p_size"],
+        max_dist=8, length_band=False).collect()))
+    assert banded == plain and len(banded) > 0
+    # synthetic straddle: lengths 8 and 10 sit in bands 0 and 1 at
+    # width 9 — the pair must still be found (dist 2 <= 8)
+    straddle = spark.createDataFrame(
+        [(1, "aaaaaaaa", "B", 1), (2, "aaaaaaaaaa", "B", 1),
+         (3, "zzzzzzzzzzzzzzzzzzzzzzzzzzzz", "B", 1)],
+        "id long, name string, brand string, size int")
+    got = {(r.id_a, r.id_b, r.dist) for r in dedup.editdist_pairs(
+        straddle, "id", "name", ["brand", "size"], max_dist=8).collect()}
+    assert got == {(1, 2, 2)}
+
+
 def test_grid_topk_equals_broadcast_topk(spark):
     from unilever_scraping_etl_spark.operators import similarity
 

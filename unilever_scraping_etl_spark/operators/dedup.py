@@ -257,6 +257,51 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
                                threshold, candidates=cand)
 
 
+def editdist_pairs(df: DataFrame, id_col: str, text_col: str,
+                   block_cols: list[str], max_dist: int,
+                   length_band: bool = True) -> DataFrame:
+    """Edit-distance near-dup pairs under key blocking, with a
+    LENGTH-BAND sub-block that is output-identical to plain blocking:
+    levenshtein(a, b) <= d implies abs(len(a) - len(b)) <= d, so with
+    bands of width d+1 a qualifying pair's bands differ by at most 1 —
+    the left side keeps its own band and the right side replicates to
+    its band ± 1, turning each (block) join cell into (block, band)
+    cells. A hot block of length-HETEROGENEOUS strings (the common
+    case for product names, titles, addresses) splits across bands
+    instead of going quadratic in one reducer; a hot block of
+    same-length strings is irreducibly quadratic for EXACT edit
+    distance — route such corpora to ngram_jaccard_pairs_prefix.
+
+    The verify uses Spark's thresholded levenshtein (early-exits the
+    DP once the running distance exceeds ``max_dist`` — O(d * min_len)
+    instead of O(len_a * len_b) per pair). Returns
+    (id_a, id_b, dist <= max_dist)."""
+    w = max_dist + 1
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(text_col).alias("txt_a"),
+                  *[F.col(c).alias(f"blk_{c}") for c in block_cols])
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(text_col).alias("txt_b"),
+                  *[F.col(c).alias(f"blk_{c}") for c in block_cols])
+    if length_band:
+        band_a = F.floor(F.length("txt_a") / w)
+        band_b = F.floor(F.length("txt_b") / w)
+        a = a.withColumn("band", band_a)
+        b = (b.withColumn(
+                "band",
+                F.explode(F.array(band_b - 1, band_b, band_b + 1))))
+    cond = [a[f"blk_{c}"] == b[f"blk_{c}"] for c in block_cols]
+    if length_band:
+        cond.append(a["band"] == b["band"])
+    cond.append(a["id_a"] < b["id_b"])
+    joined = a.join(b, cond)
+    dist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), max_dist)
+    return (joined
+            .select("id_a", "id_b", dist.alias("dist"))
+            .filter(F.col("dist") >= 0)  # thresholded form returns -1 above
+            .select("id_a", "id_b", F.col("dist").cast("int").alias("dist")))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash: per token take xxhash64, then per bit position sum
     +1/-1 across token occurrences; the sign of each sum is that bit of

@@ -1118,20 +1118,18 @@ FROM part a JOIN part b
  AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 8
 """, doc="L2 edit-distance near-dup over product names, blocked on "
-         "(brand, size) so the pair space is per-block quadratic, never "
-         "corpus-quadratic — the blocking-key pattern that keeps "
-         "string-similarity dedup feasible at 100 TB. levenshtein() is "
-         "JVM-side codegen.")
+         "(brand, size) AND length-banded (operators/dedup.editdist_"
+         "pairs): levenshtein <= 8 implies a length difference <= 8, so "
+         "bands of width 9 with neighbor-band replication are output-"
+         "identical to plain blocking (test-pinned) while a length-"
+         "heterogeneous hot block splits across bands instead of going "
+         "quadratic in one reducer. The verify is Spark's THRESHOLDED "
+         "levenshtein (early-exit DP, O(d*min_len) per pair), JVM-side "
+         "codegen.")
 def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
-    a, b = p.alias("a"), p.alias("b")
-    return (a.join(b, [F.col("a.p_brand") == F.col("b.p_brand"),
-                       F.col("a.p_size") == F.col("b.p_size"),
-                       F.col("a.p_partkey") < F.col("b.p_partkey")])
-            .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
-            .filter(F.col("dist") <= 8)
-            .select(F.col("a.p_partkey").alias("id_a"),
-                    F.col("b.p_partkey").alias("id_b"), "dist"))
+    return dedup.editdist_pairs(p, "p_partkey", "p_name",
+                                ["p_brand", "p_size"], max_dist=8)
 
 
 @q("sql_revenue_topn", """
