@@ -691,10 +691,19 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     set ⇔ no label changed. The sum runs in DECIMAL(38,0) so it cannot
     overflow at any node-count x id-magnitude.
     """
-    sym = edges.select(F.col(src).cast("long").alias("a"),
-                       F.col(dst).cast("long").alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"),
-                               F.col("a").alias("b"))).distinct()
+    # Materialize the DIRECTED edge list BEFORE symmetrizing: without
+    # it, the union's two branches both reference the upstream pair
+    # pipeline (minhash + verify, or the GEMM grid) — the most
+    # expensive subtree in every registered CC query — and computing
+    # it once is left to exchange reuse, which AQE is free to decline.
+    # Checkpointing |E| rows first makes single-computation a
+    # GUARANTEE (measured neutral locally where reuse already fired;
+    # the guarantee is what matters on a 100 TB pair plan).
+    directed = edges.select(F.col(src).cast("long").alias("a"),
+                            F.col(dst).cast("long").alias("b"))
+    directed = directed.localCheckpoint()
+    sym = directed.union(directed.select(F.col("b").alias("a"),
+                                         F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint()  # reused every round — cut the upstream plan
     # One-hop head start for FREE: the node list needs a groupBy("a")
     # anyway (sym is symmetric, so every node appears as "a"), and
