@@ -1628,6 +1628,30 @@ try:
         _assert_same_components(uncapped, capped, (texts, cap))
 
     @_settings(max_examples=6, deadline=None)
+    @_given(_st.lists(_st.text(alphabet="abc", min_size=0, max_size=12),
+                      min_size=2, max_size=10),
+            _st.sampled_from([1, 2, 4]))
+    def test_editdist_band_identity_property(names, max_dist):
+        """The length-band sub-block must lose no pair on arbitrary
+        strings (empty strings, identical strings, lengths straddling
+        any band boundary) at any distance threshold — banded output
+        == plain blocked output exactly."""
+        from unilever_scraping_etl_spark.operators.dedup import \
+            editdist_pairs
+        from unilever_scraping_etl_spark.session import get_session
+
+        spark = get_session("tests")
+        df = spark.createDataFrame(
+            [(i, n, "B") for i, n in enumerate(names)],
+            "id long, name string, blk string")
+        banded = sorted(map(tuple, editdist_pairs(
+            df, "id", "name", ["blk"], max_dist=max_dist).collect()))
+        plain = sorted(map(tuple, editdist_pairs(
+            df, "id", "name", ["blk"], max_dist=max_dist,
+            length_band=False).collect()))
+        assert banded == plain, (names, max_dist)
+
+    @_settings(max_examples=6, deadline=None)
     @_given(_st.lists(_st.sampled_from([
                 (1.0, 0.5, -0.25), (1.0, 0.5, -0.25),   # dup cluster
                 (-0.5, 1.0, 0.75), (0.25, -1.0, 0.5),

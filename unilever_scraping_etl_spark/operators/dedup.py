@@ -230,7 +230,15 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
     exact array_intersect verification. Results are IDENTICAL to
     ngram_jaccard_pairs — this is the high-threshold 100 TB path, where
     the naive shared-shingle join degenerates on stop-shingles.
-    Returns (id_a, id_b, jaccard)."""
+    Returns (id_a, id_b, jaccard).
+
+    Scale note: on a DUPLICATE-HEAVY corpus (N near-identical docs) the
+    OUTPUT itself is the N²/2 qualifying pairs — quadratic by
+    specification of exact pairwise similarity; no candidate filter can
+    avoid emitting them. When the duplicate GROUPS, not the pairs, are
+    the goal, use minhash_candidates(max_bucket_size=...) +
+    connected_components: the star-link guard keeps dup-heavy corpora
+    linear while preserving exactly the groups."""
     sh = df.select(F.col(id_col).alias("id"),
                    F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
