@@ -460,13 +460,16 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     recall inside capped buckets, exactly as in minhash_candidates."""
     cand = simhash_candidates(df, id_col, text_col, max_hamming,
                               use_arrow, max_bucket_size)
+    # No trailing distinct: the candidates are DISTINCT by contract
+    # (banded_pair_candidates) and hamming is a function of the carried
+    # fingerprints, so a second dedup would only re-shuffle the pair
+    # set for nothing at scale.
     return (cand
             .select("id_a", "id_b",
                     F.bit_count(F.col("simhash_a")
                                 .bitwiseXOR(F.col("simhash_b")))
                      .alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct())
+            .filter(F.col("hamming") <= max_hamming))
 
 
 def embedding_near_pairs(emb: DataFrame, id_col: str, vec_col: str,
