@@ -380,6 +380,19 @@ def test_ngram_design_point_pinned():
     assert "dedup_ngram_prefix" in qdoc and "dedup_near" in qdoc
 
 
+def test_dedup_editdist_band_plan_shape(spark):
+    """The registered dedup_editdist joins on the (block, band) equi
+    keys — never a cartesian — and the length band actually reaches
+    the join keys (a band that ends up only in a post-join filter
+    would not split the hot block's shuffle cell)."""
+    plan = _plan(QUERIES["dedup_editdist"].spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "band" in plan and "levenshtein" in plan
+    join_lines = [l for l in plan.splitlines()
+                  if "HashJoin" in l or "SortMergeJoin" in l]
+    assert any("band" in l for l in join_lines), join_lines
+
+
 def test_editdist_length_band_identity(spark):
     """The length-banded edit-distance join must be output-identical
     to plain key blocking (levenshtein <= d bounds the length delta by
@@ -1626,6 +1639,37 @@ try:
                   simhash_candidates(docs, "doc_id", "text",
                                      max_bucket_size=cap).collect()]
         _assert_same_components(uncapped, capped, (texts, cap))
+
+    @_settings(max_examples=6, deadline=None)
+    @_given(_st.lists(_st.text(alphabet="ab ", min_size=1, max_size=20),
+                      min_size=2, max_size=8),
+            _st.sampled_from([1, 3, 7]))
+    def test_simhash_pigeonhole_recall_property(texts, max_hamming):
+        """Pigeonhole completeness of the chunk banding: EVERY pair
+        within max_hamming of each other must appear in the unguarded
+        candidate set (with h differing bits and h+1 chunks, some
+        chunk must be equal) — pinned against chunk-boundary math
+        regressions for several thresholds, including ones where
+        64 % (h+1) != 0."""
+        from unilever_scraping_etl_spark.operators.dedup import (
+            simhash64_arrow, simhash_candidates)
+        from unilever_scraping_etl_spark.session import get_session
+
+        spark = get_session("tests")
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        fps = {r["doc_id"]: r["simhash"] for r in
+               simhash64_arrow(docs, "doc_id", "text").collect()}
+        cand = {(r.id_a, r.id_b) for r in
+                simhash_candidates(docs, "doc_id", "text",
+                                   max_hamming=max_hamming).collect()}
+        mask = (1 << 64) - 1  # fps are SIGNED longs; hamming is over
+        for i in fps:         # the 64-bit pattern, not Python's sign
+            for j in fps:
+                ham = bin((fps[i] ^ fps[j]) & mask).count("1")
+                if i < j and ham <= max_hamming:
+                    assert (i, j) in cand, (texts, max_hamming, i, j)
 
     @_settings(max_examples=6, deadline=None)
     @_given(_st.lists(_st.text(alphabet="abc", min_size=0, max_size=12),
