@@ -380,6 +380,26 @@ def test_ngram_design_point_pinned():
     assert "dedup_ngram_prefix" in qdoc and "dedup_near" in qdoc
 
 
+def test_star_path_carries_correct_payload(spark):
+    """With a cap small enough that every bucket star-links, the
+    payload columns on star edges must be each endpoint's OWN
+    fingerprint (the hub's via the min-struct window) — a wrong
+    payload would silently corrupt the hamming verify on star edges."""
+    from unilever_scraping_etl_spark.operators.dedup import (
+        simhash64_arrow, simhash_candidates)
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    fps = {r["doc_id"]: r["simhash"] for r in
+           simhash64_arrow(docs, "doc_id", "text").collect()}
+    rows = simhash_candidates(docs, "doc_id", "text", max_hamming=3,
+                              max_bucket_size=1).collect()
+    assert len(rows) > 0  # cap 1 forces every 2+ bucket onto the star path
+    for r in rows:
+        assert r["simhash_a"] == fps[r["id_a"]], r
+        assert r["simhash_b"] == fps[r["id_b"]], r
+        assert r["id_a"] < r["id_b"], r
+
+
 def test_dedup_editdist_band_plan_shape(spark):
     """The registered dedup_editdist joins on the (block, band) equi
     keys — never a cartesian — and the length band actually reaches
