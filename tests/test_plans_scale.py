@@ -349,14 +349,17 @@ def test_lsh_verify_stage_balanced_on_clustered_corpus(spark):
                                     max_bucket_size=4096)
     # AQE coalescing would legitimately merge these tiny partitions
     # locally; what's under test is the pre-coalesce spread at scale,
-    # so pin the raw partitioning for this one query.
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    # so pin the raw partitioning for this one query and restore the
+    # session's own prior value afterwards (r7 ADVICE: a hard-coded
+    # "true" would mutate a differently-configured shared session).
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    saved = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
     try:
         per_part = (out.withColumn("pid", F.spark_partition_id())
                     .groupBy("pid").count().collect())
     finally:
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
-                       "true")
+        spark.conf.set(coalesce_key, saved)
     counts = [r["count"] for r in per_part]
     total = sum(counts)
     assert total == n * (n - 1) // 2  # every pair verified exactly once
@@ -436,6 +439,29 @@ def test_editdist_length_band_identity(spark):
     got = {(r.id_a, r.id_b, r.dist) for r in dedup.editdist_pairs(
         straddle, "id", "name", ["brand", "size"], max_dist=8).collect()}
     assert got == {(1, 2, 2)}
+
+
+def test_editdist_rejects_unkeyed_join(spark):
+    """r7 ADVICE: block_cols=[] with length_band=False leaves only the
+    id_a < id_b predicate — a corpus-wide nested-loop cross join the
+    operator's docstring promises never happens. It must raise rather
+    than silently degenerate; length bands alone still give an equi
+    key, so that combination stays legal and keyed."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "xyzzy")], "id long, name string")
+    with pytest.raises(ValueError, match="equi join key"):
+        dedup.editdist_pairs(df, "id", "name", [], max_dist=2,
+                             length_band=False)
+    # length_band=True with no block cols: allowed, equi-keyed on the
+    # band, and still finds the in-band pair.
+    got = {(r.id_a, r.id_b, r.dist) for r in dedup.editdist_pairs(
+        df, "id", "name", [], max_dist=2).collect()}
+    assert got == {(1, 2, 1)}
+    plan = _plan(dedup.editdist_pairs(df, "id", "name", [], max_dist=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_grid_topk_equals_broadcast_topk(spark):

@@ -80,13 +80,17 @@ def banded_pair_candidates(banded: DataFrame, id_col: str,
     the quadratic blowup banding exists to avoid. Buckets larger than
     the cap are STAR-LINKED instead: every member links to the
     bucket's min id, emitting N-1 edges that preserve exactly the
-    connectivity a downstream connected-components clustering needs
-    (the clique is recovered transitively) at O(N) cost AND diameter 2
-    (a chain would hand the label-propagation loop a diameter-N path —
-    its worst case); per-pair verifiers still apply edge-by-edge.
-    Pair-level recall for non-hub members of a capped bucket is traded
-    away knowingly — for DEDUP (cluster-then-keep-one) connectivity is
-    the requirement. The bucket-sizing window is PARTITIONED by the
+    CANDIDATE-graph connectivity a downstream connected-components
+    clustering needs (the clique is recovered transitively) at O(N)
+    cost AND diameter 2 (a chain would hand the label-propagation loop
+    a diameter-N path — its worst case); per-pair verifiers still
+    apply edge-by-edge. Pair-level recall for non-hub members of a
+    capped bucket is traded away knowingly — for DEDUP
+    (cluster-then-keep-one) connectivity is the requirement. Note the
+    connectivity guarantee is pre-verify: if the caller's verifier
+    rejects the hub's edges to members that mutually pass it, those
+    members disconnect in the VERIFIED output (see the caveat on
+    simhash_near_pairs / embedding_lsh_pairs). The bucket-sizing window is PARTITIONED by the
     band keys (never global), so the guard itself scales.
 
     ``payload`` names a per-id column (e.g. the simhash fingerprint)
@@ -283,7 +287,18 @@ def editdist_pairs(df: DataFrame, id_col: str, text_col: str,
     The verify uses Spark's thresholded levenshtein (early-exits the
     DP once the running distance exceeds ``max_dist`` — O(d * min_len)
     instead of O(len_a * len_b) per pair). Returns
-    (id_a, id_b, dist <= max_dist)."""
+    (id_a, id_b, dist <= max_dist).
+
+    ``block_cols=[]`` is rejected when ``length_band`` is also off:
+    with no equi key at all the join degenerates to the corpus-wide
+    nested-loop cross this function exists to avoid (length bands
+    alone still give an equi key, so that combination is allowed)."""
+    if not block_cols and not length_band:
+        raise ValueError(
+            "editdist_pairs with block_cols=[] and length_band=False has "
+            "no equi join key — the plan would be an all-pairs cross "
+            "join; pass at least one block column or leave length_band "
+            "on")
     w = max_dist + 1
     a = df.select(F.col(id_col).alias("id_a"),
                   F.col(text_col).alias("txt_a"),
@@ -457,7 +472,19 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     exploded quadratically — star edges go through the SAME hamming
     verify, so the output contract (every emitted pair is within
     max_hamming) holds unconditionally; what is traded is pair-level
-    recall inside capped buckets, exactly as in minhash_candidates."""
+    recall inside capped buckets, exactly as in minhash_candidates.
+
+    POST-VERIFY caveat (r7 ADVICE): connectivity preservation is a
+    property of the CANDIDATE graph (that is what the per-family
+    property tests pin). Because star edges all route through the
+    bucket's min-id hub, a capped bucket whose hub FAILS the hamming
+    verify against members that are mutually within max_hamming loses
+    those members' connection entirely — the verified-output cluster
+    can SPLIT there, not merely lose redundant edges. Chunk-banding
+    makes this rare (every member of a chunk bucket already agrees
+    with the hub on a full fingerprint chunk), but it is possible; at
+    a cluster-split-intolerant call site, raise max_bucket_size or
+    verify hub candidates before capping."""
     cand = simhash_candidates(df, id_col, text_col, max_hamming,
                               use_arrow, max_bucket_size)
     # No trailing distinct: the candidates are DISTINCT by contract
@@ -556,8 +583,15 @@ def embedding_lsh_pairs(emb: DataFrame, id_col: str, vec_col: str,
     ``max_bucket_size`` is the hot-bucket star-link guard
     (banded_pair_candidates); star edges go through the SAME exact
     verify, so precision stays 1.0 — only pair recall inside capped
-    buckets is traded, and candidate-graph connectivity is preserved
-    (property-tested)."""
+    buckets is traded, and CANDIDATE-graph connectivity is preserved
+    (property-tested). POST-VERIFY caveat (r7 ADVICE): if a capped
+    bucket's min-id hub fails the cosine verify against members that
+    are mutually above threshold, those members lose their connection
+    entirely — verified-output clusters can SPLIT, not just shed
+    redundant edges (LSH buckets admit hash-collision members whose
+    true cosine is below threshold, so a below-threshold hub is
+    possible). At a split-intolerant call site, raise max_bucket_size
+    or verify hub candidates before capping."""
     import numpy as np
     from pyspark.sql import types as T
 
