@@ -249,6 +249,56 @@ def test_connected_components_direction_insensitive(spark):
     assert got == {(1, 1), (5, 1), (9, 1)}
 
 
+def test_connected_components_star_variant(spark):
+    """r7 VERDICT item 5: the large-star/small-star variant
+    (algorithm='star', Kiveris et al. SoCC 2014) must return the
+    identical (node, component) table as the pointer-jump default —
+    including the reattachment edge cases the contraction drops from
+    the edge set: star centers (appear only as parents) and nodes
+    whose only edge is a self-loop."""
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        [(5, 1), (5, 9)],                      # min on the dst side
+        [(7, 7)],                              # self-loop-only node
+        [(a, b) for a in range(1, 6) for b in range(a + 1, 6)],  # clique
+        [(i, i + 1) for i in range(20)],       # chain, diameter 20
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        pj = {(r["node"], r["component"]) for r in
+              dedup.connected_components(df, "id_a", "id_b").collect()}
+        st = {(r["node"], r["component"]) for r in
+              dedup.connected_components(df, "id_a", "id_b",
+                                         algorithm="star").collect()}
+        assert st == pj and len(st) > 0, edges
+    import pytest
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        dedup.connected_components(
+            spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
+            "id_a", "id_b", algorithm="labelprop")
+
+
+def test_connected_components_rounds_log_diameter(spark):
+    """Pins the measured O(log d) round bound that justifies
+    max_iterations=30 (r7 VERDICT item 5): a worst-case chain of
+    diameter 256 must converge in exactly log2(256) = 8 rounds under
+    BOTH algorithms (so 30 rounds covers diameter ~2^29 — the
+    BASELINE.md rounds-vs-diameter record). Also pins the star
+    variant's honest non-convergence raise."""
+    d = 256
+    edges = spark.range(d).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    for algo in ("pointer_jump", "star"):
+        out = dedup.connected_components(edges, "id_a", "id_b",
+                                         max_iterations=9, algorithm=algo)
+        assert out.filter("component = 0").count() == d + 1, algo
+        assert dedup._LAST_CC_ROUNDS == 8, (algo, dedup._LAST_CC_ROUNDS)
+    import pytest
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, "id_a", "id_b",
+                                   max_iterations=3, algorithm="star")
+
+
 def test_ivf_recall_vs_brute_force(spark):
     # ANN quality gate: IVF (nlist=16, nprobe=4) must recover >=75% of
     # the exact cosine top-5 (measured 92.5% at sf0.001 and sf0.01 —
@@ -1158,6 +1208,26 @@ try:
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r["node"]: r["component"]
                for r in connected_components(df, "id_a", "id_b").collect()}
+        assert got == _union_find_components(edges)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=40))
+    def test_connected_components_star_property_vs_union_find(edges):
+        """The large-star/small-star variant must also agree with the
+        reference union-find on arbitrary small graphs — self-loops
+        INCLUDED (the contraction drops them from the edge set, the
+        node reattachment must restore them self-labeled)."""
+        from unilever_scraping_etl_spark.operators.dedup import \
+            connected_components
+        from unilever_scraping_etl_spark.session import get_session
+
+        spark = get_session("tests")
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["component"]
+               for r in connected_components(
+                   df, "id_a", "id_b", algorithm="star").collect()}
         assert got == _union_find_components(edges)
 
     @settings(max_examples=50, deadline=None)

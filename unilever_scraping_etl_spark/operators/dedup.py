@@ -698,8 +698,16 @@ def embedding_near_pairs_gemm(emb: DataFrame, id_col: str, vec_col: str,
     return emb.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
+_LAST_CC_ROUNDS: int | None = None
+"""Diagnostic: rounds the last connected_components call used to
+converge (set on success; None before the first call). A measurement
+hook for the rounds-vs-diameter record in BASELINE.md and the
+convergence tests — not part of the operator contract."""
+
+
 def connected_components(edges: DataFrame, src: str, dst: str,
-                         max_iterations: int = 30) -> DataFrame:
+                         max_iterations: int = 30,
+                         algorithm: str = "pointer_jump") -> DataFrame:
     """Connected components over an undirected edge list by iterative
     min-label propagation: every node starts labeled with
     min(own id, min neighbor id) — a free one-hop head start, since
@@ -707,6 +715,27 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     node takes the min of its label and its neighbors' labels;
     converged when no label changes. Returns (node, component)
     with component = min node id in the component.
+
+    ``algorithm`` selects the round structure (r7 VERDICT item 5):
+
+    - ``"pointer_jump"`` (default): the hop + pointer-jump loop below —
+      O(log d) rounds (measured: ceil(log2 d) + ~2 on worst-case chain
+      graphs, BASELINE.md), each round one edge-join shuffle plus one
+      |nodes|-sized label self-join. ``max_iterations=30`` therefore
+      covers diameter ~2^27 — beyond any dedup pair graph — and
+      non-convergence raises rather than returning wrong labels.
+    - ``"star"``: alternating large-star/small-star edge contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC 2014 — public algorithm): large-star hangs every
+      larger-than-self neighbor under the neighborhood minimum,
+      small-star re-parents the smaller neighbors; the edge set
+      converges to one star per component whose center is the
+      component minimum. Rounds shrink the EDGE LIST itself (not a
+      label table), so a pathological long-diameter graph that
+      exhausts the pointer-jump budget can be rerun on this variant;
+      its per-round windows partition by node id, so a hub's
+      neighborhood lands in one partition for one round and is then
+      flattened — the hub-shrinking behavior is the algorithm's point.
 
     This is the clustering step a dedup pipeline needs AFTER pair
     detection: near-dup PAIRS (minhash/simhash/Jaccard) form a graph
@@ -747,6 +776,11 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     directed = edges.select(F.col(src).cast("long").alias("a"),
                             F.col(dst).cast("long").alias("b"))
     directed = directed.localCheckpoint()
+    if algorithm == "star":
+        return _star_components(directed, max_iterations)
+    if algorithm != "pointer_jump":
+        raise ValueError(f"unknown algorithm {algorithm!r}: expected "
+                         f"'pointer_jump' or 'star'")
     sym = directed.union(directed.select(F.col("b").alias("a"),
                                          F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint()  # reused every round — cut the upstream plan
@@ -763,7 +797,7 @@ def connected_components(edges: DataFrame, src: str, dst: str,
               .select(F.col("a").alias("node"),
                       F.least("a", "min_nb").alias("component")))
     prev_sum, converged = None, False
-    for _ in range(max_iterations):
+    for round_i in range(max_iterations):
         msgs = (sym.join(labels, sym["b"] == labels["node"])
                 .select(sym["a"].alias("node"), "component"))
         hopped = (labels.unionByName(msgs)
@@ -800,10 +834,86 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         # yield incorrect duplicate clusters at scale with no signal.
         raise RuntimeError(
             f"connected_components did not converge within "
-            f"{max_iterations} iterations; raise max_iterations or use "
-            f"a large-star/small-star O(log d) variant for "
+            f"{max_iterations} iterations; raise max_iterations or "
+            f"rerun with algorithm='star' (large-star/small-star) for "
             f"long-diameter graphs")
+    global _LAST_CC_ROUNDS
+    _LAST_CC_ROUNDS = round_i + 1
     return labels
+
+
+def _star_components(directed: DataFrame, max_iterations: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC 2014) over a checkpointed directed edge list with long-typed
+    columns (a, b). See connected_components(algorithm="star").
+
+    Each round rewrites the EDGE SET:
+
+    - large-star, per node u over its full (symmetrized) neighborhood:
+      m = min({u} ∪ Γ(u)); emit (v, m) for every neighbor v > u. The
+      output is canonically oriented (v > u ≥ m, and v == m is
+      impossible), so every edge is (child, parent) with child > parent.
+    - small-star, per node u over its SMALLER neighbors (exactly the
+      b-side of the oriented edges): m = min Γ⁻(u); emit (u, m) and
+      (v, m) for every smaller neighbor v != m.
+
+    Both operations preserve the graph's connected components; the
+    fixed point is a union of stars, one per component, centered at
+    the component minimum — which gives an EXACT convergence test with
+    no label checksum: the edge set is converged iff no parent ever
+    appears as a child (two tiny aggregates per round, checked on the
+    per-round localCheckpoint that also cuts the growing lineage).
+    Returns the same (node, component) contract as the pointer-jump
+    form, including self-labeled star centers and nodes whose only
+    edge was a self-loop (reattached from the original node set)."""
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("a")
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("b").alias("a"),
+                               F.col("a").alias("b")))
+        m = F.least(F.col("a"), F.min("b").over(wa))
+        return (sym.withColumn("m", m)
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        withm = e.withColumn("m", F.min("b").over(wa))
+        reparent = (withm.filter(F.col("b") != F.col("m"))
+                    .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        own = withm.select("a", F.col("m").alias("b"))
+        return reparent.union(own).distinct()
+
+    edges = directed.filter(F.col("a") != F.col("b"))
+    converged = False
+    for round_i in range(max_iterations):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        # Exact star test: converged iff no parent is also a child.
+        # (small_star emits one distinct parent per child by
+        # construction, so the star orientation is already a function.)
+        parent_is_child = (edges.select("b").join(
+            edges.select(F.col("a").alias("b")), "b", "left_semi")
+            .limit(1).count())
+        if parent_is_child == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(algorithm='star') did not converge "
+            f"within {max_iterations} iterations; raise max_iterations")
+    global _LAST_CC_ROUNDS
+    _LAST_CC_ROUNDS = round_i + 1
+    # Reattach every node from the ORIGINAL edge list: star centers
+    # appear only as parents, and self-loop-only nodes carry no edge
+    # through the contraction at all — both self-label.
+    nodes = (directed.select(F.col("a").alias("node"))
+             .union(directed.select(F.col("b").alias("node"))).distinct())
+    mapping = edges.select(F.col("a").alias("node"),
+                           F.col("b").alias("mapped"))
+    return (nodes.join(mapping, "node", "left")
+            .select("node", F.coalesce("mapped", "node").alias("component")))
 
 
 def embedding_near_pairs_grid(emb: DataFrame, id_col: str, vec_col: str,
