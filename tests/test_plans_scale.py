@@ -105,6 +105,10 @@ def test_dedup_near_guard_plan_shape(spark):
     assert "count(1)" in plan and "windowspecdefinition" in plan.lower()
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+    # the guard's capped-join input must be spread by a user-pinned
+    # repartition (exempt from AQE coalescing) so the pair explosion
+    # keeps full parallelism — r8 guard-stress fix (BASELINE.md)
+    assert "REPARTITION_BY_NUM" in plan
 
 
 def test_dedup_simhash_guard_plan_shape(spark):
@@ -117,6 +121,7 @@ def test_dedup_simhash_guard_plan_shape(spark):
     assert "count(1)" in plan and "windowspecdefinition" in plan.lower()
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+    assert "REPARTITION_BY_NUM" in plan  # r8 guard parallelism pin
 
 
 def test_dedup_embedding_lsh_guard_plan_shape(spark):
@@ -134,6 +139,7 @@ def test_dedup_embedding_lsh_guard_plan_shape(spark):
     assert "MapInPandas" in plan
     assert re.search(r"Exchange hashpartitioning\(id_a#\d+L, id_b#\d+L",
                      plan), plan
+    assert "REPARTITION_BY_NUM" in plan  # r8 guard parallelism pin
 
 
 def test_snapshot_partition_pruning(spark, tmp_path):

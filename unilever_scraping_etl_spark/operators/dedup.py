@@ -68,7 +68,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def banded_pair_candidates(banded: DataFrame, id_col: str,
                            keys: list[str],
                            max_bucket_size: int | None = None,
-                           payload: str | None = None) -> DataFrame:
+                           payload: str | None = None,
+                           spread: str = "id") -> DataFrame:
     """Shared candidate generator for every LSH family (minhash bands,
     simhash chunks, hyperplane buckets): an equi SELF-JOIN of the
     banded table on ``keys`` with id_a < id_b — a standard shuffle
@@ -119,8 +120,43 @@ def banded_pair_candidates(banded: DataFrame, id_col: str,
     from pyspark.sql import Window
     wb = Window.partitionBy(*keys)
     sized = banded.withColumn("n_bucket", F.count(F.lit(1)).over(wb))
-    small = sized.filter(F.col("n_bucket") <= max_bucket_size) \
-                 .drop("n_bucket")
+    # Pair-generation parallelism guard-within-the-guard: the sizing
+    # window's exchange carries only |banded| rows (tiny bytes), so
+    # AQE coalesces it to a handful of partitions — and the pair JOIN
+    # fed from it then explodes up to cap²/2 output rows per bucket
+    # inside those few tasks (measured: the capped candidate stage ran
+    # in 3 tasks on the 10×-inflated sf0.1 embeddings corpus, 1.6×
+    # SLOWER than the unguarded plan, whose stream side reads a
+    # non-exchange scan and keeps full parallelism — BASELINE.md
+    # round-8 guard stress). AQE coalescing is sized on exchange INPUT
+    # bytes and cannot see a downstream row explosion, so pin the
+    # spread explicitly: repartition with an explicit partition count
+    # (REPARTITION_BY_NUM — exempt from AQE coalescing). WHICH column
+    # to spread by depends on the bucket-key cardinality, known per
+    # LSH family by construction (A/B'd at the 10× scale, ibid.):
+    #   spread="keys" — hash the band keys. Co-partitions with the
+    #     self-join (no further exchange) and spreads buckets evenly
+    #     ONLY when bucket keys are fine-grained (minhash's 64-bit
+    #     xxhash64 band hashes). With coarse keys each whole bucket
+    #     lands in ONE task and the cap²/2 pair explosion
+    #     re-concentrates (2.9× slower than "id" for 8-plane
+    #     hyperplane buckets).
+    #   spread="id" (default — safe in the coarse direction) — hash
+    #     the doc id. Splits every bucket's rows across all
+    #     partitions, so pair generation parallelizes WITHIN a bucket
+    #     (the join localizes via broadcast/replication of the tiny
+    #     banded table), and colocating all of a doc's band rows lets
+    #     the partial-distinct collapse duplicate pairs before the
+    #     shuffle. Costs an exchange minhash doesn't need (1.8×
+    #     slower than "keys" on fine-grained buckets).
+    n_part = int(banded.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    if spread not in ("id", "keys"):
+        raise ValueError(f"spread must be 'id' or 'keys', got {spread!r}")
+    spread_cols = list(keys) if spread == "keys" else [id_col]
+    small = (sized.filter(F.col("n_bucket") <= max_bucket_size)
+             .drop("n_bucket")
+             .repartition(n_part, *[F.col(c) for c in spread_cols]))
     if payload is None:
         hub_id = F.min(id_col).over(wb)
         star_cols = [hub_id.alias("id_a"), F.col(id_col).alias("id_b")]
@@ -158,8 +194,11 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
     ])
     banded = (sig.select(F.col(id_col), F.explode(band_cols).alias("band_key"))
                  .select(id_col, "band_key.band", "band_key.bh"))
+    # spread="keys": the band hash is 64-bit xxhash64 — fine-grained
+    # by construction, so key-spreading co-partitions with the join
+    # (1.8× over id-spread at the 10× guard stress, BASELINE.md).
     return banded_pair_candidates(banded, id_col, ["band", "bh"],
-                                  max_bucket_size)
+                                  max_bucket_size, spread="keys")
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
