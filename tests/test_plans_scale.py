@@ -105,10 +105,10 @@ def test_dedup_near_guard_plan_shape(spark):
     assert "count(1)" in plan and "windowspecdefinition" in plan.lower()
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
-    # the guard's capped-join input must be spread by a user-pinned
-    # repartition (exempt from AQE coalescing) so the pair explosion
-    # keeps full parallelism — r8 guard-stress fix (BASELINE.md)
-    assert "REPARTITION_BY_NUM" in plan
+    # NOTE: minhash deliberately carries NO guard parallelism pin
+    # (spread=None) — its 64-bit band hashes bound per-bucket pair
+    # counts by the true clique size; see
+    # test_guard_spread_column_per_family for the per-family pins.
 
 
 def test_dedup_simhash_guard_plan_shape(spark):
@@ -140,6 +140,37 @@ def test_dedup_embedding_lsh_guard_plan_shape(spark):
     assert re.search(r"Exchange hashpartitioning\(id_a#\d+L, id_b#\d+L",
                      plan), plan
     assert "REPARTITION_BY_NUM" in plan  # r8 guard parallelism pin
+
+
+def test_guard_spread_column_per_family(spark):
+    """Pin the r8 per-family guard-parallelism decision (BASELINE.md
+    round-8 guard stress): coarse-bucket families (hyperplane LSH,
+    simhash) spread the capped-join input by ID via a user-pinned
+    repartition (REPARTITION_BY_NUM — exempt from AQE coalescing, so
+    the cap²/2 pair explosion parallelizes WITHIN a bucket); minhash
+    carries NO pin — its 64-bit band hashes bound per-bucket pair
+    counts by the true clique size, and the id-pin's extra exchange
+    measured 1.8× slower there."""
+    import re
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(dedup.minhash_candidates(docs, "doc_id", "text",
+                                          max_bucket_size=1024))
+    assert "REPARTITION_BY_NUM" not in plan, plan
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(dedup.hyperplane_lsh_candidates(
+        emb, "vec_id", "embedding", n_bands=4, n_planes=8,
+        max_bucket_size=1024))
+    assert re.search(
+        r"Exchange hashpartitioning\(vec_id#\d+L, \d+\), "
+        r"REPARTITION_BY_NUM", plan), plan
+
+    plan = _plan(dedup.simhash_candidates(docs, "doc_id", "text",
+                                          max_bucket_size=1024))
+    assert re.search(
+        r"Exchange hashpartitioning\(doc_id#\d+L, \d+\), "
+        r"REPARTITION_BY_NUM", plan), plan
 
 
 def test_snapshot_partition_pruning(spark, tmp_path):

@@ -69,7 +69,7 @@ def banded_pair_candidates(banded: DataFrame, id_col: str,
                            keys: list[str],
                            max_bucket_size: int | None = None,
                            payload: str | None = None,
-                           spread: str = "id") -> DataFrame:
+                           spread: str | None = "id") -> DataFrame:
     """Shared candidate generator for every LSH family (minhash bands,
     simhash chunks, hyperplane buckets): an equi SELF-JOIN of the
     banded table on ``keys`` with id_a < id_b — a standard shuffle
@@ -131,32 +131,36 @@ def banded_pair_candidates(banded: DataFrame, id_col: str,
     # round-8 guard stress). AQE coalescing is sized on exchange INPUT
     # bytes and cannot see a downstream row explosion, so pin the
     # spread explicitly: repartition with an explicit partition count
-    # (REPARTITION_BY_NUM — exempt from AQE coalescing). WHICH column
-    # to spread by depends on the bucket-key cardinality, known per
-    # LSH family by construction (A/B'd at the 10× scale, ibid.):
-    #   spread="keys" — hash the band keys. Co-partitions with the
-    #     self-join (no further exchange) and spreads buckets evenly
-    #     ONLY when bucket keys are fine-grained (minhash's 64-bit
-    #     xxhash64 band hashes). With coarse keys each whole bucket
-    #     lands in ONE task and the cap²/2 pair explosion
-    #     re-concentrates (2.9× slower than "id" for 8-plane
-    #     hyperplane buckets).
+    # (REPARTITION_BY_NUM — exempt from AQE coalescing). Whether to
+    # pin depends on the bucket-key cardinality, known per LSH family
+    # by construction (A/B'd at the 10× scale, ibid.):
     #   spread="id" (default — safe in the coarse direction) — hash
     #     the doc id. Splits every bucket's rows across all
     #     partitions, so pair generation parallelizes WITHIN a bucket
     #     (the join localizes via broadcast/replication of the tiny
     #     banded table), and colocating all of a doc's band rows lets
     #     the partial-distinct collapse duplicate pairs before the
-    #     shuffle. Costs an exchange minhash doesn't need (1.8×
-    #     slower than "keys" on fine-grained buckets).
-    n_part = int(banded.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"))
-    if spread not in ("id", "keys"):
-        raise ValueError(f"spread must be 'id' or 'keys', got {spread!r}")
-    spread_cols = list(keys) if spread == "keys" else [id_col]
-    small = (sized.filter(F.col("n_bucket") <= max_bucket_size)
-             .drop("n_bucket")
-             .repartition(n_part, *[F.col(c) for c in spread_cols]))
+    #     shuffle. Needed when bucket keys are COARSE (simhash's
+    #     16-bit chunk values, hyperplane's n_planes-bit buckets):
+    #     there, a keys-distribution lands each whole bucket in one
+    #     task and the cap²/2 pair explosion re-concentrates (2.9×
+    #     slower at the 10× stress).
+    #   spread=None — no pin. Correct when bucket keys are
+    #     FINE-GRAINED (minhash's 64-bit xxhash64 band hashes): the
+    #     per-bucket explosion is bounded by the true clique size, so
+    #     the join's own keys-exchange needs no protection, and the
+    #     id-pin's extra exchange costs 1.8× (ibid.). (Repartitioning
+    #     by the band keys instead is a measured no-op: the sizing
+    #     window already leaves the data keys-partitioned, so
+    #     Catalyst elides the redundant repartition.)
+    if spread not in ("id", None):
+        raise ValueError(f"spread must be 'id' or None, got {spread!r}")
+    small = sized.filter(F.col("n_bucket") <= max_bucket_size) \
+                 .drop("n_bucket")
+    if spread == "id":
+        n_part = int(banded.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        small = small.repartition(n_part, F.col(id_col))
     if payload is None:
         hub_id = F.min(id_col).over(wb)
         star_cols = [hub_id.alias("id_a"), F.col(id_col).alias("id_b")]
@@ -194,11 +198,12 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
     ])
     banded = (sig.select(F.col(id_col), F.explode(band_cols).alias("band_key"))
                  .select(id_col, "band_key.band", "band_key.bh"))
-    # spread="keys": the band hash is 64-bit xxhash64 — fine-grained
-    # by construction, so key-spreading co-partitions with the join
-    # (1.8× over id-spread at the 10× guard stress, BASELINE.md).
+    # spread=None: the band hash is 64-bit xxhash64 — fine-grained by
+    # construction, so per-bucket pair counts are bounded by the true
+    # clique size and no parallelism pin is needed; the id-pin's
+    # extra exchange costs 1.8× here (10× guard stress, BASELINE.md).
     return banded_pair_candidates(banded, id_col, ["band", "bh"],
-                                  max_bucket_size, spread="keys")
+                                  max_bucket_size, spread=None)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
