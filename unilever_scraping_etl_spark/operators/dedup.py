@@ -158,8 +158,22 @@ def banded_pair_candidates(banded: DataFrame, id_col: str,
     small = sized.filter(F.col("n_bucket") <= max_bucket_size) \
                  .drop("n_bucket")
     if spread == "id":
-        n_part = int(banded.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions"))
+        # NOTE the id-pin's parallelism win assumes the self-join
+        # BROADCASTS one side (the banded table is band-count × id
+        # rows of key bytes — small at every measured scale): the
+        # stream side then keeps the id-distribution and pairs
+        # generate across all tasks. If the banded table ever exceeds
+        # the broadcast threshold, SMJ/SHJ re-exchanges BOTH sides on
+        # the band keys, re-concentrating each bucket in one task and
+        # demoting this repartition to a dead extra shuffle (r8
+        # ADVICE); test_guard_spread_column_per_family pins the
+        # BroadcastHashJoin so that regression is loud, not silent.
+        try:
+            n_part = int(banded.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except ValueError:
+            # e.g. "auto" under vendor AQE auto-optimized shuffle
+            n_part = banded.sparkSession.sparkContext.defaultParallelism
         small = small.repartition(n_part, F.col(id_col))
     if payload is None:
         hub_id = F.min(id_col).over(wb)
@@ -905,8 +919,18 @@ def _star_components(directed: DataFrame, max_iterations: int) -> DataFrame:
     fixed point is a union of stars, one per component, centered at
     the component minimum — which gives an EXACT convergence test with
     no label checksum: the edge set is converged iff no parent ever
-    appears as a child (two tiny aggregates per round, checked on the
-    per-round localCheckpoint that also cuts the growing lineage).
+    appears as a child AND no child carries two distinct parents
+    (a few tiny aggregates per round, checked on the per-round
+    localCheckpoint that also cuts the growing lineage). Both
+    conjuncts are required: small_star's reparent branch emits
+    (b, m_a) from EVERY partition a where b is a non-minimal smaller
+    neighbor, so one child can end the round with two different
+    parents; if both parents are roots, "no parent is a child" alone
+    would stop early with the component split in two (and the child
+    emitted twice, violating the one-row-per-node contract). The next
+    large-star round sees the multi-parent child's full neighborhood
+    and merges the roots, so requiring single-parenthood is exactly
+    the missing fixed-point condition.
     Returns the same (node, component) contract as the pointer-jump
     form, including self-labeled star centers and nodes whose only
     edge was a self-loop (reattached from the original node set)."""
@@ -934,15 +958,20 @@ def _star_components(directed: DataFrame, max_iterations: int) -> DataFrame:
     converged = False
     for round_i in range(max_iterations):
         edges = small_star(large_star(edges)).localCheckpoint()
-        # Exact star test: converged iff no parent is also a child.
-        # (small_star emits one distinct parent per child by
-        # construction, so the star orientation is already a function.)
+        # Exact star test: converged iff no parent is also a child AND
+        # every child has exactly one distinct parent (see docstring —
+        # the first conjunct alone stops early on two-lobe graphs where
+        # a shared child holds edges to two root parents).
         parent_is_child = (edges.select("b").join(
             edges.select(F.col("a").alias("b")), "b", "left_semi")
             .limit(1).count())
         if parent_is_child == 0:
-            converged = True
-            break
+            multi_parent = (edges.groupBy("a")
+                            .agg(F.count_distinct("b").alias("np"))
+                            .filter(F.col("np") > 1).limit(1).count())
+            if multi_parent == 0:
+                converged = True
+                break
     if not converged:
         raise RuntimeError(
             f"connected_components(algorithm='star') did not converge "
