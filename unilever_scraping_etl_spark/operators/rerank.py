@@ -48,21 +48,28 @@ def token_overlap_scorer(q_text: pd.Series, d_text: pd.Series) -> pd.Series:
     of precision/recall of the whitespace-token overlap, lowercased).
     A real cross-signal — it sees BOTH texts, unlike an embedding dot
     product — and the in-container stand-in for a model-backed
-    cross-encoder. Empty-token edge cases score 0.0."""
-    out = []
-    for q, d in zip(q_text, d_text):
-        qs = set(str(q).lower().split()) if q is not None else set()
-        ds = set(str(d).lower().split()) if d is not None else set()
-        if not qs or not ds:
-            out.append(0.0)
-            continue
-        inter = len(qs & ds)
-        if inter == 0:
-            out.append(0.0)
-            continue
-        p, r = inter / len(ds), inter / len(qs)
-        out.append(2.0 * p * r / (p + r))
-    return pd.Series(out, dtype="float64")
+    cross-encoder. Empty-token edge cases score 0.0.
+
+    Tokenization rides pandas' vectorized str accessors (r8 ADVICE);
+    the set-F1 combine keeps the exact operation tree
+    ``2.0 * (i/|d|) * (i/|q|) / (i/|d| + i/|q|)`` so the registered
+    oracle's identical DuckDB expression is IEEE-bit-identical (the
+    registry's no-rounding rule for per-row floats)."""
+    qs = (q_text.fillna("").astype(str).str.lower().str.split()
+          .map(set, na_action="ignore"))
+    ds = (d_text.fillna("").astype(str).str.lower().str.split()
+          .map(set, na_action="ignore"))
+
+    def f1(pair):
+        a, b = pair
+        inter = len(a & b)
+        if not a or not b or inter == 0:
+            return 0.0
+        p, r = inter / len(b), inter / len(a)
+        return 2.0 * p * r / (p + r)
+
+    return pd.Series(map(f1, zip(qs, ds)), index=q_text.index,
+                     dtype="float64")
 
 
 def rerank_topk(candidates: DataFrame, queries: DataFrame,
@@ -130,8 +137,11 @@ def retrieve_and_rerank(queries: DataFrame, corpus: DataFrame,
     the top ``m`` by cross-score. ``text_df`` carries the payloads
     (id, text); when the embedding and document tables are separate
     (as in the test corpus: embeddings.vec_id ↔ documents.doc_id) pass
-    the documents table here. k > m is the point: the cheap stage
-    over-fetches so the expensive stage can repair its ranking."""
+    the documents table here; when ``text_df`` is None the corpus
+    itself carries the payloads and its ``id_col`` keys the payload
+    join (NOT ``text_id`` — the corpus typically has no doc_id column;
+    r8 ADVICE). k > m is the point: the cheap stage over-fetches so
+    the expensive stage can repair its ranking."""
     from . import similarity
 
     if m > k:
@@ -139,6 +149,7 @@ def retrieve_and_rerank(queries: DataFrame, corpus: DataFrame,
     cand = similarity.brute_force_topk(queries, corpus, k,
                                        id_col=id_col, vec_col=vec_col)
     payloads = text_df if text_df is not None else corpus
+    pid = text_id if text_df is not None else id_col
     return rerank_topk(cand, payloads, payloads, m, scorer=scorer,
                        query_payload=text_col, corpus_payload=text_col,
-                       queries_id=text_id, corpus_id=text_id)
+                       queries_id=pid, corpus_id=pid)

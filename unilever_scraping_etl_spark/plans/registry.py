@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalars, text, vectors
-from ..operators import dedup, relational, similarity
+from ..operators import dedup, relational, rerank, similarity
 from ..schemas import load_table
 from ..sources import ingest, multimodal
 from . import fixtures
@@ -1240,6 +1240,75 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.range_search_grid(
         queries, emb, threshold=0.35,
         n_blocks=similarity.adaptive_n_blocks(emb))
+
+
+@q("rerank_topk", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+q AS (SELECT doc_id AS query_id, tok AS qt FROM toks WHERE doc_id % 25 = 0),
+c AS (
+  SELECT q.query_id, d.doc_id AS neighbor_id,
+         len(list_intersect(q.qt, d.tok)) AS i,
+         len(list_distinct(d.tok)) AS ld,
+         len(list_distinct(q.qt)) AS lq
+  FROM q JOIN toks d
+    ON d.doc_id > q.query_id AND d.doc_id <= q.query_id + 16
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN i = 0 THEN 0.0
+              ELSE (2.0 * (i / ld) * (i / lq)) / ((i / ld) + (i / lq))
+         END AS score
+  FROM c
+)
+SELECT query_id, neighbor_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM s QUALIFY rank <= 5
+""", doc="L3 cross-encoder-style reranking (operators/rerank.rerank_topk, "
+         "r8 VERDICT item 2) over a FIXED deterministic candidate table: "
+         "every 25th document queries its next 16 doc_ids (Qx16 rows by "
+         "construction — the bounded two-stage-retrieval shape), the "
+         "default token-set-F1 cross-scorer re-scores each pair in one "
+         "Arrow-batched pandas UDF, and a per-query bounded window keeps "
+         "the top 5 (id tiebreak). round_digits=None: the per-row F1 is "
+         "the identical IEEE operation tree on both engines "
+         "(2*(i/|d|)*(i/|q|) / (i/|d| + i/|q|) from integer set sizes), "
+         "so scores are bit-identical without rounding — the registry's "
+         "no-rounding rule for per-row floats.")
+def rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qdocs = docs.filter(F.col("doc_id") % 25 == 0)
+    cand = (qdocs.select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(F.sequence(F.col("doc_id") + 1,
+                                     F.col("doc_id") + 16))
+                 .alias("neighbor_id"))
+            .join(docs.select(F.col("doc_id").alias("neighbor_id")),
+                  "neighbor_id", "left_semi"))
+    return rerank.rerank_topk(cand, docs, docs, m=5,
+                              queries_id="doc_id", corpus_id="doc_id",
+                              round_digits=None)
+
+
+@q("retrieve_and_rerank", None,
+   doc="L3 composed two-stage retrieval (operators/rerank."
+       "retrieve_and_rerank): stage 1 over-fetches k=16 exact-cosine "
+       "candidates per query (every 50th embedding vector) from the "
+       "embeddings corpus, stage 2 joins the documents payloads "
+       "(vec_id <-> doc_id) and keeps the top m=5 per query by the "
+       "token-set-F1 cross-score. The float cosine stage's rounded "
+       "ranking feeds a pandas-UDF scorer — not SQL-expressible as one "
+       "deterministic DuckDB tree, so rows-only (same class as "
+       "sim_ann_ivf).")
+def retrieve_and_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return rerank.retrieve_and_rerank(queries, emb, k=16, m=5,
+                                      text_df=docs)
 
 
 @q("dedup_embedding_lsh", None,
