@@ -142,6 +142,31 @@ def test_dedup_embedding_lsh_guard_plan_shape(spark):
     assert "REPARTITION_BY_NUM" in plan  # r8 guard parallelism pin
 
 
+def test_shuffle_partitions_tolerates_non_numeric_conf(spark):
+    """spark.sql.shuffle.partitions can be the string 'auto' on vendor
+    clusters with AQE auto-optimized shuffle; the guard's spread-pin
+    sizing must fall back to defaultParallelism instead of raising
+    ValueError on every spread='id' caller (r8 ADVICE)."""
+    assert dedup._shuffle_partitions(spark) == \
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # OSS Spark validates this conf as a positive int at set() time, so
+    # the 'auto' value cannot be injected into a real session here —
+    # stub the session surface the helper reads.
+    class _Conf:
+        def get(self, key):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Spark:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert dedup._shuffle_partitions(_Spark()) == 7
+
+
 def test_guard_spread_column_per_family(spark):
     """Pin the r8 per-family guard-parallelism decision (BASELINE.md
     round-8 guard stress): coarse-bucket families (hyperplane LSH,

@@ -19,6 +19,17 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, functions as F
 
 
+def _shuffle_partitions(spark) -> int:
+    """spark.sql.shuffle.partitions as an int, tolerating non-numeric
+    values ('auto' under vendor AQE auto-optimized shuffle — r8
+    ADVICE): fall back to the cluster's default parallelism rather
+    than crash every spread='id' guard caller on such clusters."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 def dedup_exact(df: DataFrame, key_cols: list[str],
                 id_col: str) -> DataFrame:
     """L1 — exact dedup keeping the smallest id per key group.
@@ -168,12 +179,7 @@ def banded_pair_candidates(banded: DataFrame, id_col: str,
         # demoting this repartition to a dead extra shuffle (r8
         # ADVICE); test_guard_spread_column_per_family pins the
         # BroadcastHashJoin so that regression is loud, not silent.
-        try:
-            n_part = int(banded.sparkSession.conf.get(
-                "spark.sql.shuffle.partitions"))
-        except ValueError:
-            # e.g. "auto" under vendor AQE auto-optimized shuffle
-            n_part = banded.sparkSession.sparkContext.defaultParallelism
+        n_part = _shuffle_partitions(banded.sparkSession)
         small = small.repartition(n_part, F.col(id_col))
     if payload is None:
         hub_id = F.min(id_col).over(wb)
