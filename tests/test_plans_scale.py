@@ -254,14 +254,14 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key must sort-merge join with NO
     Exchange on either side — the co-located-join contract bucketing
     exists for (at 100 TB this removes the dominant shuffle)."""
+    from unilever_scraping_etl_spark.sources.ingest import write_bucketed
+
     orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
     li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
-    orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey") \
-        .option("path", str(tmp_path / "b_orders")) \
-        .mode("overwrite").saveAsTable("b_orders")
-    li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey") \
-        .option("path", str(tmp_path / "b_lineitem")) \
-        .mode("overwrite").saveAsTable("b_lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 4,
+                   sort_cols=["o_orderkey"], path=str(tmp_path / "b_orders"))
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 4,
+                   sort_cols=["l_orderkey"], path=str(tmp_path / "b_lineitem"))
     try:
         bo = spark.table("b_orders")
         bl = spark.table("b_lineitem")

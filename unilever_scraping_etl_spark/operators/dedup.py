@@ -800,6 +800,12 @@ def connected_components(edges: DataFrame, src: str, dst: str,
       its per-round windows partition by node id, so a hub's
       neighborhood lands in one partition for one round and is then
       flattened — the hub-shrinking behavior is the algorithm's point.
+      Measured trade (BASELINE.md round-9 stress): on bushy LSH pair
+      graphs star converges in fewer rounds (1 vs 2 at the 10× corpus,
+      25% faster end-to-end, identical labels); on worst-case chains
+      it pays 1.4–1.8× wall at identical log2(d) round counts (the
+      full edge rewrite + convergence aggregates cost more per round
+      than one join + checksum).
 
     This is the clustering step a dedup pipeline needs AFTER pair
     detection: near-dup PAIRS (minhash/simhash/Jaccard) form a graph
