@@ -125,6 +125,20 @@ def test_retrieve_and_rerank_end_to_end(spark):
     out.unpersist()
 
 
+def test_retrieve_and_rerank_self_payload_corpus(spark):
+    """text_df=None must work out of the box when the corpus carries
+    its own text column: the payload join keys on id_col, not on the
+    text_id default that the corpus typically lacks (r8 ADVICE — the
+    old behavior raised AnalysisException on the missing doc_id)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(20)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = emb.join(docs.select(F.col("doc_id").alias("vec_id"), "text"),
+                      "vec_id")
+    out = rerank.retrieve_and_rerank(corpus, corpus, k=4, m=2)
+    rows = out.groupBy("query_id").count().toPandas()
+    assert len(rows) > 0 and (rows["count"] <= 2).all()
+
+
 def test_retrieve_and_rerank_m_gt_k_rejected(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings").limit(5)
     with pytest.raises(ValueError, match="must be <="):
