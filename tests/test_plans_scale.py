@@ -1343,6 +1343,42 @@ try:
                    df, "id_a", "id_b", algorithm="star").collect()}
         assert got == _union_find_components(edges)
 
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 5), st.integers(1, 5),
+           st.lists(st.tuples(st.booleans(), st.integers(0, 4)),
+                    min_size=1, max_size=4))
+    def test_connected_components_star_two_lobe_property(n_a, n_b, bridges):
+        """Explicit two-lobe generator (r8 VERDICT item 1): two root
+        attractors (0 and 1) each with a fan of hub nodes, plus bridge
+        children attached to one hub in EACH lobe — the exact topology
+        where a child ends a round holding two root parents and the
+        old single-conjunct convergence test stopped early. The graph
+        is ONE component by construction; star must label every node 0,
+        once."""
+        from unilever_scraping_etl_spark.operators.dedup import \
+            connected_components
+        from unilever_scraping_etl_spark.session import get_session
+
+        hubs_a = [100 + i for i in range(n_a)]
+        hubs_b = [300 + j for j in range(n_b)]
+        edges = [(h, 0) for h in hubs_a] + [(h, 1) for h in hubs_b]
+        for bi, (flip, off) in enumerate(bridges):
+            child = 500 + bi
+            ha = hubs_a[off % n_a]
+            hb = hubs_b[off % n_b]
+            # attach the bridge child under one hub per lobe, order
+            # varied so both (child, hub) orientations occur
+            edges += [(child, ha), (hb, child)] if flip \
+                else [(ha, child), (child, hb)]
+        spark = get_session("tests")
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        rows = connected_components(df, "id_a", "id_b",
+                                    algorithm="star").collect()
+        nodes = {n for e in edges for n in e}
+        assert len(rows) == len(nodes)            # one row per node
+        assert {r["node"] for r in rows} == nodes
+        assert {r["component"] for r in rows} == {0}
+
     @settings(max_examples=50, deadline=None)
     @given(st.integers(1, 1 << 40),
            st.sampled_from(["", "k", "K", "m", "M", "g", "G",

@@ -1,7 +1,8 @@
 """Cross-encoder-style reranking (operators/rerank.py) — r7 VERDICT
-item 7's first named extension. Module-level only this round (the
-query surface is frozen at 134): correctness vs a pandas reference,
-scorer injectability, determinism, and the plan-shape discipline
+item 7's first named extension, registered on the driver surface in
+round 9 (`rerank_topk` oracle-checked, `retrieve_and_rerank`
+rows-only). Covers correctness vs a pandas reference, scorer
+injectability, determinism, and the plan-shape discipline
 (Arrow-batched scorer, partitioned window, no cartesian)."""
 
 from __future__ import annotations
@@ -40,6 +41,42 @@ def test_token_overlap_scorer_reference_values():
     # doc1: inter=2, p=2/2, r=2/3 -> F1 = 0.8
     assert got[0] == pytest.approx(0.8)
     assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _words = st.lists(st.sampled_from(
+        ["apple", "banana", "cherry", "date", "fig", "Fig", "APPLE", ""]),
+        min_size=0, max_size=6).map(" ".join)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.tuples(_words | st.none(), _words | st.none()),
+                    min_size=1, max_size=12))
+    def test_token_overlap_scorer_matches_per_row_reference(pairs):
+        """The vectorized scorer (pandas str accessors, r8 ADVICE) must
+        equal the straightforward per-row token-set F1 bit-for-bit —
+        including None, empty, repeated-token, and case-folding rows
+        (the oracle's IEEE bit-identity depends on this exact op
+        tree)."""
+        def ref(q, d):
+            qs = set(str(q).lower().split()) if q is not None else set()
+            ds = set(str(d).lower().split()) if d is not None else set()
+            inter = len(qs & ds)
+            if not qs or not ds or inter == 0:
+                return 0.0
+            p, r = inter / len(ds), inter / len(qs)
+            return 2.0 * p * r / (p + r)
+
+        q = pd.Series([a for a, _ in pairs], dtype="object")
+        d = pd.Series([b for _, b in pairs], dtype="object")
+        got = rerank.token_overlap_scorer(q, d)
+        want = [ref(a, b) for a, b in pairs]
+        assert list(got) == want  # exact equality, not approx
+
+except ImportError:  # hypothesis ships in this container; belt+braces
+    pass
 
 
 def test_rerank_topk_matches_pandas_reference(spark):
