@@ -275,6 +275,74 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_interval_join_equals_naive_theta(spark):
+    """The binned equi-join must be result-identical to the naive
+    theta join (start <= point < end) — boundary points, negatives,
+    bin-straddling and bin-aligned intervals, empty and NULL-bounded
+    intervals included. Replication never duplicates output rows: a
+    point's single bin meets each interval at most once."""
+    from unilever_scraping_etl_spark.operators.relational import \
+        interval_join
+
+    pts = [(i, float(v)) for i, v in enumerate(
+        [-15, -7, -1, 0, 1, 6, 7, 8, 13, 14, 20, 21, 35, 99])]
+    ivs = [(100, -10.0, 0.0), (101, 0.0, 7.0), (102, 0.0, 14.0),
+           (103, 5.0, 5.0), (104, 13.0, 22.0), (105, None, 50.0),
+           (106, 30.0, 20.0), (107, 90.0, 200.0)]
+    p = spark.createDataFrame(pts, "pid long, v double")
+    iv = spark.createDataFrame(ivs, "iid long, s double, e double")
+    got = sorted((r.pid, r.iid) for r in
+                 interval_join(p, iv, "v", "s", "e", bin_width=7).collect())
+    want = sorted((r.pid, r.iid) for r in
+                  p.join(iv, (p.v >= iv.s) & (p.v < iv.e)).collect())
+    assert got == want and len(got) > 0
+
+
+def test_interval_join_plan_is_equi_not_nested_loop(spark):
+    """With broadcast disabled (the honest big-big posture), the
+    binned interval join must plan as a SortMergeJoin/ShuffledHashJoin
+    on the bin key — never the BroadcastNestedLoopJoin a naive theta
+    join costs at 100 TB."""
+    from unilever_scraping_etl_spark.operators.relational import \
+        interval_join
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = spark.range(1000).select(
+            F.col("id").alias("pid"), (F.col("id") % 97).cast("double").alias("v"))
+        iv = spark.range(100).select(
+            F.col("id").alias("iid"), (F.col("id") % 50).cast("double").alias("s"),
+            ((F.col("id") % 50) + 5).cast("double").alias("e"))
+        plan = _plan(interval_join(p, iv, "v", "s", "e", bin_width=5))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_interval_join_guards(spark):
+    """Mis-sized bins (or a corrupt open-ended interval) must raise
+    loudly, not explode: the per-interval bin cap is enforced executor-
+    side; bad bin_width and column collisions raise at plan time."""
+    import pytest
+    from pyspark.errors import PySparkException
+    from unilever_scraping_etl_spark.operators.relational import \
+        interval_join
+
+    p = spark.createDataFrame([(1, 5.0)], "pid long, v double")
+    iv = spark.createDataFrame([(9, 0.0, 1e9)], "iid long, s double, e double")
+    with pytest.raises(PySparkException, match="interval_join"):
+        interval_join(p, iv, "v", "s", "e", bin_width=1.0,
+                      max_bins_per_interval=100).collect()
+    with pytest.raises(ValueError, match="positive"):
+        interval_join(p, iv, "v", "s", "e", bin_width=0)
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_join(p, p.withColumnRenamed("pid", "s"), "v", "s", "v",
+                      bin_width=1.0)
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting must be result-transparent: same rows as the plain join."""
     from unilever_scraping_etl_spark.operators.relational import salted_join

@@ -118,6 +118,67 @@ def page_sequence(spark, base_url: str, last_page: int) -> DataFrame:
             .withColumn("url", page_url(F.lit(base_url), F.col("page"))))
 
 
+def interval_join(points: DataFrame, intervals: DataFrame, point_col: str,
+                  start_col: str, end_col: str, bin_width: float,
+                  max_bins_per_interval: int = 16384) -> DataFrame:
+    """J6 at big-big scale — point-in-interval join (start <= point <
+    end) as a BINNED EQUI-JOIN, for when BOTH sides are too large to
+    broadcast (the broadcast band form in `join_range` covers the
+    small-side case; a naive big-big theta join plans as a
+    BroadcastNestedLoopJoin, which is quadratic work and a broadcast
+    of something huge — the classic 100 TB killer).
+
+    Layout: every point hashes to exactly ONE bin
+    (floor(value / bin_width)); every interval replicates to the bins
+    it overlaps (explode over an inclusive floor(start/W)..floor(end/W)
+    sequence). The join is then an equi-join on the bin plus the exact
+    range predicates as join filters — one hash shuffle on the bin key,
+    no nested loop, and NO post-join dedup is needed because a point's
+    single bin meets each interval at most once.
+
+    Cost model: interval replication factor is len/W + 1, point side
+    is never replicated — pick ``bin_width`` near the TYPICAL interval
+    length (smaller W = finer shuffle distribution but more interval
+    copies; larger W = fewer copies but hotter bins, since every point
+    in a bin lands in one shuffle partition's hash bucket).
+    ``max_bins_per_interval`` turns a mis-sized W (or a corrupt
+    open-ended interval — the silent-explosion risk at scale) into a
+    loud executor-side raise instead of an OOM. Intervals with
+    end <= start or NULL bounds match nothing and are dropped, which
+    also keeps the bin sequence ascending.
+
+    Columns pass through from both inputs (names must be disjoint);
+    values must be numeric (cast dates/timestamps to epoch days/seconds
+    first — exact integer comparisons, no timezone surprises)."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"points/intervals column names must be "
+                         f"disjoint, both have: {sorted(overlap)}")
+    w = float(bin_width)
+    p = (points.filter(F.col(point_col).isNotNull())
+         .withColumn("__bin",
+                     F.floor(F.col(point_col).cast("double") / w)))
+    lo = F.floor(F.col(start_col).cast("double") / w).cast("long")
+    hi = F.floor(F.col(end_col).cast("double") / w).cast("long")
+    n_bins = hi - lo + F.lit(1)
+    hi_guarded = (F.when(
+        n_bins > max_bins_per_interval,
+        F.raise_error(F.concat(
+            F.lit(f"interval_join: an interval spans more than "
+                  f"{max_bins_per_interval} bins of width {w} ("),
+            n_bins.cast("string"),
+            F.lit(") — raise bin_width or max_bins_per_interval"))))
+        .otherwise(hi))
+    iv = (intervals.filter(F.col(start_col) < F.col(end_col))
+          .withColumn("__bin", F.explode(F.sequence(lo, hi_guarded))))
+    cond = ((p["__bin"] == iv["__bin"])
+            & (p[point_col] >= iv[start_col])
+            & (p[point_col] < iv[end_col]))
+    return p.join(iv, cond).drop(p["__bin"]).drop(iv["__bin"])
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               ts_col: str, left_cols: list[str], right_cols: list[str],
               direction: str = "backward",

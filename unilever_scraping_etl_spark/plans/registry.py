@@ -438,6 +438,43 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.avg("p_retailprice"), 4).alias("avg_price")))
 
 
+@q("interval_join_shipments", """
+WITH iv AS (SELECT o_orderkey, o_orderdate AS s,
+                   o_orderdate + INTERVAL 7 DAY AS e
+            FROM orders WHERE o_orderkey % 100 = 0)
+SELECT o_orderkey,
+       count(*) AS n_shipped,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+FROM iv JOIN lineitem ON l_shipdate >= s AND l_shipdate < e
+GROUP BY o_orderkey
+""", doc="J6 at big-big scale (operators/relational.interval_join): "
+         "point-in-interval join where NEITHER side broadcasts — every "
+         "lineitem ship day against 7-day windows opening at each "
+         "sampled order's date. Binned equi-join (one bin per point, "
+         "intervals exploded over their overlapped bins, exact range "
+         "predicates as join filters, no post-join dedup needed), so "
+         "the plan is a hash join on the bin key instead of the "
+         "BroadcastNestedLoopJoin a naive theta join costs. Dates "
+         "compare as epoch-day integers (exact; l_quantity is integral "
+         "so its double sum is order-independent).")
+def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = F.to_date(F.lit("1970-01-01"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.datediff(F.to_date("l_shipdate"), epoch).alias("ship_day"),
+        "l_quantity")
+    iv = (_t(spark, sf_dir, "orders")
+          .filter(F.col("o_orderkey") % 100 == 0)
+          .select("o_orderkey",
+                  F.datediff(F.to_date("o_orderdate"), epoch)
+                   .alias("start_day"))
+          .withColumn("end_day", F.col("start_day") + 7))
+    joined = relational.interval_join(li, iv, "ship_day",
+                                      "start_day", "end_day", bin_width=7)
+    return (joined.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_shipped"),
+                 F.sum("l_quantity").alias("sum_qty")))
+
+
 @q("join_salted", """
 SELECT o_orderpriority, count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
