@@ -343,6 +343,30 @@ def test_interval_join_guards(spark):
                       bin_width=1.0)
 
 
+def test_interval_overlap_join_equals_naive_theta(spark):
+    """The first-shared-bin emission must be result-identical to the
+    naive overlap theta join (l_start < r_end AND r_start < l_end) —
+    no duplicates from multi-bin overlaps, no misses from
+    bin-straddling pairs, touching-but-not-overlapping (le == rs)
+    excluded by half-open semantics."""
+    from unilever_scraping_etl_spark.operators.relational import \
+        interval_overlap_join
+
+    ls = [(i, float(s), float(e)) for i, (s, e) in enumerate(
+        [(-10, -2), (0, 7), (5, 30), (7, 8), (14, 21), (40, 41),
+         (0, 70)])]
+    rs = [(100 + j, float(s), float(e)) for j, (s, e) in enumerate(
+        [(-5, 1), (6, 9), (8, 14), (20, 50), (41, 42), (69, 80)])]
+    l = spark.createDataFrame(ls, "lid long, ls double, le double")
+    r = spark.createDataFrame(rs, "rid long, rs double, re double")
+    got = sorted((x.lid, x.rid) for x in interval_overlap_join(
+        l, r, "ls", "le", "rs", "re", bin_width=7).collect())
+    want = sorted((x.lid, x.rid) for x in
+                  l.join(r, (l.ls < r.re) & (r.rs < l.le)).collect())
+    assert got == want and len(got) > 0
+    assert len(got) == len(set(got))  # exactly-once emission
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting must be result-transparent: same rows as the plain join."""
     from unilever_scraping_etl_spark.operators.relational import salted_join

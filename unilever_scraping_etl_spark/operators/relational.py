@@ -179,6 +179,63 @@ def interval_join(points: DataFrame, intervals: DataFrame, point_col: str,
     return p.join(iv, cond).drop(p["__bin"]).drop(iv["__bin"])
 
 
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          left_start: str, left_end: str,
+                          right_start: str, right_end: str,
+                          bin_width: float,
+                          max_bins_per_interval: int = 16384) -> DataFrame:
+    """Interval × interval overlap join (half-open: overlap iff
+    l_start < r_end AND r_start < l_end) for two LARGE interval
+    tables — sessions vs outages, promo windows vs order windows.
+    Same binning layout as `interval_join`, with the twist both
+    sides now replicate, so a pair can share MANY bins; instead of a
+    distinct over the (possibly huge) join output, each pair is
+    emitted exactly once by keeping it only in the FIRST bin the two
+    intervals share — `bin == greatest(floor(l_start/W),
+    floor(r_start/W))` as a join filter (the standard dedup-free
+    distributed interval join; the first shared bin of an overlapping
+    pair is the later of the two start bins). One hash shuffle on the
+    bin key, no nested loop, no distinct.
+
+    Same contract as `interval_join`: numeric columns (cast
+    dates/timestamps to epoch days/seconds first), disjoint output
+    names, empty/NULL intervals dropped, the per-interval bin cap
+    raises loudly on mis-sized W."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"left/right column names must be disjoint, "
+                         f"both have: {sorted(overlap)}")
+    w = float(bin_width)
+
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        lo = F.floor(F.col(s).cast("double") / w).cast("long")
+        hi = F.floor(F.col(e).cast("double") / w).cast("long")
+        n_bins = hi - lo + F.lit(1)
+        hi_guarded = (F.when(
+            n_bins > max_bins_per_interval,
+            F.raise_error(F.concat(
+                F.lit(f"interval_overlap_join: an interval spans more "
+                      f"than {max_bins_per_interval} bins of width "
+                      f"{w} ("),
+                n_bins.cast("string"),
+                F.lit(") — raise bin_width or max_bins_per_interval"))))
+            .otherwise(hi))
+        return (df.filter(F.col(s) < F.col(e))
+                .withColumn("__bin", F.explode(F.sequence(lo, hi_guarded)))
+                .withColumn("__sbin", lo))
+    lb = binned(left, left_start, left_end)
+    rb = binned(right, right_start, right_end)
+    cond = ((lb["__bin"] == rb["__bin"])
+            & (lb[left_start] < rb[right_end])
+            & (rb[right_start] < lb[left_end])
+            & (lb["__bin"] == F.greatest(lb["__sbin"], rb["__sbin"])))
+    return (lb.join(rb, cond)
+            .drop(lb["__bin"]).drop(rb["__bin"])
+            .drop(lb["__sbin"]).drop(rb["__sbin"]))
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               ts_col: str, left_cols: list[str], right_cols: list[str],
               direction: str = "backward",

@@ -475,6 +475,42 @@ def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("l_quantity").alias("sum_qty")))
 
 
+@q("interval_overlap_orders", """
+WITH l AS (SELECT o_orderkey AS l_key, o_orderdate AS ls,
+                  o_orderdate + INTERVAL 7 DAY AS le
+           FROM orders WHERE o_orderkey % 200 = 0),
+     r AS (SELECT o_orderkey AS r_key, o_orderdate AS rs,
+                  o_orderdate + INTERVAL 10 DAY AS re
+           FROM orders WHERE o_orderkey % 200 = 100)
+SELECT l_key, count(*) AS n_overlap, min(r_key) AS first_r_key
+FROM l JOIN r ON ls < re AND rs < le
+GROUP BY l_key
+""", doc="J6 interval × interval at big-big scale (operators/"
+         "relational.interval_overlap_join): 7-day order windows "
+         "from one order sample overlapping 10-day windows from a "
+         "disjoint sample — neither side broadcastable at 100 TB. "
+         "Both sides bin-replicate; each overlapping pair is emitted "
+         "exactly once in the FIRST shared bin (bin == greatest of "
+         "the two start bins as a join filter — no distinct over the "
+         "join output), so the plan is a hash join on the bin key "
+         "with zero dedup stage. Dates compare as epoch-day integers.")
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = F.to_date(F.lit("1970-01-01"))
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), epoch)
+    l = (orders.filter(F.col("o_orderkey") % 200 == 0)
+         .select(F.col("o_orderkey").alias("l_key"), day.alias("ls"))
+         .withColumn("le", F.col("ls") + 7))
+    r = (orders.filter(F.col("o_orderkey") % 200 == 100)
+         .select(F.col("o_orderkey").alias("r_key"), day.alias("rs"))
+         .withColumn("re", F.col("rs") + 10))
+    joined = relational.interval_overlap_join(l, r, "ls", "le", "rs", "re",
+                                              bin_width=7)
+    return (joined.groupBy("l_key")
+            .agg(F.count(F.lit(1)).alias("n_overlap"),
+                 F.min("r_key").alias("first_r_key")))
+
+
 @q("join_salted", """
 SELECT o_orderpriority, count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
