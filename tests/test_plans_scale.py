@@ -341,6 +341,9 @@ def test_interval_join_guards(spark):
     with pytest.raises(ValueError, match="disjoint"):
         interval_join(p, p.withColumnRenamed("pid", "s"), "v", "s", "v",
                       bin_width=1.0)
+    with pytest.raises(ValueError, match="reserved"):
+        interval_join(p.withColumnRenamed("pid", "__bin"), iv,
+                      "v", "s", "e", bin_width=1.0)
 
 
 def test_interval_overlap_join_equals_naive_theta(spark):

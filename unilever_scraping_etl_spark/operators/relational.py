@@ -156,6 +156,10 @@ def interval_join(points: DataFrame, intervals: DataFrame, point_col: str,
     if overlap:
         raise ValueError(f"points/intervals column names must be "
                          f"disjoint, both have: {sorted(overlap)}")
+    taken = {"__bin"} & (set(points.columns) | set(intervals.columns))
+    if taken:
+        raise ValueError(f"reserved working column name in input: "
+                         f"{sorted(taken)}")
     w = float(bin_width)
     p = (points.filter(F.col(point_col).isNotNull())
          .withColumn("__bin",
@@ -207,6 +211,10 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     if overlap:
         raise ValueError(f"left/right column names must be disjoint, "
                          f"both have: {sorted(overlap)}")
+    taken = {"__bin", "__sbin"} & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(f"reserved working column name in input: "
+                         f"{sorted(taken)}")
     w = float(bin_width)
 
     def binned(df: DataFrame, s: str, e: str) -> DataFrame:
