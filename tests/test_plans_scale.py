@@ -351,15 +351,19 @@ def test_interval_overlap_join_equals_naive_theta(spark):
     naive overlap theta join (l_start < r_end AND r_start < l_end) —
     no duplicates from multi-bin overlaps, no misses from
     bin-straddling pairs, touching-but-not-overlapping (le == rs)
-    excluded by half-open semantics."""
+    excluded by half-open semantics, and ZERO-LENGTH intervals matched
+    exactly per the predicate (a [x, x) strictly inside a nonempty
+    partner satisfies it; [x, x) vs [x, x) does not — the r9 fuzz
+    sweep caught the operator silently dropping s == e rows)."""
     from unilever_scraping_etl_spark.operators.relational import \
         interval_overlap_join
 
     ls = [(i, float(s), float(e)) for i, (s, e) in enumerate(
         [(-10, -2), (0, 7), (5, 30), (7, 8), (14, 21), (40, 41),
-         (0, 70)])]
+         (0, 70), (25, 25), (80, 80)])]
     rs = [(100 + j, float(s), float(e)) for j, (s, e) in enumerate(
-        [(-5, 1), (6, 9), (8, 14), (20, 50), (41, 42), (69, 80)])]
+        [(-5, 1), (6, 9), (8, 14), (20, 50), (41, 42), (69, 80),
+         (25, 25), (80, 80), (24, 26)])]
     l = spark.createDataFrame(ls, "lid long, ls double, le double")
     r = spark.createDataFrame(rs, "rid long, rs double, re double")
     got = sorted((x.lid, x.rid) for x in interval_overlap_join(

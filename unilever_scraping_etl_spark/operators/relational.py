@@ -201,10 +201,17 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     pair is the later of the two start bins). One hash shuffle on the
     bin key, no nested loop, no distinct.
 
-    Same contract as `interval_join`: numeric columns (cast
+    The result is EXACTLY the predicate: a zero-length interval
+    [x, x) strictly inside a nonempty partner satisfies it
+    (l_start < r_end and r_start < l_end both hold) and is matched —
+    unlike `interval_join`, where a degenerate interval can never
+    contain a point, so here the binning keeps s == e rows (their bin
+    range is the single start bin, and the first-shared-bin argument
+    holds unchanged: rs < le ⇒ floor(rs/W) <= floor(le/W)). Only
+    s > e (corrupt) and NULL-bounded intervals drop. Otherwise same
+    contract as `interval_join`: numeric columns (cast
     dates/timestamps to epoch days/seconds first), disjoint output
-    names, empty/NULL intervals dropped, the per-interval bin cap
-    raises loudly on mis-sized W."""
+    names, the per-interval bin cap raises loudly on mis-sized W."""
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
     overlap = set(left.columns) & set(right.columns)
@@ -230,7 +237,7 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
                 n_bins.cast("string"),
                 F.lit(") — raise bin_width or max_bins_per_interval"))))
             .otherwise(hi))
-        return (df.filter(F.col(s) < F.col(e))
+        return (df.filter(F.col(s) <= F.col(e))
                 .withColumn("__bin", F.explode(F.sequence(lo, hi_guarded)))
                 .withColumn("__sbin", lo))
     lb = binned(left, left_start, left_end)
