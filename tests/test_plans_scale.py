@@ -346,6 +346,57 @@ def test_interval_join_guards(spark):
                       "v", "s", "e", bin_width=1.0)
 
 
+def test_interval_join_hot_bin_gets_aqe_skew_split(spark):
+    """The hot-bin escape hatch is STOCK AQE, and this pin proves it
+    stays reachable: because the binned interval join is a plain
+    equi-join on __bin, a bin fat on one side (here 50% of all points
+    collapse into a single bin; intervals stay thin) must plan as
+    SortMergeJoin(skew=true) — AQE splits the fat shuffle partition
+    and duplicates the thin side. If a future edit inserts anything
+    between the exchange and the join that AQE can't see through
+    (a repartition, a manual sort, a UDF barrier), skew=true vanishes
+    and this test catches the regression. Thresholds are scaled to the
+    test data exactly as a real cluster scales them to real data (the
+    round-9 10x stress measured the same split at 8m/4m)."""
+    from unilever_scraping_etl_spark.operators.relational import \
+        interval_join
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "128k")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+        # 200k points, half collapsed into bin 100 (values 700..706 at
+        # W=7); the rest spread over ~100 bins. Intervals thin & even.
+        p = spark.range(200_000).select(
+            F.col("id").alias("pid"),
+            F.when(F.col("id") % 2 == 0,
+                   (700 + F.col("id") % 7).cast("double"))
+             .otherwise((F.col("id") % 700).cast("double")).alias("v"))
+        iv = spark.range(100).select(
+            F.col("id").alias("iid"),
+            (F.col("id") * 7).cast("double").alias("s"),
+            (F.col("id") * 7 + 7).cast("double").alias("e"))
+        out = interval_join(p, iv, "v", "s", "e", bin_width=7)
+        qe = out._jdf.queryExecution()
+        assert qe.toRdd().count() > 0   # finalizes the adaptive plan
+        plan = qe.executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_interval_overlap_join_equals_naive_theta(spark):
     """The first-shared-bin emission must be result-identical to the
     naive overlap theta join (l_start < r_end AND r_start < l_end) —

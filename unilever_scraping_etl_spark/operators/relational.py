@@ -147,6 +147,18 @@ def interval_join(points: DataFrame, intervals: DataFrame, point_col: str,
     end <= start or NULL bounds match nothing and are dropped, which
     also keeps the bin sequence ascending.
 
+    Hot-bin skew: because the join is a plain equi-join on ``__bin``,
+    a bin fat on ONE side is exactly the shape AQE's skew split was
+    built for — it splits the fat shuffle partition and duplicates the
+    thin matching one, with no operator cooperation needed (verified
+    at the 10x stress: 40% of 6M points collapsed into one bin plans
+    ``SortMergeJoin(skew=true)`` once the AQE skew thresholds match
+    the data scale; see BASELINE.md round-9 interval stress). A bin
+    fat on BOTH sides where the predicates also hold is different: the
+    join OUTPUT is then genuinely near the product of the two sides —
+    semantic explosion no partitioning fixes, and out of scope for
+    this cap (which bounds bins per interval, not pairs per bin).
+
     Columns pass through from both inputs (names must be disjoint);
     values must be numeric (cast dates/timestamps to epoch days/seconds
     first — exact integer comparisons, no timezone surprises)."""
@@ -211,7 +223,9 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     s > e (corrupt) and NULL-bounded intervals drop. Otherwise same
     contract as `interval_join`: numeric columns (cast
     dates/timestamps to epoch days/seconds first), disjoint output
-    names, the per-interval bin cap raises loudly on mis-sized W."""
+    names, the per-interval bin cap raises loudly on mis-sized W, and
+    the same hot-bin posture — an equi-join on ``__bin`` inherits
+    AQE's skew split for one-side-fat bins (see `interval_join`)."""
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
     overlap = set(left.columns) & set(right.columns)
