@@ -397,6 +397,39 @@ def test_interval_join_hot_bin_gets_aqe_skew_split(spark):
                 spark.conf.set(k, v)
 
 
+def test_suggest_bin_width(spark):
+    """The helper returns the requested quantile of valid interval
+    lengths (corrupt s > e and NULL-bounded rows excluded — the same
+    rows the joins drop), raises on no valid intervals and on an
+    all-degenerate quantile, and its suggestion feeds straight back
+    into interval_join unchanged."""
+    import pytest
+    from unilever_scraping_etl_spark.operators.relational import (
+        interval_join, suggest_bin_width)
+
+    iv = spark.createDataFrame(
+        [(1, 0.0, 7.0), (2, 10.0, 17.0), (3, 100.0, 107.0),
+         (4, 0.0, 70.0),           # one long outlier
+         (5, 50.0, 20.0),          # corrupt: excluded
+         (6, None, 9.0)],          # NULL bound: excluded
+        "iid long, s double, e double")
+    w = suggest_bin_width(iv, "s", "e")        # median of {7,7,7,70}
+    assert w == 7.0
+    assert suggest_bin_width(iv, "s", "e", quantile=1.0) == 70.0
+    p = spark.createDataFrame([(1, 3.0), (2, 104.0)], "pid long, v double")
+    got = sorted((r.pid, r.iid) for r in
+                 interval_join(p, iv, "v", "s", "e", bin_width=w).collect())
+    assert got == [(1, 1), (1, 4), (2, 3)]
+    with pytest.raises(ValueError, match="quantile"):
+        suggest_bin_width(iv, "s", "e", quantile=0.0)
+    with pytest.raises(ValueError, match="no valid intervals"):
+        suggest_bin_width(iv.filter("iid = 5"), "s", "e")
+    all_zero = spark.createDataFrame([(1, 4.0, 4.0), (2, 9.0, 9.0)],
+                                     "iid long, s double, e double")
+    with pytest.raises(ValueError, match="degenerate"):
+        suggest_bin_width(all_zero, "s", "e")
+
+
 def test_interval_overlap_join_equals_naive_theta(spark):
     """The first-shared-bin emission must be result-identical to the
     naive overlap theta join (l_start < r_end AND r_start < l_end) —
