@@ -1,0 +1,113 @@
+"""CDC operators (operators/cdc.py): type-2 history build and
+MERGE-INTO snapshot apply. Registered queries `scd2_user_segments` /
+`merge_upsert_customers` are oracle-checked by the driver; these tests
+pin the operator semantics on hand-computed inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from unilever_scraping_etl_spark.operators import cdc
+
+
+def _ts(h):
+    return dt.datetime(2024, 1, 1, h, 0, 0)
+
+
+def _log(spark):
+    rows = [
+        (1, _ts(1), 10, "A"),
+        (1, _ts(2), 11, "A"),   # no-change observation -> collapsed
+        (1, _ts(3), 12, "B"),
+        (1, _ts(4), 13, "A"),   # back to A: NEW episode, not merged
+        (2, _ts(1), 14, "X"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+
+
+def test_scd2_collapse_and_validity_chain(spark):
+    out = cdc.scd2_build(_log(spark), ["user_id"], "ts", ["event_type"],
+                         tiebreak_cols=["event_id"])
+    got = {(r.user_id, r.valid_from.hour): (r.event_type, r.valid_to,
+                                            r.is_current)
+           for r in out.collect()}
+    assert len(got) == 4
+    assert got[(1, 1)] == ("A", _ts(3), False)   # t2's repeat collapsed
+    assert got[(1, 3)] == ("B", _ts(4), False)
+    assert got[(1, 4)] == ("A", None, True)
+    assert got[(2, 1)] == ("X", None, True)
+
+
+def test_scd2_no_collapse_keeps_every_observation(spark):
+    out = cdc.scd2_build(_log(spark), ["user_id"], "ts", ["event_type"],
+                         tiebreak_cols=["event_id"], collapse=False)
+    u1 = sorted(r.valid_from for r in out.collect() if r.user_id == 1)
+    assert len(u1) == 4  # the t2 repeat survives as its own episode
+
+
+def test_scd2_tiebreak_orders_same_timestamp(spark):
+    rows = [(1, _ts(1), 2, "B"), (1, _ts(1), 1, "A")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = cdc.scd2_build(df, ["user_id"], "ts", ["event_type"],
+                         tiebreak_cols=["event_id"]).collect()
+    cur = {r.event_type: r.is_current for r in out}
+    assert cur == {"A": False, "B": True}  # event_id 1 precedes 2
+
+
+def test_scd2_rejects_empty_specs(spark):
+    with pytest.raises(ValueError, match="at least one key"):
+        cdc.scd2_build(_log(spark), [], "ts", ["event_type"])
+    with pytest.raises(ValueError, match="at least one key"):
+        cdc.scd2_build(_log(spark), ["user_id"], "ts", [])
+
+
+def _snapshot(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, val double")
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, version long, op string, name string, val double")
+
+
+def test_merge_upsert_latest_wins_delete_insert(spark):
+    changes = _changes(spark, [
+        (2, 1, "U", "b2", 21.0),
+        (2, 2, "U", "b3", 22.0),   # higher version wins
+        (3, 1, "D", None, None),
+        (4, 1, "I", "d", 40.0),
+    ])
+    out = cdc.merge_upsert(_snapshot(spark), changes, ["k"], "version")
+    got = {r.k: (r.name, r.val) for r in out.collect()}
+    assert got == {1: ("a", 10.0), 2: ("b3", 22.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_schema_and_duplicate_guards(spark):
+    snap = _snapshot(spark)
+    with pytest.raises(ValueError, match="missing columns"):
+        cdc.merge_upsert(snap, snap, ["k"], "version")
+    dup = _changes(spark, [(5, 1, "U", "x", 1.0), (5, 1, "U", "y", 2.0)])
+    with pytest.raises(ValueError, match="duplicate"):
+        cdc.merge_upsert(snap, dup, ["k"], "version")
+    # validate=False skips the probe; struct-max still resolves a row
+    out = cdc.merge_upsert(snap, dup, ["k"], "version", validate=False)
+    assert out.filter(F.col("k") == 5).count() == 1
+
+
+def test_merge_upsert_latest_wins_is_partial_aggregable(spark):
+    """Latest-per-key must plan as an aggregate WITH a map-side
+    partial (partial_max combines before the shuffle — struct max
+    plans as SortAggregate, which still carries the partial), never a
+    row_number window (no pre-shuffle reduction at all)."""
+    changes = _changes(spark, [(2, 1, "U", "b2", 21.0)])
+    plan = (cdc.merge_upsert(_snapshot(spark), changes, ["k"], "version")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "partial_max" in plan

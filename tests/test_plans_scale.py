@@ -1819,6 +1819,10 @@ def test_plan_linter_all_queries(spark):
         "unpivot_stats",        # per-flag aggregate: <= 9 rows
         "vocab_topk",           # merged top-100 vocabulary
         "cohort_retention",     # weekly cohorts x offsets: <= dozens
+        "skyline_parts",        # phase-2 sees only phase-1's local
+                                # frontiers (each a y-decreasing
+                                # staircase), not the input; worst case
+                                # documented in ranking.skyline_2d
     }
     cartesian_ok = {"join_cross"}
     failures = []

@@ -1,0 +1,79 @@
+"""Runtime bloom join filter (operators/runtime_filters.py).
+Registered query `join_bloom_pruned` is oracle-checked (the composed
+join is result-identical to the plain join); these tests pin the
+bloom's contract: zero false negatives, bounded sketch, real pruning,
+codegen-resident probe."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unilever_scraping_etl_spark.operators import runtime_filters as rf
+
+
+def test_no_false_negatives(spark):
+    keys = spark.range(0, 2000).select((F.col("id") * 17 + 3).alias("k"))
+    words = rf.bloom_build(keys, "k", num_bits=1 << 14, num_hashes=5)
+    hits = (keys.filter(rf.bloom_probe("k", words, 5)).count())
+    assert hits == 2000  # a bloom filter NEVER drops a member
+
+
+def test_prunes_most_non_members(spark):
+    members = spark.range(0, 100).select((F.col("id") * 100).alias("k"))
+    words = rf.bloom_build(members, "k", num_bits=1 << 14, num_hashes=5)
+    probe = spark.range(0, 10000).select(F.col("id").alias("k"))
+    passed = probe.filter(rf.bloom_probe("k", words, 5)).count()
+    # 100 true members; the rest are FPs. At m=16384,n=100,k=5 the FP
+    # rate is ~1e-8 — allow a generous margin.
+    assert 100 <= passed < 200
+
+
+def test_sketch_is_bounded_and_dense(spark):
+    big = spark.range(0, 50000).select(F.col("id").alias("k"))
+    words = rf.bloom_build(big, "k", num_bits=1 << 10, num_hashes=3)
+    assert len(words) == (1 << 10) // 64  # fixed by constructor, not data
+    assert all(isinstance(w, int) for w in words)
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 400).alias("fk"), F.col("id").alias("payload"))
+    dim = spark.range(0, 40).select(
+        (F.col("id") * 10).alias("dk"), (F.col("id") + 1000).alias("dval"))
+    got = (rf.bloom_pruned_join(fact, dim, "fk", "dk")
+           .select("fk", "payload", "dval"))
+    exp = (fact.join(dim, fact["fk"] == dim["dk"], "inner")
+           .select("fk", "payload", "dval"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+
+def test_probe_is_pure_expression(spark):
+    """The probe must stay in the scan stage: no Python evaluation
+    node, filter present below the join."""
+    fact = spark.range(0, 1000).select((F.col("id") % 50).alias("fk"))
+    dim = spark.range(0, 5).select((F.col("id") * 7).alias("dk"))
+    plan = (rf.bloom_pruned_join(fact, dim, "fk", "dk")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "getbit" in plan or "Filter" in plan
+
+
+def test_suggest_bloom_bits():
+    m, k = rf.suggest_bloom_bits(1000, 0.01)
+    assert m % 64 == 0 and 9000 <= m <= 10240
+    assert k in (6, 7)
+    assert rf.suggest_bloom_bits(10 ** 12, 0.01)[0] == rf.MAX_BITS
+    with pytest.raises(ValueError):
+        rf.suggest_bloom_bits(0)
+    with pytest.raises(ValueError):
+        rf.suggest_bloom_bits(10, 1.5)
+
+
+def test_build_validates_args(spark):
+    keys = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="multiple of 64"):
+        rf.bloom_build(keys, "k", num_bits=100)
+    with pytest.raises(ValueError, match="num_hashes"):
+        rf.bloom_build(keys, "k", num_hashes=0)

@@ -1,0 +1,143 @@
+"""Change-data-capture operators: type-2 history build and CDC
+snapshot merge (SURVEY.md §2.11 engine addendum).
+
+The reference pipeline overwrite-loads every scrape into PostgreSQL
+(`scrap_tokopedia.py` end of DAG — full truncate+insert, no history),
+which loses the one thing a warehouse wants from a recurring scrape:
+*what changed and when*. These two operators are the standard
+warehouse answer, re-expressed Spark-first:
+
+- ``scd2_build`` turns an append-only change log into a type-2
+  slowly-changing-dimension history — one validity interval per
+  distinct attribute state, consecutive no-change rows collapsed.
+- ``merge_upsert`` applies a CDC batch (upserts + deletes, possibly
+  several versions per key) onto a snapshot — the MERGE INTO statement
+  as a single latest-wins aggregate plus one outer join.
+
+100 TB posture:
+- ``scd2_build`` is two windows over the SAME partitioning (the
+  change-collapse lag and the validity lead both partition by the
+  business key), so Catalyst plans ONE exchange: the filter between
+  them preserves distribution and sort order.
+- ``merge_upsert`` resolves latest-per-key with ``max_by``-style
+  struct-max aggregation (partial-aggregable map-side, one shuffle)
+  rather than a row_number window (full sort per key), then joins
+  changes to the snapshot with a single full-outer equi-join. When the
+  snapshot lives in a bucketed store (``ingest.write_bucketed``) that
+  join co-locates shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_build(changes: DataFrame, key_cols: list[str], order_col: str,
+               attr_cols: list[str],
+               tiebreak_cols: list[str] | None = None,
+               collapse: bool = True) -> DataFrame:
+    """Build a type-2 history from an append-only change log.
+
+    Each input row is an observation ``(key, order, attrs)``. Output is
+    one row per attribute-state episode and key:
+    ``key_cols + attr_cols + (valid_from, valid_to, is_current)`` where
+    ``valid_from`` is the first observation of the state,
+    ``valid_to`` is the next state's ``valid_from`` (exclusive bound,
+    NULL on the open current episode) and ``is_current`` flags it.
+
+    ``collapse=True`` (the default, and what makes this SCD2 rather
+    than a raw log) drops an observation whose attributes null-safely
+    equal the previous observation's, so repeated identical scrapes
+    don't fragment the history. ``tiebreak_cols`` break ``order_col``
+    ties deterministically (same-timestamp changes would otherwise
+    make lag/lead nondeterministic).
+
+    Scale: both windows partition by ``key_cols``; the collapse filter
+    preserves the exchange's distribution AND sort, so the plan carries
+    one shuffle total, no matter the log size.
+    """
+    if not key_cols or not attr_cols:
+        raise ValueError("scd2_build needs at least one key and one "
+                         "attribute column")
+    order_by = [F.col(order_col), *map(F.col, tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    out = changes
+    if collapse:
+        same_as_prev = None
+        for a in attr_cols:
+            eq = F.col(a).eqNullSafe(F.lag(a).over(w))
+            same_as_prev = eq if same_as_prev is None else same_as_prev & eq
+        # first row per key has lag NULL -> eqNullSafe false -> kept
+        out = (out.withColumn("__same", same_as_prev)
+                  .filter(~F.col("__same")).drop("__same"))
+    out = (out.withColumn("valid_from", F.col(order_col))
+              .withColumn("valid_to", F.lead(order_col).over(w))
+              .withColumn("is_current", F.col("valid_to").isNull()))
+    return out.select(*key_cols, *attr_cols,
+                      "valid_from", "valid_to", "is_current")
+
+
+def merge_upsert(snapshot: DataFrame, changes: DataFrame,
+                 key_cols: list[str], version_col: str,
+                 op_col: str = "op", delete_op: str = "D",
+                 validate: bool = True) -> DataFrame:
+    """Apply a CDC batch to a snapshot: MERGE INTO semantics.
+
+    ``changes`` carries ``key_cols + [version_col, op_col]`` plus the
+    snapshot's payload columns. Per key the change with the highest
+    ``version_col`` wins (ties are rejected as ambiguous — a CDC feed
+    must version deterministically); the winner either deletes the key
+    (``op == delete_op``) or replaces/inserts the payload. Snapshot
+    rows without a change pass through. Output schema == snapshot
+    schema.
+
+    Latest-wins is ONE partial-aggregable shuffle:
+    ``max(struct(version, op, payload...))`` per key — not a
+    row_number window (which has no map-side reduction). Struct max
+    plans as SortAggregate, but the ``partial_max`` combine still runs
+    before the exchange, so only one winner-so-far per key per task is
+    shuffled. The struct max is ordered by its leading field, so
+    version must lead; a same-version duplicate would make the winner
+    depend on struct comparison of the payload, which is why
+    duplicates raise instead.
+
+    ``validate=True`` runs the duplicate-version probe as ONE eager
+    1-row job over the changes aggregate BEFORE the merge (the changes
+    side is the small one in a CDC batch; same bounded-probe discipline
+    as the pointer-jump convergence checksum). Pass ``validate=False``
+    when the feed is version-unique by construction and the extra scan
+    matters.
+    """
+    payload = [c for c in snapshot.columns if c not in key_cols]
+    missing = [c for c in (*key_cols, version_col, op_col, *payload)
+               if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns {missing}")
+
+    winner = (changes
+              .groupBy(*key_cols)
+              .agg(F.max(F.struct(F.col(version_col).alias("v"),
+                                  F.col(op_col).alias("op"),
+                                  *(F.col(c).alias(c) for c in payload))
+                         ).alias("__w")))
+    if validate:
+        dup = (changes.groupBy(*key_cols)
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    F.count_distinct(F.col(version_col)).alias("__nv"))
+               .filter(F.col("__n") != F.col("__nv")).limit(1).count())
+        if dup:
+            raise ValueError("merge_upsert: a key carries duplicate "
+                             f"{version_col} values — latest-wins is "
+                             "ambiguous; deduplicate the feed first")
+    winner = winner.select(*key_cols, F.col("__w.op").alias("__op"),
+                           *(F.col(f"__w.{c}").alias(f"__c_{c}")
+                             for c in payload))
+
+    joined = snapshot.join(winner, on=key_cols, how="full_outer")
+    kept = joined.filter(F.col("__op").isNull()
+                         | (F.col("__op") != F.lit(delete_op)))
+    cols = [*(F.col(k) for k in key_cols),
+            *(F.when(F.col("__op").isNotNull(), F.col(f"__c_{c}"))
+               .otherwise(F.col(c)).alias(c) for c in payload)]
+    return kept.select(*cols)

@@ -1,0 +1,68 @@
+"""Deterministic weighted sampling (SURVEY.md §2.10 L4 extension).
+
+Corpus mixing wants MORE than the per-source rate sampling of
+``corpus_mix`` (a row either passes its source's hash gate or not):
+training-data curation weights INDIVIDUAL documents — sample k docs
+per language with probability proportional to a quality weight.
+
+``weighted_sample_topk`` is the Efraimidis–Spirakis A-Res scheme
+(Inf. Process. Lett. 97(5), 2006): draw u ~ Uniform(0,1] per row, rank
+by ``u^(1/w)`` descending, keep the top k — a weighted sample WITHOUT
+replacement, computed as an ordinary top-k. Two house twists:
+
+- u is NOT random: it is a hash-uniform (md5 of the stable id, first
+  8 hex digits as a 32-bit integer, +1, /2^32), so the sample is a
+  pure function of the data — reproducible across runs, engines, and
+  partitionings, exactly like ``split_train_test``'s md5 gate. (The
+  engine bans nondeterministic rand() in registered queries — the
+  driver hash-compares against DuckDB.)
+- the rank key is ``ln(u)/w`` (monotone in ``u^(1/w)``, avoids pow)
+  rounded before ranking with an id tiebreak, the registry's standard
+  float-ranking discipline.
+
+100 TB posture: one narrow map (hash, ln) + the per-group top-k
+row_number window — WindowGroupLimit plans map-side partial top-k, so
+a group spanning the whole corpus still never concentrates more than
+each task's local k rows into the final sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_RESERVED = ("__u", "__wkey")
+
+
+def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
+                         k: int, group_cols: list[str] | None = None,
+                         round_digits: int = 12) -> DataFrame:
+    """Deterministic weight-proportional sample of ``k`` rows (per
+    group when ``group_cols`` given, else global): A-Res keys from a
+    hash-uniform of ``id_col``. Rows with NULL or non-positive weight
+    are excluded (zero weight means "never sample"; A-Res divides by
+    w). Output: the input columns plus ``sample_key`` (the rounded
+    rank key) and ``sample_rank`` (1..k, deterministic id tiebreak).
+
+    ``id_col`` must be unique — it seeds the per-row uniform, and a
+    duplicated id would give both rows the same draw (correlated, not
+    a fresh coin). Uniqueness is the caller's contract, same as
+    ``dedup_exact``'s survivor id."""
+    for c in _RESERVED:
+        if c in df.columns:
+            raise ValueError(f"weighted_sample_topk: column name {c!r} "
+                             "is reserved by the operator")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = ((F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                 16, 10).cast("bigint") + 1) / F.lit(4294967296.0))
+    key = F.round(F.log(u) / F.col(weight_col), round_digits)
+    out = (df.filter(F.col(weight_col).isNotNull()
+                     & (F.col(weight_col) > 0))
+             .withColumn("__wkey", key))
+    w = (Window.partitionBy(*group_cols) if group_cols
+         else Window.partitionBy())
+    w = w.orderBy(F.col("__wkey").desc(), F.col(id_col))
+    return (out.withColumn("sample_rank", F.row_number().over(w))
+               .filter(F.col("sample_rank") <= k)
+               .withColumnRenamed("__wkey", "sample_key"))

@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalars, text, vectors
-from ..operators import dedup, relational, rerank, similarity
+from ..operators import (cdc, dedup, ranking, relational, rerank,
+                         runtime_filters, sampling, similarity)
 from ..schemas import load_table
 from ..sources import ingest, multimodal
 from . import fixtures
@@ -4122,6 +4123,260 @@ def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.col("numwait").desc(), "s_name")
             .limit(20))
+
+
+@q("scd2_user_segments", """
+WITH src AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events),
+kept AS (
+    SELECT user_id, ts, event_id, event_type FROM src
+    WHERE prev IS DISTINCT FROM event_type),
+hist AS (
+    SELECT user_id, event_type, ts AS vf,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS vt
+    FROM kept)
+SELECT user_id, event_type,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(vt IS NULL AS INT) AS is_current
+FROM hist
+""", doc="Type-2 SCD history build (operators/cdc.scd2_build): the "
+         "per-user event_type log becomes one validity interval per "
+         "state episode — consecutive same-state observations "
+         "collapsed (null-safe lag compare), valid_to = next "
+         "episode's start (exclusive), open episode flagged current. "
+         "Both windows share one partitioning, so the plan carries a "
+         "single shuffle. The reference truncate+loads every scrape "
+         "(scrap_tokopedia.py end of DAG) and keeps no history; this "
+         "is the warehouse-grade replacement.")
+def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    hist = cdc.scd2_build(ev, ["user_id"], "ts", ["event_type"],
+                          tiebreak_cols=["event_id"])
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        "user_id", "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"))
+
+
+@q("merge_upsert_customers", """
+WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                     c_mktsegment FROM customer),
+chg AS (
+    SELECT c_custkey AS k, 2 AS version, 'U' AS op, c_name,
+           c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+    FROM base WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, 1, 'U', c_name, c_nationkey,
+           c_acctbal + 50.0, c_mktsegment
+    FROM base WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, 2, 'D', NULL, NULL, NULL, NULL
+    FROM base WHERE c_custkey % 10 = 1
+    UNION ALL
+    SELECT c_custkey + 10000000, 1, 'I', c_name, c_nationkey,
+           c_acctbal, c_mktsegment
+    FROM base WHERE c_custkey % 10 = 2),
+latest AS (
+    SELECT * FROM (
+        SELECT k, op, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               row_number() OVER (PARTITION BY k
+                                  ORDER BY version DESC) AS rn
+        FROM chg) WHERE rn = 1)
+SELECT coalesce(l.k, s.c_custkey) AS c_custkey,
+       CASE WHEN l.k IS NOT NULL THEN l.c_name ELSE s.c_name END
+           AS c_name,
+       CASE WHEN l.k IS NOT NULL THEN l.c_nationkey
+            ELSE s.c_nationkey END AS c_nationkey,
+       CASE WHEN l.k IS NOT NULL THEN l.c_acctbal
+            ELSE s.c_acctbal END AS c_acctbal,
+       CASE WHEN l.k IS NOT NULL THEN l.c_mktsegment
+            ELSE s.c_mktsegment END AS c_mktsegment
+FROM base s FULL OUTER JOIN latest l ON s.c_custkey = l.k
+WHERE l.op IS NULL OR l.op <> 'D'
+""", doc="MERGE INTO semantics (operators/cdc.merge_upsert): a "
+         "deterministic CDC batch — two update versions for keys "
+         "%10=0 (latest-wins must pick v2's +100), deletes for %10=1, "
+         "inserts for %10=2 under shifted keys — applied onto the "
+         "customer snapshot. Latest-per-key is ONE partial-aggregable "
+         "struct-max shuffle (no row_number sort); the apply is a "
+         "single full-outer equi-join. Oracle mirrors with "
+         "row_number-desc + CASE.")
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    key = F.col("c_custkey")
+
+    def chg(pred, keyexpr, version, op, bal):
+        return base.filter(pred).select(
+            keyexpr.alias("c_custkey"),
+            F.lit(version).alias("version"), F.lit(op).alias("op"),
+            *([F.lit(None).cast("string").alias("c_name"),
+               F.lit(None).cast("bigint").alias("c_nationkey"),
+               F.lit(None).cast("double").alias("c_acctbal"),
+               F.lit(None).cast("string").alias("c_mktsegment")]
+              if op == "D" else
+              [F.col("c_name"), F.col("c_nationkey"),
+               bal.alias("c_acctbal"), F.col("c_mktsegment")]))
+
+    changes = (
+        chg(key % 10 == 0, key, 2, "U", F.col("c_acctbal") + 100.0)
+        .unionByName(
+            chg(key % 10 == 0, key, 1, "U", F.col("c_acctbal") + 50.0))
+        .unionByName(chg(key % 10 == 1, key, 2, "D", None))
+        .unionByName(chg(key % 10 == 2, key + 10000000, 1, "I",
+                         F.col("c_acctbal"))))
+    return cdc.merge_upsert(base, changes, ["c_custkey"], "version")
+
+
+@q("bm25_topk", """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+       FROM tok2 GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+          FROM dl),
+q(query_id, term) AS (VALUES
+    ('q1', 'spark'), ('q1', 'join'),
+    ('q2', 'hash'), ('q2', 'table'), ('q2', 'scan'),
+    ('q3', 'stream'), ('q3', 'window')),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM tok2 WHERE term IN (SELECT DISTINCT term FROM q)
+       GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        FROM tf GROUP BY term),
+ts AS (SELECT tf.doc_id, tf.term,
+              ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75
+                                + 0.75 * dl.dl / stats.avgdl)) AS s
+       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN stats),
+pq AS (SELECT q.query_id, ts.doc_id, round(sum(ts.s), 6) AS score
+       FROM ts JOIN q USING (term) GROUP BY q.query_id, ts.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS r
+           FROM pq)
+SELECT query_id, doc_id, score, CAST(r AS INT) AS rank
+FROM ranked WHERE r <= 10
+""", doc="Okapi BM25 top-10 per query (operators/ranking.bm25_topk) — "
+         "the lexical first-stage retriever pairing the dense "
+         "sim_topk/rerank family. The tiny query vocabulary "
+         "broadcast-semi-joins the token stream BEFORE any wide "
+         "shuffle (no full inverted index); N/avgdl are a one-row "
+         "broadcast; df/idf a per-term broadcast; final per-query "
+         "top-k is WindowGroupLimit-planned. Scores share one "
+         "operation tree with the oracle and are rounded before "
+         "ranking (ln is the one libm call; the round absorbs its "
+         "ulp), ties break by doc_id.")
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "join"),
+         ("q2", "hash"), ("q2", "table"), ("q2", "scan"),
+         ("q3", "stream"), ("q3", "window")],
+        "query_id string, term string")
+    return ranking.bm25_topk(docs, qdf, 10)
+
+
+@q("weighted_sample", """
+WITH w AS (
+    SELECT lang, doc_id, n_chars,
+           round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                     1, 8))::BIGINT + 1)
+                    / CAST(4294967296 AS DOUBLE)) / n_chars,
+                 12) AS sample_key
+    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+r AS (SELECT lang, doc_id, n_chars, sample_key,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sample_key DESC, doc_id) AS rk
+      FROM w)
+SELECT lang, doc_id, n_chars, sample_key, CAST(rk AS INT) AS sample_rank
+FROM r WHERE rk <= 5
+""", doc="Deterministic weighted sampling without replacement "
+         "(operators/sampling.weighted_sample_topk): Efraimidis-"
+         "Spirakis A-Res keyed by a hash-uniform of the stable doc_id "
+         "(md5 first 8 hex digits — the split_train_test discipline, "
+         "no rand()), weight = n_chars, top-5 per language. "
+         "u = (h+1)/2^32 is EXACT in both engines (power-of-two "
+         "divisor); ln's ulp is absorbed by the round-12 rank key; "
+         "ties break by doc_id. One narrow map + one "
+         "WindowGroupLimit-planned window.")
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars")
+    out = sampling.weighted_sample_topk(docs, "doc_id", "n_chars", 5,
+                                        group_cols=["lang"])
+    return out.select("lang", "doc_id", "n_chars",
+                      "sample_key", "sample_rank")
+
+
+@q("join_bloom_pruned", """
+SELECT count(*) AS n_rows,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 20 = 0
+""", doc="Explicit runtime bloom filter (operators/runtime_filters."
+         "bloom_pruned_join): the selective dim's join keys are "
+         "bit_or-aggregated into a bounded bitset (one partial-agg "
+         "shuffle, sketch size fixed by the constructor), the fact "
+         "scan is pruned through codegen-resident getbit probes "
+         "BEFORE paying the join shuffle, then the exact equi-join "
+         "makes false positives harmless — result-identical to the "
+         "plain join the oracle runs. The regime Spark's own "
+         "runtime.bloomFilter targets, available as a first-class "
+         "operator.")
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = (_t(spark, sf_dir, "orders")
+           .filter((F.col("o_orderpriority") == "1-URGENT")
+                   & (F.col("o_orderkey") % 20 == 0))
+           .select("o_orderkey"))
+    fact = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    joined = runtime_filters.bloom_pruned_join(fact, dim,
+                                               "l_orderkey", "o_orderkey")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count_distinct(F.col("l_orderkey")).alias("n_orders"))
+
+
+@q("skyline_parts", """
+WITH pts AS (SELECT p_retailprice AS price, p_size AS size,
+                    min(p_partkey) AS p_partkey
+             FROM part GROUP BY p_retailprice, p_size)
+SELECT price, size, p_partkey FROM pts a
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts b
+    WHERE b.price <= a.price AND b.size <= a.size
+      AND (b.price < a.price OR b.size < a.size))
+""", doc="2-D Pareto frontier (operators/ranking.skyline_2d): parts "
+         "no other part beats on BOTH price and size. Two-phase "
+         "cumulative-min windows — per-hash-bucket local frontier "
+         "first (prunes every locally dominated point; provably keeps "
+         "all global members), exact unpartitioned pass only on the "
+         "survivors. The oracle is the obviously-correct quadratic "
+         "NOT EXISTS, which is exactly what the two-phase plan must "
+         "reproduce.")
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (_t(spark, sf_dir, "part")
+           .groupBy(F.col("p_retailprice").alias("price"),
+                    F.col("p_size").alias("size"))
+           .agg(F.min("p_partkey").alias("p_partkey")))
+    return ranking.skyline_2d(pts, "price", "size")
 
 
 # Convenience exports ---------------------------------------------------------
