@@ -111,3 +111,59 @@ def test_merge_upsert_latest_wins_is_partial_aggregable(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan
     assert "partial_max" in plan
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _ops = st.sampled_from(["U", "D", "I"])
+    # change rows over a small key space so merges collide; version
+    # uniqueness per key is enforced by construction below
+    _chg = st.lists(st.tuples(st.integers(0, 6), _ops,
+                              st.integers(0, 99)),
+                    min_size=0, max_size=12)
+
+    @settings(max_examples=15, deadline=None)
+    @given(_chg)
+    def test_merge_upsert_matches_python_reference(rows):
+        """Random collide-heavy change sets (versions assigned by
+        arrival order, so each key's versions are unique and
+        latest == last arrival) must land exactly where the obvious
+        per-key fold lands."""
+        spark = _hyp_spark[0]
+        snap = {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+        changes = [(k, i + 1, op, f"n{v}", float(v))
+                   for i, (k, op, v) in enumerate(rows)]
+        # python reference: last change per key wins
+        state = dict(snap)
+        last = {}
+        for k, ver, op, name, val in changes:
+            last[k] = (op, name, val)
+        for k, (op, name, val) in last.items():
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = (name, val)
+        snap_df = spark.createDataFrame(
+            [(k, n, v) for k, (n, v) in snap.items()],
+            "k long, name string, val double")
+        if changes:
+            chg_df = spark.createDataFrame(
+                changes, "k long, version long, op string, name string, "
+                         "val double")
+            out = cdc.merge_upsert(snap_df, chg_df, ["k"], "version")
+        else:
+            out = snap_df
+        got = {r.k: (r.name, r.val) for r in out.collect()}
+        assert got == state
+
+    _hyp_spark = [None]
+
+    @pytest.fixture(autouse=True)
+    def _capture_spark(spark):
+        _hyp_spark[0] = spark
+        yield
+
+except ImportError:
+    pass

@@ -60,6 +60,21 @@ def test_probe_is_pure_expression(spark):
     assert "getbit" in plan or "Filter" in plan
 
 
+def test_probe_plan_builds_fast(spark):
+    """The word table must enter the plan as ONE parsed SQL literal.
+    F.lit(python_list) crosses py4j per element: at 2^20 bits (16384
+    words) that is ~8-10 s of pure driver time; the parsed form is
+    well under a second. Generous 3 s bound — far above parser noise,
+    far below the per-element path."""
+    import time
+    words = list(range(16384))
+    df = spark.range(10).select(F.col("id").alias("k"))
+    t0 = time.perf_counter()
+    out = df.filter(rf.bloom_probe("k", words, 5))
+    out.explain(mode="simple")  # force analysis, not just construction
+    assert time.perf_counter() - t0 < 3.0
+
+
 def test_suggest_bloom_bits():
     m, k = rf.suggest_bloom_bits(1000, 0.01)
     assert m % 64 == 0 and 9000 <= m <= 10240

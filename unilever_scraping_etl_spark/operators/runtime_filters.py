@@ -102,7 +102,12 @@ def bloom_probe(key_col: str | Column, words: list[int],
     sizing."""
     num_bits = 64 * len(words)
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    lut = F.lit(words)
+    # ONE parsed SQL literal, not F.lit(list): the py4j bridge converts
+    # a Python list element-by-element (2048 words -> ~1.2 s of driver
+    # time building the plan, measured); the parser takes the same
+    # array as a single string in milliseconds. Plan-pinned in
+    # test_probe_plan_builds_fast.
+    lut = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
     out = None
     for i in range(num_hashes):
         p = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
