@@ -167,3 +167,16 @@ try:
 
 except ImportError:
     pass
+
+
+def test_scd2_both_windows_share_one_exchange_and_sort(spark):
+    """The docstring's scale claim, pinned: the collapse filter
+    preserves the first window's distribution AND sort order, so the
+    validity window re-plans NEITHER an exchange nor a sort — one
+    shuffle total regardless of log size."""
+    out = cdc.scd2_build(_log(spark), ["user_id"], "ts", ["event_type"],
+                         tiebreak_cols=["event_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort") == 1

@@ -112,3 +112,15 @@ def test_skyline_phase1_prunes_before_global_window(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Window") >= 2
     assert "__bucket" in plan
+
+
+def test_bm25_plan_semi_joins_vocab_before_wide_shuffle(spark):
+    """The docstring's scale claims, pinned: the query vocabulary
+    reaches the token stream as a broadcast LEFT-SEMI join (never a
+    shuffled one — the corpus-side explosion must be pruned in the
+    scan stage), and the per-query top-k window carries a
+    WindowGroupLimit partial."""
+    plan = (ranking.bm25_topk(_corpus(spark), _queries(spark), 10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "WindowGroupLimit" in plan

@@ -74,3 +74,14 @@ def test_heavier_weights_dominate_in_aggregate(spark):
                                         50, group_cols=["grp"])
     heavy = sum(1 for r in out.collect() if r.doc_id < 500)
     assert heavy >= 45
+
+
+def test_sample_window_carries_group_limit_partial(spark):
+    """Scale pin: the per-group top-k must plan a WindowGroupLimit
+    (map-side partial top-k), so a group spanning the corpus never
+    concentrates more than each task's local k into the final sort."""
+    rows = [(i, "g%d" % (i % 3), 10 + i) for i in range(100)]
+    plan = (sampling.weighted_sample_topk(_df(spark, rows), "doc_id",
+                                          "w", 5, group_cols=["grp"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan
