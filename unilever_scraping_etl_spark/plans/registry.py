@@ -4354,6 +4354,89 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("l_orderkey")).alias("n_orders"))
 
 
+@q("bm25_rerank", """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+       FROM tok2 GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+          FROM dl),
+q(query_id, term) AS (VALUES
+    ('q1', 'spark'), ('q1', 'join'),
+    ('q2', 'hash'), ('q2', 'table'), ('q2', 'scan'),
+    ('q3', 'stream'), ('q3', 'window')),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM tok2 WHERE term IN (SELECT DISTINCT term FROM q)
+       GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        FROM tf GROUP BY term),
+ts AS (SELECT tf.doc_id, tf.term,
+              ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75
+                                + 0.75 * dl.dl / stats.avgdl)) AS s
+       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN stats),
+pq AS (SELECT q.query_id, ts.doc_id, round(sum(ts.s), 6) AS score
+       FROM ts JOIN q USING (term) GROUP BY q.query_id, ts.doc_id),
+cand AS (
+    SELECT query_id, doc_id AS neighbor_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS r
+        FROM pq) WHERE r <= 20),
+qt AS (SELECT query_id, list_distinct(list(term)) AS qtok
+       FROM q GROUP BY query_id),
+dt AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+pairs AS (
+    SELECT c.query_id, c.neighbor_id,
+           len(list_intersect(qt.qtok, dt.tok)) AS i,
+           len(list_distinct(dt.tok)) AS ld,
+           len(list_distinct(qt.qtok)) AS lq
+    FROM cand c JOIN qt USING (query_id)
+                JOIN dt ON dt.doc_id = c.neighbor_id),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN i = 0 THEN 0.0
+                ELSE (2.0 * (i / ld) * (i / lq)) / ((i / ld) + (i / lq))
+           END AS score
+    FROM pairs)
+SELECT query_id, neighbor_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM scored QUALIFY rank <= 5
+""", doc="The composed LEXICAL two-stage pipeline: stage 1 BM25 "
+         "over-fetches 20 candidates per query (deterministic cut — "
+         "rounded score, id tiebreak — so both engines agree on the "
+         "candidate SET, not just its order), stage 2 re-scores each "
+         "pair with the token-set-F1 cross-scorer (one Arrow-batched "
+         "pandas UDF over the joined payloads; bit-identical IEEE "
+         "tree, no rounding) and keeps the top 5. The dense twin is "
+         "retrieve_and_rerank (cosine stage 1, rows-only); this one "
+         "is fully oracle-checked end to end because BOTH stages are "
+         "deterministic. Query text for the cross-scorer is the "
+         "sorted term list (F1 is set-based — order-free).")
+def bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qdf = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "join"),
+         ("q2", "hash"), ("q2", "table"), ("q2", "scan"),
+         ("q3", "stream"), ("q3", "window")],
+        "query_id string, term string")
+    cand = (ranking.bm25_topk(docs, qdf, 20)
+            .select("query_id", F.col("doc_id").alias("neighbor_id")))
+    qtext = (qdf.groupBy("query_id")
+             .agg(F.array_join(F.sort_array(F.collect_list("term")), " ")
+                  .alias("qtext")))
+    return rerank.rerank_topk(cand, qtext, docs, m=5,
+                              query_payload="qtext", corpus_payload="text",
+                              queries_id="query_id", corpus_id="doc_id",
+                              round_digits=None)
+
+
 @q("skyline_parts", """
 WITH pts AS (SELECT p_retailprice AS price, p_size AS size,
                     min(p_partkey) AS p_partkey
