@@ -89,3 +89,30 @@ def test_versions_commit_monotonically_and_old_readable(spark, tmp_path):
 def test_read_snapshot_requires_commit(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no committed snapshot"):
         cdc_stream.read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    """Versions are immutable: version=N reads the post-fold-N state
+    after later merges; vacuum drops the oldest retained versions and
+    a vacuumed read fails loudly (never silently serves another
+    version)."""
+    src = str(tmp_path / "src")
+    snap_root = str(tmp_path / "snap")
+    t = time.time()
+    _write_batch(spark, src, [(1, 1, "U", "a2", 11.0)], t - 60)
+    _write_batch(spark, src, [(1, 2, "U", "a3", 12.0)], t)
+    cdc_stream.init_snapshot(_snapshot(spark), snap_root)
+    _run(spark, src, snap_root, str(tmp_path / "ckpt"))
+
+    names = {v: {r.k: r.name for r in cdc_stream.read_snapshot(
+        spark, snap_root, version=v).collect()}[1] for v in (0, 1, 2)}
+    assert names == {0: "a", 1: "a2", 2: "a3"}
+
+    assert cdc_stream.vacuum_versions(snap_root, keep_last=2) == [0]
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        cdc_stream.read_snapshot(spark, snap_root, version=0)
+    # latest + the retained previous still read
+    assert cdc_stream.read_snapshot(spark, snap_root).count() == 3
+    assert cdc_stream.read_snapshot(spark, snap_root, version=1).count() == 3
+    with pytest.raises(ValueError):
+        cdc_stream.vacuum_versions(snap_root, keep_last=0)

@@ -4166,6 +4166,46 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_current").cast("int").alias("is_current"))
 
 
+@q("scd2_asof_state", """
+WITH src AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events),
+kept AS (
+    SELECT user_id, ts, event_id, event_type FROM src
+    WHERE prev IS DISTINCT FROM event_type),
+hist AS (
+    SELECT user_id, event_type, ts AS vf,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS vt
+    FROM kept)
+SELECT user_id, event_type,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS since
+FROM hist
+WHERE vf <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (vt IS NULL OR vt > TIMESTAMP '2024-01-15 00:00:00')
+""", doc="Point-in-time lookup over the SCD2 history: the state of "
+         "every user AS OF 2024-01-15 — exactly one row per user "
+         "active by then (the episode whose validity interval covers "
+         "T). This is WHY the type-2 build exists: the interval "
+         "filter answers any historical timestamp from one history "
+         "table with no reprocessing. Same single-shuffle plan as "
+         "scd2_user_segments plus a filter.")
+def scd2_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    hist = cdc.scd2_build(ev, ["user_id"], "ts", ["event_type"],
+                          tiebreak_cols=["event_id"])
+    t = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    state = hist.filter((F.col("valid_from") <= t)
+                        & (F.col("valid_to").isNull()
+                           | (F.col("valid_to") > t)))
+    return state.select(
+        "user_id", "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("since"))
+
+
 @q("merge_upsert_customers", """
 WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
                      c_mktsegment FROM customer),

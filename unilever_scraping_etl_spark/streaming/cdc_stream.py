@@ -46,13 +46,43 @@ def latest_version(snapshot_root: str) -> int | None:
     return int(p.read_text().strip())
 
 
-def read_snapshot(spark: SparkSession, snapshot_root: str) -> DataFrame:
-    """The current committed snapshot version."""
-    v = latest_version(snapshot_root)
-    if v is None:
+def read_snapshot(spark: SparkSession, snapshot_root: str,
+                  version: int | None = None) -> DataFrame:
+    """A committed snapshot version — the latest by default, or any
+    still-retained earlier one (time travel: versions are immutable
+    directories, so ``version=3`` reads exactly what readers saw after
+    the third fold, regardless of later merges)."""
+    latest = latest_version(snapshot_root)
+    if latest is None:
         raise FileNotFoundError(f"no committed snapshot under "
                                 f"{snapshot_root}")
+    v = latest if version is None else version
+    if not (pathlib.Path(snapshot_root) / f"v={v}").is_dir():
+        raise FileNotFoundError(
+            f"snapshot version {v} not found under {snapshot_root} "
+            f"(latest is {latest}; older versions may be vacuumed)")
     return spark.read.parquet(f"{snapshot_root}/v={v}")
+
+
+def vacuum_versions(snapshot_root: str, keep_last: int = 2) -> list[int]:
+    """Delete all but the newest ``keep_last`` committed versions
+    (never the pointer's target). Returns the removed version numbers.
+    Retention is the time-travel horizon: a vacuumed version is gone
+    for readers, exactly like VACUUM on a transactional table."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    import shutil
+    latest = latest_version(snapshot_root)
+    if latest is None:
+        return []
+    root = pathlib.Path(snapshot_root)
+    versions = sorted(int(p.name[2:]) for p in root.glob("v=*")
+                      if p.is_dir())
+    drop = [v for v in versions if v <= latest][:-keep_last]
+    drop = [v for v in drop if v != latest]
+    for v in drop:
+        shutil.rmtree(root / f"v={v}")
+    return drop
 
 
 def init_snapshot(df: DataFrame, snapshot_root: str) -> None:
