@@ -85,3 +85,15 @@ def test_sample_window_carries_group_limit_partial(spark):
                                           "w", 5, group_cols=["grp"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "WindowGroupLimit" in plan
+
+
+def test_global_sample_plans_distributed_topk(spark):
+    """Scale pin for the UNGROUPED path: Catalyst's rank-limit
+    pushdown turns the global row_number window into
+    TakeOrderedAndProject — per-partition top-k plus a k-row merge,
+    so even a corpus-wide sample never single-partitions the data."""
+    rows = [(i, 1 + i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    plan = (sampling.weighted_sample_topk(df, "doc_id", "w", 5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
