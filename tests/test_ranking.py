@@ -124,3 +124,16 @@ def test_bm25_plan_semi_joins_vocab_before_wide_shuffle(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_skyline_nan_coordinates_dropped(spark):
+    """NaN must behave like null: untreated it rides Spark's
+    sort-last ordering into the frontier (a NaN-y first-in-order point
+    gets the null initial frame; a NaN-x point sorts last and wins on
+    y alone) — both confirmed before the guard existed."""
+    rows = [(1.0, 5.0), (2.0, 3.0), (float("nan"), 1.0),
+            (0.5, float("nan"))]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = sorted((r.x, r.y) for r in ranking.skyline_2d(df, "x", "y")
+                 .collect())
+    assert got == [(1.0, 5.0), (2.0, 3.0)]

@@ -108,8 +108,10 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str,
     no other row dominates (``x' <= x AND y' <= y`` with at least one
     strict). Rows must be UNIQUE on (x, y) — pre-aggregate duplicates
     (equal points never dominate each other, so a representative-per-
-    point reduction is semantics-preserving); nulls in either
-    dimension are dropped (null never dominates nor survives).
+    point reduction is semantics-preserving); nulls and NaNs in
+    either dimension are dropped (neither dominates nor survives —
+    untreated, a NaN coordinate rides Spark's sort-last ordering into
+    the output claiming frontier membership with an undefined value).
 
     Single-pass rule: ordered by (x asc, y asc), a point is on the
     frontier iff its y is strictly below the running min of all
@@ -128,7 +130,12 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str,
         if c in df.columns:
             raise ValueError(f"skyline_2d: column name {c!r} is reserved "
                              "by the operator's working columns")
-    pts = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    keep = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    dtypes = dict(df.dtypes)
+    for c in (x_col, y_col):
+        if dtypes.get(c) in ("float", "double"):
+            keep = keep & ~F.isnan(F.col(c))
+    pts = df.filter(keep)
 
     def prune(d: DataFrame, w: Window) -> DataFrame:
         pm = F.min(y_col).over(
