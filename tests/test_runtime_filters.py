@@ -14,16 +14,16 @@ from unilever_scraping_etl_spark.operators import runtime_filters as rf
 
 def test_no_false_negatives(spark):
     keys = spark.range(0, 2000).select((F.col("id") * 17 + 3).alias("k"))
-    words = rf.bloom_build(keys, "k", num_bits=1 << 14, num_hashes=5)
-    hits = (keys.filter(rf.bloom_probe("k", words, 5)).count())
+    bf = rf.bloom_build(keys, "k", num_bits=1 << 14, num_hashes=5)
+    hits = (keys.filter(rf.bloom_probe("k", bf)).count())
     assert hits == 2000  # a bloom filter NEVER drops a member
 
 
 def test_prunes_most_non_members(spark):
     members = spark.range(0, 100).select((F.col("id") * 100).alias("k"))
-    words = rf.bloom_build(members, "k", num_bits=1 << 14, num_hashes=5)
+    bf = rf.bloom_build(members, "k", num_bits=1 << 14, num_hashes=5)
     probe = spark.range(0, 10000).select(F.col("id").alias("k"))
-    passed = probe.filter(rf.bloom_probe("k", words, 5)).count()
+    passed = probe.filter(rf.bloom_probe("k", bf)).count()
     # 100 true members; the rest are FPs. At m=16384,n=100,k=5 the FP
     # rate is ~1e-8 — allow a generous margin.
     assert 100 <= passed < 200
@@ -31,9 +31,10 @@ def test_prunes_most_non_members(spark):
 
 def test_sketch_is_bounded_and_dense(spark):
     big = spark.range(0, 50000).select(F.col("id").alias("k"))
-    words = rf.bloom_build(big, "k", num_bits=1 << 10, num_hashes=3)
-    assert len(words) == (1 << 10) // 64  # fixed by constructor, not data
-    assert all(isinstance(w, int) for w in words)
+    bf = rf.bloom_build(big, "k", num_bits=1 << 10, num_hashes=3)
+    assert len(bf.words) == (1 << 10) // 64  # fixed by constructor, not data
+    assert bf.num_bits == 1 << 10 and bf.num_hashes == 3
+    assert all(isinstance(w, int) for w in bf.words)
 
 
 def test_bloom_pruned_join_equals_plain_join(spark):
@@ -67,10 +68,10 @@ def test_probe_plan_builds_fast(spark):
     well under a second. Generous 3 s bound — far above parser noise,
     far below the per-element path."""
     import time
-    words = list(range(16384))
+    bf = rf.BloomFilter(tuple(range(16384)), 5)
     df = spark.range(10).select(F.col("id").alias("k"))
     t0 = time.perf_counter()
-    out = df.filter(rf.bloom_probe("k", words, 5))
+    out = df.filter(rf.bloom_probe("k", bf))
     out.explain(mode="simple")  # force analysis, not just construction
     assert time.perf_counter() - t0 < 3.0
 

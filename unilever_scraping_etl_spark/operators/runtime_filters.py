@@ -40,6 +40,7 @@ data-driven-helper pattern as ``relational.suggest_bin_width``).
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -65,14 +66,29 @@ def suggest_bloom_bits(n_keys: int, fp_rate: float = 0.01
     return m, k
 
 
+@dataclass(frozen=True)
+class BloomFilter:
+    """A built bitset plus the hash count it was built with. The pair
+    travels together because a probe run with a DIFFERENT hash count
+    than the build silently returns garbage (missing bits -> false
+    negatives; extra bits -> inflated FPs) — the dataclass makes that
+    mismatch unrepresentable."""
+    words: tuple[int, ...]
+    num_hashes: int
+
+    @property
+    def num_bits(self) -> int:
+        return 64 * len(self.words)
+
+
 def bloom_build(keys: DataFrame, key_col: str,
                 num_bits: int = 1 << 17, num_hashes: int = 5
-                ) -> list[int]:
+                ) -> BloomFilter:
     """Aggregate the distinct values of ``keys[key_col]`` into a dense
-    ``num_bits``-bit bloom bitset, returned as ``num_bits/64`` int64
-    words. Distributed build (explode positions -> ``bit_or`` per
-    word), bounded driver materialization (the word table is at most
-    ``num_bits/64`` rows by construction)."""
+    ``num_bits``-bit :class:`BloomFilter` (``num_bits/64`` int64
+    words + the hash count). Distributed build (explode positions ->
+    ``bit_or`` per word), bounded driver materialization (the word
+    table is at most ``num_bits/64`` rows by construction)."""
     if num_bits % 64 or not 0 < num_bits <= MAX_BITS:
         raise ValueError(f"num_bits must be a multiple of 64 in "
                          f"(0, {MAX_BITS}]")
@@ -90,17 +106,17 @@ def bloom_build(keys: DataFrame, key_col: str,
     dense = [0] * (num_bits // 64)
     for row in words:
         dense[row["__w"]] = row["__bits"]
-    return dense
+    return BloomFilter(tuple(dense), num_hashes)
 
 
-def bloom_probe(key_col: str | Column, words: list[int],
-                num_hashes: int) -> Column:
-    """Boolean column: might ``key_col`` be in the set ``words`` was
+def bloom_probe(key_col: str | Column, bf: BloomFilter) -> Column:
+    """Boolean column: might ``key_col`` be in the set ``bf`` was
     built from? Pure JVM expression tree (array-literal word lookup +
     ``getbit`` test per hash) — keeps the probe inside whole-stage
     codegen. False negatives: never; false positives: per the build's
     sizing."""
-    num_bits = 64 * len(words)
+    words, num_hashes = bf.words, bf.num_hashes
+    num_bits = bf.num_bits
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     # ONE parsed SQL literal, not F.lit(list): the py4j bridge converts
     # a Python list element-by-element (2048 words -> ~1.2 s of driver
@@ -126,7 +142,7 @@ def bloom_pruned_join(fact: DataFrame, dim: DataFrame,
     filter the fact scan through it, then run the exact equi-join.
     Result-identical to ``fact.join(dim, fact_key == dim_key)`` — the
     bloom only removes rows the join would drop anyway."""
-    words = bloom_build(dim.select(dim_key).distinct(), dim_key,
-                        num_bits=num_bits, num_hashes=num_hashes)
-    pruned = fact.filter(bloom_probe(fact_key, words, num_hashes))
+    bf = bloom_build(dim.select(dim_key).distinct(), dim_key,
+                     num_bits=num_bits, num_hashes=num_hashes)
+    pruned = fact.filter(bloom_probe(fact_key, bf))
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")
