@@ -24,7 +24,11 @@ import pandas as pd
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-SF = "/root/testdata/sf0.01"
+# Default matches the external driver (sf0.01); override to fuzz the
+# same oracle compare at another scale, e.g.
+# SPARK_GRAFT_SIM_SF=/root/testdata/sf0.1 python tools/sim_driver.py
+import os
+SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
