@@ -158,6 +158,44 @@ try:
         got = {r.k: (r.name, r.val) for r in out.collect()}
         assert got == state
 
+    _types = st.sampled_from(["A", "B", "C"])
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.tuples(st.integers(1, 3), st.integers(0, 9),
+                              _types),
+                    min_size=1, max_size=14, unique_by=lambda r: (r[0],
+                                                                  r[1])))
+    def test_scd2_matches_python_reference(rows):
+        """Random per-user logs (unique (user, hour) observation slots)
+        must produce exactly the episodes a per-user linear fold
+        produces: collapse equal-adjacent states, valid_to = next
+        episode's start, last episode open."""
+        spark = _hyp_spark[0]
+        log = [(u, _ts_h(h), u * 100 + h, t) for u, h, t in rows]
+        exp = set()
+        by_user = {}
+        for u, ts, eid, t in sorted(log, key=lambda r: (r[0], r[1], r[2])):
+            by_user.setdefault(u, []).append((ts, t))
+        for u, obs in by_user.items():
+            episodes = []
+            for ts, t in obs:
+                if not episodes or episodes[-1][1] != t:
+                    episodes.append([ts, t])
+            for i, (ts, t) in enumerate(episodes):
+                nxt = episodes[i + 1][0] if i + 1 < len(episodes) else None
+                exp.add((u, t, ts, nxt, nxt is None))
+        df = spark.createDataFrame(
+            log, "user_id long, ts timestamp, event_id long, "
+                 "event_type string")
+        out = cdc.scd2_build(df, ["user_id"], "ts", ["event_type"],
+                             tiebreak_cols=["event_id"])
+        got = {(r.user_id, r.event_type, r.valid_from, r.valid_to,
+                r.is_current) for r in out.collect()}
+        assert got == exp
+
+    def _ts_h(h):
+        return dt.datetime(2024, 1, 1, 0) + dt.timedelta(hours=h)
+
     _hyp_spark = [None]
 
     @pytest.fixture(autouse=True)
