@@ -50,6 +50,39 @@ def test_bloom_pruned_join_equals_plain_join(spark):
         sorted(map(tuple, exp.collect()))
 
 
+def test_mixed_integral_widths_keep_all_matches(spark):
+    """r10 ADVICE (high): xxhash64 hashes int and bigint differently,
+    so an int fact key probed against a bigint-built sketch used to
+    silently drop EVERY matching row (false negatives — the one thing
+    a bloom must never do). Mixed integral widths now normalize to
+    bigint on both sides; result must equal the plain coercing join."""
+    fact = spark.range(0, 1000).select(
+        (F.col("id") % 100).cast("int").alias("fk"),
+        F.col("id").alias("payload"))
+    dim = spark.range(0, 100).select(
+        F.col("id").cast("bigint").alias("dk"),
+        (F.col("id") + 5000).alias("dval"))
+    got = rf.bloom_pruned_join(fact, dim, "fk", "dk")
+    exp = fact.join(dim, fact["fk"] == dim["dk"], "inner")
+    assert got.count() == exp.count() == 1000
+    # and the reversed widths too (bigint fact, int dim)
+    got2 = rf.bloom_pruned_join(
+        fact.select(F.col("fk").cast("bigint").alias("fk"), "payload"),
+        dim.select(F.col("dk").cast("int").alias("dk"), "dval"),
+        "fk", "dk")
+    assert got2.count() == 1000
+
+
+def test_non_integral_dtype_mismatch_raises(spark):
+    """A dtype mix with no single obvious lossless coercion (string vs
+    bigint, double vs bigint) must raise, not guess a cast."""
+    fact = spark.range(0, 10).select(
+        F.col("id").cast("string").alias("fk"))
+    dim = spark.range(0, 10).select(F.col("id").alias("dk"))
+    with pytest.raises(ValueError, match="dtypes differ"):
+        rf.bloom_pruned_join(fact, dim, "fk", "dk")
+
+
 def test_probe_is_pure_expression(spark):
     """The probe must stay in the scan stage: no Python evaluation
     node, filter present below the join."""

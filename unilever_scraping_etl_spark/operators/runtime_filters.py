@@ -113,8 +113,10 @@ def bloom_probe(key_col: str | Column, bf: BloomFilter) -> Column:
     """Boolean column: might ``key_col`` be in the set ``bf`` was
     built from? Pure JVM expression tree (array-literal word lookup +
     ``getbit`` test per hash) — keeps the probe inside whole-stage
-    codegen. False negatives: never; false positives: per the build's
-    sizing."""
+    codegen. False negatives: never — PROVIDED the probe column has
+    the same dtype the build hashed (``xxhash64`` is dtype-sensitive;
+    ``bloom_pruned_join`` normalizes this for you); false positives:
+    per the build's sizing."""
     words, num_hashes = bf.words, bf.num_hashes
     num_bits = bf.num_bits
     key = F.col(key_col) if isinstance(key_col, str) else key_col
@@ -133,6 +135,9 @@ def bloom_probe(key_col: str | Column, bf: BloomFilter) -> Column:
     return out
 
 
+_INTEGRALS = {"tinyint", "smallint", "int", "bigint"}
+
+
 def bloom_pruned_join(fact: DataFrame, dim: DataFrame,
                       fact_key: str, dim_key: str,
                       num_bits: int = 1 << 17, num_hashes: int = 5
@@ -141,8 +146,31 @@ def bloom_pruned_join(fact: DataFrame, dim: DataFrame,
     fact side: build the bitset from the dim's (distinct) join keys,
     filter the fact scan through it, then run the exact equi-join.
     Result-identical to ``fact.join(dim, fact_key == dim_key)`` — the
-    bloom only removes rows the join would drop anyway."""
-    bf = bloom_build(dim.select(dim_key).distinct(), dim_key,
+    bloom only removes rows the join would drop anyway.
+
+    The build and the probe must hash the SAME dtype: ``xxhash64``
+    hashes an int and a bigint of equal value differently, so a dtype
+    mismatch between the two keys would silently turn into false
+    negatives — rows the plain join (which coerces) keeps, dropped.
+    Mixed integral widths are therefore normalized to bigint on BOTH
+    sides (lossless, and exactly the coercion the equi-join itself
+    applies); any other dtype mix raises rather than guess a cast."""
+    ft = fact.schema[fact_key].dataType.simpleString()
+    dt = dim.schema[dim_key].dataType.simpleString()
+    fact_probe: Column = F.col(fact_key)
+    dim_build = dim.select(dim_key).distinct()
+    if ft != dt:
+        if ft in _INTEGRALS and dt in _INTEGRALS:
+            fact_probe = fact_probe.cast("bigint")
+            dim_build = dim_build.select(
+                F.col(dim_key).cast("bigint").alias(dim_key))
+        else:
+            raise ValueError(
+                f"bloom_pruned_join: key dtypes differ ({fact_key}: "
+                f"{ft} vs {dim_key}: {dt}) — xxhash64 would hash them "
+                "inconsistently (silent false negatives); cast one "
+                "side explicitly first")
+    bf = bloom_build(dim_build, dim_key,
                      num_bits=num_bits, num_hashes=num_hashes)
-    pruned = fact.filter(bloom_probe(fact_key, bf))
+    pruned = fact.filter(bloom_probe(fact_probe, bf))
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")

@@ -4129,11 +4129,15 @@ def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH src AS (
     SELECT user_id, ts, event_id, event_type,
            lag(event_type) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS prev
+                                 ORDER BY ts, event_id) AS prev,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
     FROM events),
 kept AS (
+    -- rn = 1 keeps a leading all-NULL state (IS DISTINCT FROM alone
+    -- would collapse it against the missing predecessor)
     SELECT user_id, ts, event_id, event_type FROM src
-    WHERE prev IS DISTINCT FROM event_type),
+    WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
 hist AS (
     SELECT user_id, event_type, ts AS vf,
            lead(ts) OVER (PARTITION BY user_id
@@ -4170,11 +4174,15 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH src AS (
     SELECT user_id, ts, event_id, event_type,
            lag(event_type) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS prev
+                                 ORDER BY ts, event_id) AS prev,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
     FROM events),
 kept AS (
+    -- rn = 1 keeps a leading all-NULL state (IS DISTINCT FROM alone
+    -- would collapse it against the missing predecessor)
     SELECT user_id, ts, event_id, event_type FROM src
-    WHERE prev IS DISTINCT FROM event_type),
+    WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
 hist AS (
     SELECT user_id, event_type, ts AS vf,
            lead(ts) OVER (PARTITION BY user_id
