@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions import scalars, text, vectors
 from ..operators import (cdc, dedup, ranking, relational, rerank,
-                         runtime_filters, sampling, similarity)
+                         runtime_filters, sampling, similarity, spans)
 from ..schemas import load_table
 from ..sources import ingest, multimodal
 from . import fixtures
@@ -4508,6 +4508,145 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("p_size").alias("size"))
            .agg(F.min("p_partkey").alias("p_partkey")))
     return ranking.skyline_2d(pts, "price", "size")
+
+
+@q("duplicate_spans", """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+              FROM documents),
+ok AS (SELECT doc_id, t FROM toks WHERE len(t) >= 16),
+idx AS (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 15, 1)) AS i
+        FROM ok),
+sp AS (SELECT doc_id, i - 1 AS span_start,
+              array_to_string(t[i:i+15], ' ') AS span
+       FROM idx),
+g AS (SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM sp GROUP BY span)
+SELECT s.doc_id, s.span_start, g.n_docs
+FROM sp s JOIN g USING (span)
+WHERE g.n_docs >= 2
+""", doc="Span-level duplicate detection (operators/spans."
+         "duplicate_spans; Lee et al. 2022): every 16-token rolling "
+         "window shared by >= 2 distinct documents, flagged at each "
+         "occurrence — the dedup granularity between whole-doc exact "
+         "and whole-doc near-dup (boilerplate paragraphs inside "
+         "otherwise-unique docs). Engine groups on the 64-bit span "
+         "hash (8 bytes shuffled per span, never the span text); the "
+         "oracle groups on the span text itself, so a hash collision "
+         "would surface as a mismatch.")
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spans.duplicate_spans(_t(spark, sf_dir, "documents"),
+                                 "doc_id", "text", span_len=16)
+
+
+@q("scd2_multi_attr", """
+WITH ev AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(floor(value) AS BIGINT) % 5 AS value_band
+    FROM events),
+src AS (
+    SELECT user_id, ts, event_id, event_type, value_band,
+           lag(event_type) OVER w AS prev_t,
+           lag(value_band) OVER w AS prev_b,
+           row_number() OVER w AS rn
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+kept AS (
+    SELECT user_id, ts, event_id, event_type, value_band FROM src
+    WHERE rn = 1 OR prev_t IS DISTINCT FROM event_type
+                 OR prev_b IS DISTINCT FROM value_band),
+hist AS (
+    SELECT user_id, event_type, value_band, ts AS vf,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS vt
+    FROM kept)
+SELECT user_id, event_type, value_band,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(vt IS NULL AS INT) AS is_current
+FROM hist
+""", doc="Multi-attribute SCD2 (operators/cdc.scd2_build with an attr "
+         "LIST — SURVEY §7.5 item 3): an episode closes when ANY of "
+         "(event_type, value_band) changes; consecutive observations "
+         "equal on BOTH attrs collapse. The per-attr null-safe lag "
+         "compares share the one key-partitioned exchange, so the "
+         "plan cost is identical to the single-attr build.")
+def scd2_multi_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type",
+        (F.floor("value").cast("bigint") % 5).alias("value_band"))
+    hist = cdc.scd2_build(ev, ["user_id"], "ts",
+                          ["event_type", "value_band"],
+                          tiebreak_cols=["event_id"])
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        "user_id", "event_type", "value_band",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"))
+
+
+@q("stream_cdc_apply", """
+WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                     c_mktsegment FROM customer)
+SELECT c_custkey, c_name, c_nationkey,
+       CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 77.0
+            ELSE c_acctbal END AS c_acctbal,
+       c_mktsegment
+FROM base WHERE c_custkey % 10 <> 4
+UNION ALL
+SELECT c_custkey + 20000000 AS c_custkey, c_name, c_nationkey,
+       c_acctbal, c_mktsegment
+FROM base WHERE c_custkey % 10 = 5
+""", doc="Streaming CDC apply (streaming/cdc_stream.apply_cdc_stream — "
+         "SURVEY §7.5 item 2, now driver-executed END TO END): a "
+         "deterministic change feed (updates %10=3, deletes %10=4, "
+         "inserts %10=5, one version per key so batch order is "
+         "immaterial) is written as three parquet files, read back as "
+         "a STREAM with maxFilesPerTrigger=1, and folded into a "
+         "versioned snapshot over three real foreachBatch micro-"
+         "batches; the returned DataFrame reads the committed v=3 "
+         "snapshot. Each fold runs the registered merge_upsert plan, "
+         "so the full-oracle check here certifies the streaming path "
+         "against plain SQL — stronger than the rows-only check the "
+         "runway planned.")
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming import cdc_stream
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    key = F.col("c_custkey")
+    upd = base.filter(key % 10 == 3).select(
+        key.alias("c_custkey"), F.lit(1).alias("version"),
+        F.lit("U").alias("op"), F.col("c_name"), F.col("c_nationkey"),
+        (F.col("c_acctbal") + 77.0).alias("c_acctbal"),
+        F.col("c_mktsegment"))
+    dele = base.filter(key % 10 == 4).select(
+        key.alias("c_custkey"), F.lit(1).alias("version"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("bigint").alias("c_nationkey"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"))
+    ins = base.filter(key % 10 == 5).select(
+        (key + 20000000).alias("c_custkey"),
+        F.lit(1).alias("version"), F.lit("I").alias("op"),
+        F.col("c_name"), F.col("c_nationkey"), F.col("c_acctbal"),
+        F.col("c_mktsegment"))
+    changes = upd.unionByName(dele).unionByName(ins)
+    tmp = tempfile.mkdtemp(prefix="spark_cdc_stream_")
+    chg_dir, root, ckpt = f"{tmp}/changes", f"{tmp}/snap", f"{tmp}/ckpt"
+    changes.repartition(3).write.parquet(chg_dir)
+    cdc_stream.init_snapshot(base, root)
+    stream = (spark.readStream.schema(changes.schema)
+              .option("maxFilesPerTrigger", 1).parquet(chg_dir))
+    qy = cdc_stream.apply_cdc_stream(stream, root, ["c_custkey"],
+                                     "version", checkpoint_dir=ckpt)
+    qy.awaitTermination()
+    return cdc_stream.read_snapshot(spark, root)
 
 
 # Convenience exports ---------------------------------------------------------
