@@ -250,6 +250,45 @@ def test_snapshot_partition_pruning(spark, tmp_path):
     assert 0 < read_files < all_files
 
 
+def test_merge_upsert_on_bucketed_snapshot_has_no_snapshot_exchange(
+        spark, tmp_path):
+    """The composed incremental-warehouse claim (cdc.py docstring:
+    'bucketed-snapshot compatible, co-locates shuffle-free'), pinned:
+    merging a CDC batch into a snapshot stored via write_bucketed on
+    the merge key plans the full-outer join with ZERO Exchange on the
+    snapshot side — the bucketed scan feeds the SortMergeJoin
+    directly, and the ONLY exchange in the whole plan is the changes
+    side's (which the latest-wins aggregate needs anyway and the join
+    reuses). Against a plain-parquet snapshot the same merge plans one
+    more Exchange. At 100 TB the snapshot is the fat side; this is the
+    shuffle the bucketed store exists to delete."""
+    from unilever_scraping_etl_spark.operators import cdc
+    from unilever_scraping_etl_spark.sources.ingest import write_bucketed
+
+    snap = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("val"))
+    changes = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.lit(1).alias("version"),
+        F.lit("U").alias("op"), (F.col("id") * 3.0).alias("val"))
+    write_bucketed(snap, "b_merge_snap", ["k"], 4, sort_cols=["k"],
+                   path=str(tmp_path / "b_merge_snap"))
+    try:
+        bucketed = _plan(cdc.merge_upsert(spark.table("b_merge_snap"),
+                                          changes, ["k"], "version",
+                                          validate=False))
+        plain = _plan(cdc.merge_upsert(snap, changes, ["k"], "version",
+                                       validate=False))
+        assert "SortMergeJoin" in bucketed
+        assert "Bucketed: true" in bucketed
+        assert bucketed.count("Exchange") == 1          # changes side only
+        assert plain.count("Exchange") == bucketed.count("Exchange") + 1
+        # and the one exchange is on the changes side, not the scan:
+        scan_side = bucketed.split("FileScan parquet")[0]
+        assert "Exchange" not in scan_side.split("SortMergeJoin")[-1]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_merge_snap")
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key must sort-merge join with NO
     Exchange on either side — the co-located-join contract bucketing
