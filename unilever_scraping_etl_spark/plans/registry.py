@@ -4539,6 +4539,52 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "doc_id", "text", span_len=16)
 
 
+@q("mask_spans", """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+              FROM documents),
+ok AS (SELECT doc_id, t FROM toks WHERE len(t) >= 16),
+idx AS (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 15, 1)) AS i
+        FROM ok),
+sp AS (SELECT doc_id, i - 1 AS span_start,
+              array_to_string(t[i:i+15], ' ') AS span
+       FROM idx),
+g AS (SELECT span, count(DISTINCT doc_id) AS nd,
+             min({'d': doc_id, 's': span_start}) AS rep
+      FROM sp GROUP BY span),
+extras AS (
+    SELECT s.doc_id, list(s.span_start) AS starts
+    FROM sp s JOIN g ON s.span = g.span
+    WHERE g.nd >= 2
+      AND NOT (s.doc_id = struct_extract(g.rep, 'd')
+               AND s.span_start = struct_extract(g.rep, 's'))
+    GROUP BY s.doc_id)
+SELECT d.doc_id,
+       CASE WHEN e.starts IS NULL THEN d.text
+            ELSE array_to_string(
+                list_transform(string_split(d.text, ' '),
+                    (tok, i) -> CASE
+                        WHEN len(list_filter(e.starts,
+                                 s -> i - 1 >= s AND i - 1 < s + 16)) > 0
+                        THEN '<dup>' ELSE tok END), ' ')
+       END AS text
+FROM documents d LEFT JOIN extras e USING (doc_id)
+""", doc="Keep-first span masking (operators/spans."
+         "mask_duplicate_spans; Lee et al. 2022 drop-all-but-one): the "
+         "lexicographically first occurrence of each cross-doc 16-token "
+         "span survives, every token covered by any other occurrence "
+         "becomes <dup>. Engine: struct-min representative per span "
+         "hash, one collect_set of mask starts per affected doc, "
+         "higher-order token rewrite — no Python in the row path. The "
+         "oracle rebuilds the same masking over span TEXT groups with "
+         "DuckDB list lambdas, so the hash-vs-text grouping equivalence "
+         "is value-checked end to end.")
+def mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return spans.mask_duplicate_spans(docs, "doc_id", "text",
+                                      span_len=16)
+
+
 @q("scd2_multi_attr", """
 WITH ev AS (
     SELECT user_id, ts, event_id, event_type,
