@@ -82,6 +82,42 @@ def test_mask_overlapping_spans_union_their_token_ranges(spark):
     assert got[4].split(" ")[:6] == ["<dup>"] * 6
 
 
+def test_islands_merge_overlapping_and_adjacent_windows(spark):
+    """A 5-token block shared by two docs = three overlapping 3-token
+    duplicate windows -> ONE island covering the block; a separate
+    shared window later in the doc opens a second island."""
+    df = _docs(spark, [
+        (1, "a b c d e x x y y q w e"),   # block @0..4, "q w e" @9
+        (2, "z z a b c d e z z z z z"),   # block @2..6
+        (3, "q w e m m m m m m m m m"),   # "q w e" @0
+    ])
+    out = spans.duplicate_span_islands(df, "doc_id", "text", span_len=3)
+    got = {(r.doc_id, r.island_start, r.island_end, r.n_windows)
+           for r in out.collect()}
+    assert got == {
+        (1, 0, 5, 3),   # windows @0,1,2 merged: tokens [0,5)
+        (1, 9, 12, 1),  # the lone "q w e" window
+        (2, 2, 7, 3),
+        (3, 0, 3, 1),
+    }
+
+
+def test_islands_split_on_a_gap(spark):
+    """Windows whose coverage does not touch stay separate islands
+    (start strictly past the running covered end)."""
+    df = _docs(spark, [
+        (1, "a b c n1 n2 n3 n4 a b c"),
+        (2, "a b c m1 m2 m3 m4 a b c"),
+    ])
+    out = spans.duplicate_span_islands(df, "doc_id", "text", span_len=3)
+    per_doc = {}
+    for r in out.collect():
+        per_doc.setdefault(r.doc_id, set()).add(
+            (r.island_start, r.island_end))
+    assert per_doc[1] == {(0, 3), (7, 10)}
+    assert per_doc[2] == {(0, 3), (7, 10)}
+
+
 def test_reserved_and_arg_validation(spark):
     df = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError, match="reserved"):

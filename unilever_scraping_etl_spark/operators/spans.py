@@ -34,7 +34,7 @@ Scale posture (the interesting part at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from unilever_scraping_etl_spark.operators._contracts import (
@@ -103,6 +103,42 @@ def duplicate_spans(docs: DataFrame, id_col: str, text_col: str,
               .filter(F.col("n_docs") >= min_docs))
     return occ.join(groups, "span_hash").select(
         id_col, "span_start", "n_docs")
+
+
+def duplicate_span_islands(docs: DataFrame, id_col: str, text_col: str,
+                           span_len: int = 50, stride: int = 1,
+                           min_docs: int = 2) -> DataFrame:
+    """Maximal duplicated REGIONS per document — Lee et al.'s output
+    shape: overlapping/adjacent duplicated windows merged into islands
+    ``(id_col, island_start, island_end, n_windows)`` with
+    ``island_end`` exclusive. A 60-token boilerplate block shared by
+    two docs shows up as 45 separate 16-token duplicate windows in
+    ``duplicate_spans``; here it is ONE [start, start+60) island —
+    the unit a curation pipeline actually cuts.
+
+    Classic gaps-and-islands: a window opens a new island when its
+    start lies past the running max covered end. Both windows and the
+    final aggregate partition by the doc id, so the merge costs one
+    exchange after the duplicate join — and island width is bounded
+    by the document's own token count, so the per-key window state
+    never exceeds one doc's spans."""
+    dups = duplicate_spans(docs, id_col, text_col, span_len,
+                           stride=stride, min_docs=min_docs)
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    prev_end = F.max(F.col("span_start") + span_len).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dups.withColumn(
+        "__new", F.when(prev_end.isNull()
+                        | (F.col("span_start") > prev_end),
+                        1).otherwise(0))
+    isl = flagged.withColumn(
+        "__isl", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (isl.groupBy(id_col, "__isl")
+            .agg(F.min("span_start").alias("island_start"),
+                 (F.max("span_start") + span_len).alias("island_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .select(id_col, "island_start", "island_end", "n_windows"))
 
 
 def mask_duplicate_spans(docs: DataFrame, id_col: str, text_col: str,

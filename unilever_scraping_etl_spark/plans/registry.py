@@ -4539,6 +4539,103 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "doc_id", "text", span_len=16)
 
 
+@q("span_islands", """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+              FROM documents),
+ok AS (SELECT doc_id, t FROM toks WHERE len(t) >= 16),
+idx AS (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 15, 1)) AS i
+        FROM ok),
+sp AS (SELECT doc_id, i - 1 AS span_start,
+              array_to_string(t[i:i+15], ' ') AS span
+       FROM idx),
+g AS (SELECT span FROM sp GROUP BY span
+      HAVING count(DISTINCT doc_id) >= 2),
+dups AS (SELECT s.doc_id, s.span_start
+         FROM sp s JOIN g USING (span)),
+w AS (SELECT doc_id, span_start,
+             max(span_start + 16) OVER (
+                 PARTITION BY doc_id ORDER BY span_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_end
+      FROM dups),
+f AS (SELECT doc_id, span_start,
+             CASE WHEN prev_end IS NULL OR span_start > prev_end
+                  THEN 1 ELSE 0 END AS nf
+      FROM w),
+i AS (SELECT doc_id, span_start,
+             sum(nf) OVER (PARTITION BY doc_id ORDER BY span_start
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM f)
+SELECT doc_id, CAST(min(span_start) AS BIGINT) AS island_start,
+       CAST(max(span_start) + 16 AS BIGINT) AS island_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM i GROUP BY doc_id, island
+""", doc="Maximal duplicated regions (operators/spans."
+         "duplicate_span_islands): overlapping/adjacent duplicated "
+         "16-token windows merged into [start, end) islands per doc — "
+         "Lee et al.'s region output (a 60-token shared block is ONE "
+         "island, not 45 windows). Gaps-and-islands over the "
+         "duplicate_spans output; both windows and the final agg "
+         "share the doc-id partitioning, one exchange after the "
+         "duplicate join.")
+def span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spans.duplicate_span_islands(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", span_len=16)
+
+
+@q("temperature_mix", """
+WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+                FROM documents GROUP BY source),
+z AS (SELECT sum(pow(n_total, 0.5)) AS z FROM counts),
+q AS (SELECT source, n_total, pow(n_total, 0.5) / z.z AS q
+      FROM counts, z),
+b AS (SELECT min(n_total / q) AS budget FROM q),
+r AS (SELECT source, n_total,
+             round(q.q * b.budget / n_total, 9) AS rate
+      FROM q, b),
+g AS (SELECT d.source, r.n_total, r.rate,
+             (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+              ::BIGINT + 1) / CAST(4294967296 AS DOUBLE) AS u
+      FROM documents d JOIN r USING (source))
+SELECT source, n_total, rate,
+       CAST(sum(CASE WHEN u <= rate THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled
+FROM g GROUP BY source, n_total, rate
+""", doc="Temperature-based source mixing (alpha = 0.5, the standard "
+         "multilingual-corpus rebalance: target share q_i ∝ n_i^α "
+         "flattens the source distribution, budget scaled so the "
+         "binding source keeps rate 1.0): per-source keep-rates are "
+         "DERIVED from corpus counts — unlike corpus_mix's externally "
+         "fixed rates — then applied as the house deterministic "
+         "hash-gate (u = md5-uniform of doc_id, EXACT power-of-two "
+         "divisor in both engines; the pow/division ulp noise is "
+         "absorbed by round-9 on the rate). Source stats are a tiny "
+         "broadcast; the gate is a narrow map.")
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"))
+    z = counts.agg(F.sum(F.pow(F.col("n_total").cast("double"),
+                               F.lit(0.5))).alias("z"))
+    rates = (counts.crossJoin(F.broadcast(z))
+             .withColumn("q", F.pow(F.col("n_total").cast("double"),
+                                    F.lit(0.5)) / F.col("z")))
+    budget = rates.agg(F.min(F.col("n_total") / F.col("q"))
+                       .alias("budget"))
+    rates = (rates.crossJoin(F.broadcast(budget))
+             .select("source", "n_total",
+                     F.round(F.col("q") * F.col("budget")
+                             / F.col("n_total"), 9).alias("rate")))
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = ((F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") + 1)
+         / F.lit(4294967296.0))
+    gated = docs.join(F.broadcast(rates), "source")
+    return (gated.groupBy("source", "n_total", "rate")
+            .agg(F.sum(F.when(u <= F.col("rate"), 1).otherwise(0))
+                 .cast("long").alias("n_sampled")))
+
+
 @q("mask_spans", """
 WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
               FROM documents),
