@@ -4616,14 +4616,19 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"))
-    z = counts.agg(F.sum(F.pow(F.col("n_total").cast("double"),
-                               F.lit(0.5))).alias("z"))
-    rates = (counts.crossJoin(F.broadcast(z))
-             .withColumn("q", F.pow(F.col("n_total").cast("double"),
-                                    F.lit(0.5)) / F.col("z")))
-    budget = rates.agg(F.min(F.col("n_total") / F.col("q"))
-                       .alias("budget"))
-    rates = (rates.crossJoin(F.broadcast(budget))
+    # z and the budget are global reductions over the COUNTS table —
+    # bounded by the number of distinct sources, so the unpartitioned
+    # windows are the house bounded-input pattern (<= a few dozen
+    # rows), and the corpus is scanned exactly twice (counts + gate)
+    # instead of once per derived statistic.
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    pw = F.pow(F.col("n_total").cast("double"), F.lit(0.5))
+    q = pw / F.sum(pw).over(w_all)
+    rates = (counts
+             .withColumn("q", q)
+             .withColumn("budget",
+                         F.min(F.col("n_total") / F.col("q")).over(w_all))
              .select("source", "n_total",
                      F.round(F.col("q") * F.col("budget")
                              / F.col("n_total"), 9).alias("rate")))
