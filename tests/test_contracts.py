@@ -14,7 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from unilever_scraping_etl_spark.operators import (
-    cdc, ranking, relational, sampling,
+    cdc, ranking, relational, sampling, spans,
 )
 from unilever_scraping_etl_spark.operators._contracts import (
     require_free_columns,
@@ -95,6 +95,21 @@ CASES = [
                                  F.lit("U").alias("op"),
                                  F.lit("a").alias("a")), n),
          ["k"], "version")),
+    ("span_occurrences", "__toks",
+     lambda s, n: spans.span_occurrences(
+         _with(s.range(5).select(F.col("id"),
+                                 F.lit("a b c d").alias("text")), n),
+         "id", "text", span_len=3)),
+    ("span_occurrences", "span_hash",
+     lambda s, n: spans.span_occurrences(
+         _with(s.range(5).select(F.col("id"),
+                                 F.lit("a b c d").alias("text")), n),
+         "id", "text", span_len=3)),
+    ("mask_duplicate_spans", "__starts",
+     lambda s, n: spans.mask_duplicate_spans(
+         _with(s.range(5).select(F.col("id"),
+                                 F.lit("a b c d").alias("text")), n),
+         "id", "text", span_len=3)),
 ]
 
 
@@ -128,6 +143,26 @@ def test_no_operator_emits_duplicate_output_columns(spark):
                                   F.lit("U").alias("op"),
                                   F.lit("b").alias("a")),
             ["k"], "version"),
+        relational.interval_join(
+            spark.range(5).select(F.col("id").alias("p")),
+            spark.range(5).select(F.col("id").alias("s"),
+                                  (F.col("id") + 1).alias("e")),
+            "p", "s", "e", bin_width=1.0),
+        spans.duplicate_spans(
+            spark.range(5).select(F.col("id"),
+                                  F.lit("a b c d").alias("text")),
+            "id", "text", span_len=3),
+        spans.duplicate_span_islands(
+            spark.range(5).select(F.col("id"),
+                                  F.lit("a b c d").alias("text")),
+            "id", "text", span_len=3),
+        spans.mask_duplicate_spans(
+            spark.range(5).select(F.col("id"),
+                                  F.lit("a b c d").alias("text"),
+                                  F.lit("en").alias("lang")),
+            "id", "text", span_len=3),
     ]
     for out in outs:
         assert len(out.columns) == len(set(out.columns)), out.columns
+    # and masking must preserve the input schema ORDER exactly
+    assert outs[-1].columns == ["id", "text", "lang"]

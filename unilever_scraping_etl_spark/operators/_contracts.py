@@ -16,9 +16,11 @@ zero-semantic source edit that would evict 19 certified queries into
 the 50-slot verification window and crowd out the r6-certificate
 refresh the r9 verdict ordered. Convert each when its dependents
 rotate into a refresh window anyway (r11+). The cross-operator
-contract itself is already enforced REGARDLESS of implementation by
-the adversarial sweep in tests/test_contracts.py, which drives
-reserved names through all five modules' public operators.
+contract itself is enforced REGARDLESS of implementation by
+tests/test_contracts.py, which drives reserved names through the
+public operators of every guarded module (sampling, ranking,
+relational, cdc, spans) and checks every operator's happy-path output
+schema for silent duplicates.
 """
 
 from __future__ import annotations

@@ -42,7 +42,6 @@ from unilever_scraping_etl_spark.operators._contracts import (
 )
 
 _WORKING = ("__toks", "__occ", "__rep", "__starts")
-_OUTPUT = ("span_start", "span_hash", "n_docs")
 
 
 def span_occurrences(docs: DataFrame, id_col: str, text_col: str,
@@ -180,6 +179,8 @@ def mask_duplicate_spans(docs: DataFrame, id_col: str, text_col: str,
                                   F.lit(mask_token)).otherwise(t)))
     out_text = (F.when(F.col("__starts").isNull(), F.col(text_col))
                 .otherwise(masked))
-    others = [c for c in docs.columns if c != text_col]
-    return (docs.join(extras, id_col, "left")
-            .select(*others, out_text.alias(text_col)))
+    # preserve the input schema ORDER, not just its columns — callers
+    # union/append the masked output against unmasked slices
+    cols = [out_text.alias(c) if c == text_col else F.col(c)
+            for c in docs.columns]
+    return docs.join(extras, id_col, "left").select(*cols)

@@ -4759,6 +4759,8 @@ FROM base WHERE c_custkey % 10 = 5
          "against plain SQL — stronger than the rows-only check the "
          "runway planned.")
 def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
     import tempfile
 
     from ..streaming import cdc_stream
@@ -4785,7 +4787,12 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name"), F.col("c_nationkey"), F.col("c_acctbal"),
         F.col("c_mktsegment"))
     changes = upd.unionByName(dele).unionByName(ins)
+    # the returned DataFrame reads the committed snapshot from this
+    # directory, so it cannot be removed here; clean at process exit
+    # instead (bench/sim re-invoke this query — without the hook every
+    # run would leak parquet copies of the customer table into /tmp)
     tmp = tempfile.mkdtemp(prefix="spark_cdc_stream_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     chg_dir, root, ckpt = f"{tmp}/changes", f"{tmp}/snap", f"{tmp}/ckpt"
     changes.repartition(3).write.parquet(chg_dir)
     cdc_stream.init_snapshot(base, root)
