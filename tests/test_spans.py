@@ -179,6 +179,42 @@ try:
         got = {(r.doc_id, r.span_start, r.n_docs) for r in out.collect()}
         assert got == exp
 
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(_doc, min_size=1, max_size=6))
+    def test_islands_match_python_reference(texts):
+        """Islands == greedy merge of the duplicate-window starts: the
+        same per-doc fold a single-node implementation would run."""
+        spark = _hyp_spark[0]
+        L = 3
+        rows = [(i, t) for i, t in enumerate(texts)]
+        occs = {}
+        for i, t in rows:
+            toks = t.split(" ") if t else [""]
+            for s in range(len(toks) - L + 1):
+                occs.setdefault(" ".join(toks[s:s + L]),
+                                []).append((i, s))
+        starts = {}
+        for lst in occs.values():
+            if len({d for d, _ in lst}) >= 2:
+                for d, s in lst:
+                    starts.setdefault(d, []).append(s)
+        exp = set()
+        for d, ss in starts.items():
+            ss.sort()
+            cur_start, cur_end, n = ss[0], ss[0] + L, 1
+            for s in ss[1:]:
+                if s > cur_end:
+                    exp.add((d, cur_start, cur_end, n))
+                    cur_start, cur_end, n = s, s + L, 1
+                else:
+                    cur_end, n = max(cur_end, s + L), n + 1
+            exp.add((d, cur_start, cur_end, n))
+        out = spans.duplicate_span_islands(_docs(spark, rows),
+                                           "doc_id", "text", span_len=L)
+        got = {(r.doc_id, r.island_start, r.island_end, r.n_windows)
+               for r in out.collect()}
+        assert got == exp
+
     _hyp_spark = [None]
 
     @pytest.fixture(autouse=True)
