@@ -4539,6 +4539,52 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "doc_id", "text", span_len=16)
 
 
+@q("warc_ingest", """
+SELECT doc_id, text, 200 AS http_status FROM documents
+WHERE text IS NOT NULL
+""", doc="WARC web-archive ingestion round trip (sources/warc.py — "
+         "ISO 28500): the documents table is serialized into 8 "
+         "gzipped WARC/1.0 files (deterministic record ids, fixture "
+         "synthesis on the INPUT side), then read back through the "
+         "ENGINE path under test — binaryFile scan for per-file "
+         "parallelism + the Arrow-batched stdlib record parser — and "
+         "reduced to (doc_id from the target URI, body text, HTTP "
+         "status). Oracle is the source table itself: the whole "
+         "writer→archive→parser→extract chain must be lossless. At "
+         "100 TB this is the Common Crawl shape: thousands of ~1 GB "
+         "segments, one task each; intra-file parsing is sequential "
+         "by format (Content-Length chaining).")
+def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import pathlib
+    import shutil
+    import tempfile
+
+    from ..sources import warc as warc_mod
+
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .filter(F.col("text").isNotNull()))
+    # bounded fixture synthesis (the INPUT side of the round trip —
+    # the engine path under test starts at read_warc)
+    pdf = docs.toPandas()
+    tmp = tempfile.mkdtemp(prefix="spark_warc_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    groups: dict[int, list[dict]] = {}
+    for r in pdf.itertuples():
+        groups.setdefault(int(r.doc_id) % 8, []).append(
+            {"uri": f"http://corpus.local/doc/{r.doc_id}",
+             "body": str(r.text).encode("utf-8")})
+    for k, recs in groups.items():
+        (pathlib.Path(tmp) / f"part{k}.warc.gz").write_bytes(
+            warc_mod.build_warc(recs, compress=True))
+    records = warc_mod.read_warc(spark, tmp)
+    return records.filter(F.col("parse_ok")).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+         .cast("bigint").alias("doc_id"),
+        F.col("body").cast("string").alias("text"),
+        F.col("http_status").cast("int").alias("http_status"))
+
+
 @q("span_islands", """
 WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
               FROM documents),
