@@ -4539,6 +4539,53 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "doc_id", "text", span_len=16)
 
 
+@q("jsonl_ingest", """
+SELECT doc_id, text, lang, n_chars FROM documents
+WHERE text IS NOT NULL
+""", doc="JSONL corpus round trip — the other canonical LLM-corpus "
+         "interchange format next to WARC: documents are written as "
+         "line-delimited JSON by the executors (distributed write, no "
+         "driver materialization), one hand-corrupted line is added, "
+         "and the read path runs schema-explicit PERMISSIVE mode with "
+         "columnNameOfCorruptRecord — the reader's quarantine twin of "
+         "the scrape pipeline's F6 split. A bounded 1-row probe "
+         "asserts the corrupt line actually landed in quarantine "
+         "(exactly one), then the clean rows must equal the source "
+         "table: write → escape → parse → filter is lossless.")
+def jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import pathlib
+    import shutil
+    import tempfile
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang", "n_chars")
+            .filter(F.col("text").isNotNull()))
+    tmp = tempfile.mkdtemp(prefix="spark_jsonl_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    docs.write.mode("overwrite").json(f"{tmp}/corpus")
+    # one deliberately corrupt line: the quarantine path must be LIVE
+    # in this plan, not just configured
+    (pathlib.Path(tmp) / "corpus" / "part-corrupt.json").write_text(
+        '{"doc_id": 1, "text": "unterminated\n')
+    schema = ("doc_id bigint, text string, lang string, n_chars bigint, "
+              "_bad string")
+    parsed = (spark.read.schema(schema)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_bad")
+              .json(f"{tmp}/corpus"))
+    # the probe must reference a real column alongside _bad: Spark
+    # disallows queries whose only referenced column is the internal
+    # corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_...)
+    n_bad = len(parsed.select("doc_id", "_bad")
+                .filter(F.col("_bad").isNotNull()).collect())
+    if n_bad != 1:
+        raise AssertionError(f"jsonl_ingest: expected exactly the one "
+                             f"injected corrupt line, got {n_bad}")
+    return (parsed.filter(F.col("_bad").isNull())
+            .select("doc_id", "text", "lang", "n_chars"))
+
+
 @q("warc_ingest", """
 SELECT doc_id, text, 200 AS http_status FROM documents
 WHERE text IS NOT NULL
