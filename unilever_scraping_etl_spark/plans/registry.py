@@ -28,8 +28,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalars, text, vectors
-from ..operators import (cdc, dedup, ranking, relational, rerank,
-                         runtime_filters, sampling, similarity, spans)
+from ..operators import (cdc, dedup, graph, ranking, relational,
+                         rerank, runtime_filters, sampling, similarity,
+                         spans)
 from ..schemas import load_table
 from ..sources import ingest, multimodal
 from . import fixtures
@@ -4537,6 +4538,64 @@ WHERE g.n_docs >= 2
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.duplicate_spans(_t(spark, sf_dir, "documents"),
                                  "doc_id", "text", span_len=16)
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    """Unrolled fixed-iteration PageRank SQL (DuckDB disallows
+    aggregates in a recursive CTE term, so K iterations unroll into K
+    contribution/rank CTE pairs — mechanical, generated here)."""
+    head = """
+WITH edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    WHERE a.l_orderkey % 7 = 0 AND b.l_orderkey % 7 = 0),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+        FROM edges GROUP BY src),
+p0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+c{i} AS (SELECT e.dst AS node, sum(p.rank / dg.outdeg) AS contrib
+         FROM edges e JOIN p{i - 1} p ON e.src = p.node
+         JOIN deg dg ON e.src = dg.src
+         GROUP BY e.dst),
+p{i} AS (SELECT nodes.node,
+                0.15 / nn.n + 0.85 * coalesce(c{i}.contrib, 0.0) AS rank
+         FROM nodes CROSS JOIN nn
+         LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
+    tail = (f"\nSELECT node, round(rank, 9) AS rank "
+            f"FROM p{iterations}")
+    return head + "".join(steps) + tail
+
+
+@q("pagerank_parts", _pagerank_oracle(5),
+   doc="Fixed-iteration PageRank (operators/graph.pagerank — the "
+       "iterative class beyond connected components) over the part "
+       "co-purchase graph: parts sharing an order (a 1-in-7 order "
+       "sample keeps the demo edge list bounded) link both ways, five "
+       "join+aggregate rounds from the uniform start, ranks rounded "
+       "to 9 digits on both sides (per-node sums accumulate in "
+       "different orders across engines). The oracle is the SAME "
+       "recurrence unrolled into five CTE pairs — DuckDB disallows "
+       "aggregates in recursive-CTE terms, so fixed-K unrolling is "
+       "the honest SQL twin. The corpus-curation use is link-graph "
+       "authority weighting (Common Crawl publishes exactly such "
+       "centrality rankings for host weighting).")
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 7 == 0)
+          .select("l_orderkey", "l_partkey"))
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") != F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("src"),
+                     F.col("b.l_partkey").alias("dst"))
+             .distinct())
+    return graph.pagerank(edges, "src", "dst", iterations=5,
+                          rank_digits=9)
 
 
 @q("jsonl_ingest", """
