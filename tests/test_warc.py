@@ -47,6 +47,19 @@ def test_gzip_whole_file_round_trip():
     assert warc.build_warc(_recs(), compress=True) == data
 
 
+def test_per_record_gzip_members_parse():
+    """Real .warc.gz files gzip EACH RECORD as its own member
+    (the Common Crawl layout, enabling per-record random access);
+    stdlib gzip.decompress walks all members, so the parser must read
+    the concatenation transparently."""
+    recs = _recs()
+    data = b"".join(
+        gzip.compress(warc.build_warc([r]), mtime=0) for r in recs)
+    rows = warc.parse_warc_bytes("f.gz", data)
+    assert [r["parse_ok"] for r in rows] == [True] * 3
+    assert [r["target_uri"] for r in rows] == [r["uri"] for r in recs]
+
+
 def test_truncation_quarantines_and_keeps_prior_records():
     data = warc.build_warc(_recs())
     rows = warc.parse_warc_bytes("f", data[:len(data) - 30])

@@ -81,9 +81,11 @@ def build_warc(records: list[dict], compress: bool = False) -> bytes:
 
 def parse_warc_bytes(warc_file: str, data: bytes) -> list[dict]:
     """One WARC file's bytes -> record dicts (RECORD_SCHEMA rows).
-    Handles whole-file gzip (magic-sniffed). Corruption yields one
-    parse_ok=false row and stops this file (no resync past a broken
-    Content-Length chain)."""
+    Gzip is magic-sniffed and handles BOTH layouts: whole-file gzip
+    and the real-archive form where each record is its own gzip
+    member (stdlib decompress walks concatenated members). Corruption
+    yields one parse_ok=false row and stops this file (no resync past
+    a broken Content-Length chain)."""
     rows: list[dict] = []
 
     def bad(err: str) -> list[dict]:
