@@ -4666,7 +4666,10 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..sources import warc as warc_mod
+    # imported under its own name: the certification dep-scanner
+    # detects modules by `warc.<attr>` / `from ... warc import` usage,
+    # and an alias would hide this query from warc.py edit evictions
+    from ..sources import warc
 
     docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
             .filter(F.col("text").isNotNull()))
@@ -4682,8 +4685,8 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
              "body": str(r.text).encode("utf-8")})
     for k, recs in groups.items():
         (pathlib.Path(tmp) / f"part{k}.warc.gz").write_bytes(
-            warc_mod.build_warc(recs, compress=True))
-    records = warc_mod.read_warc(spark, tmp)
+            warc.build_warc(recs, compress=True))
+    records = warc.read_warc(spark, tmp)
     return records.filter(F.col("parse_ok")).select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
          .cast("bigint").alias("doc_id"),
