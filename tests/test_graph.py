@@ -77,6 +77,13 @@ def test_checkpointing_changes_nothing_but_lineage(spark):
     assert depth.count("HashAggregate") < 6
 
 
+def test_null_keyed_edges_are_dropped_not_phantom_nodes(spark):
+    pairs = [(0, 1), (1, 0), (None, 1), (0, None)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = graph.pagerank(df, "src", "dst", iterations=2).collect()
+    assert {r["node"] for r in out} == {0, 1}
+
+
 def test_validation(spark):
     e = _edges(spark, [(0, 1)])
     with pytest.raises(ValueError, match="iterations"):

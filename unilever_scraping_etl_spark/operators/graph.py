@@ -54,7 +54,9 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     Returns ``(node, rank)`` for every node appearing as a source or
     destination; ranks start uniform at 1/N. ``rank_digits`` rounds
     the final rank (engines disagree in the last ulp of float sums —
-    round on BOTH sides when comparing cross-engine)."""
+    round on BOTH sides when comparing cross-engine). Edges with a
+    NULL endpoint are dropped (a NULL key would otherwise surface as
+    a phantom node with the base rank)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if not 0.0 < damping < 1.0:
@@ -62,6 +64,8 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     require_free_columns("pagerank", edges.columns, _WORKING)
     require_free_columns("pagerank", edges.columns, ("node", "rank"),
                          kind="output")
+    edges = edges.filter(F.col(src).isNotNull()
+                         & F.col(dst).isNotNull())
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
              .distinct())
