@@ -1862,6 +1862,11 @@ def test_plan_linter_all_queries(spark):
                                 # frontiers (each a y-decreasing
                                 # staircase), not the input; worst case
                                 # documented in ranking.skyline_2d
+        "temperature_mix",      # z/budget reductions run over the
+                                # per-SOURCE counts table (<= a few
+                                # dozen rows), never the corpus —
+                                # that's the point of the rewrite that
+                                # replaced three corpus re-scans
     }
     cartesian_ok = {"join_cross"}
     failures = []
