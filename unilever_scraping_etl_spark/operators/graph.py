@@ -19,12 +19,16 @@ fixed-iteration formulation the oracle unrolls (symmetric edge lists
 — the co-occurrence graphs this engine derives — have no dangling
 nodes, so the two definitions coincide there).
 
-Scale posture: ranks and degrees partition by node key, so every
-iteration is ONE shuffle of the rank table (the edge join reuses the
-edge partitioning); the plan tree grows linearly with K, so for deep
-runs pass ``checkpoint_every`` to truncate lineage with
-``localCheckpoint`` (the standard Spark iterative-algorithm
-discipline — at cluster scale, a reliable checkpoint dir instead).
+Scale posture: the edge list, node set, and out-degrees are
+MATERIALIZED once up front (``materialize=True`` default) — a lazy
+plan would re-derive the whole upstream subtree (self-joins, scans)
+once per iteration reference, K+1 times; Spark's own iterative
+algorithms cache their graph for the same reason. Each iteration is
+then ONE shuffle of the rank table against the cached edges; the
+plan tree still grows linearly with K, so for deep runs pass
+``checkpoint_every`` to also truncate the RANK lineage (the standard
+Spark iterative-algorithm discipline — at cluster scale, a reliable
+checkpoint dir instead of localCheckpoint).
 Convergence is the caller's choice of K: PageRank contracts at rate
 d per iteration, so K = 5 bounds the error at d^5 ≈ 0.44 of the
 initial gap — pick K from the tolerance, or iterate in an outer loop
@@ -47,7 +51,8 @@ _WORKING = ("__outdeg", "__contrib", "__rank")
 def pagerank(edges: DataFrame, src: str, dst: str,
              iterations: int = 5, damping: float = 0.85,
              checkpoint_every: int | None = None,
-             rank_digits: int | None = None) -> DataFrame:
+             rank_digits: int | None = None,
+             materialize: bool = True) -> DataFrame:
     """Fixed-iteration PageRank over the directed edge list
     ``edges[src, dst]`` (parallel duplicate edges count once per
     occurrence — pre-DISTINCT the list if that is not intended).
@@ -66,11 +71,16 @@ def pagerank(edges: DataFrame, src: str, dst: str,
                          kind="output")
     edges = edges.filter(F.col(src).isNotNull()
                          & F.col(dst).isNotNull())
+    if materialize:
+        edges = edges.localCheckpoint()
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
              .distinct())
-    n = nodes.count()  # bounded driver probe: one scalar, like CC's
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
+    if materialize:
+        nodes = nodes.localCheckpoint()
+        deg = deg.localCheckpoint()
+    n = nodes.count()  # bounded driver probe: one scalar, like CC's
     base = F.lit((1.0 - damping) / n)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
