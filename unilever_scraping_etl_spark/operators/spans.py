@@ -24,7 +24,12 @@ Scale posture (the interesting part at 100 TB):
   applies to a hot boilerplate span the same way it does to a hot
   interval bin. Group outputs are LINEAR in occurrences (this operator
   never emits pairs, so a span shared by 100k docs costs 100k rows,
-  not 10^10).
+  not 10^10). The corpus is scanned TWICE (once per occ reference) —
+  deliberate: the single-scan alternative (collect_set(doc) window
+  over span_hash) buffers every distinct doc id of a hot span in one
+  window state, exactly the skew this operator must survive, and
+  caching the occurrence set means materializing something larger
+  than the corpus. Two cheap columnar scans beat both.
 - hash collisions: spans are compared by xxhash64, so two distinct
   span texts collide with probability ~2^-64 — the standard trade
   for not shuffling span text; callers needing certainty re-verify
