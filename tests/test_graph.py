@@ -84,6 +84,14 @@ def test_null_keyed_edges_are_dropped_not_phantom_nodes(spark):
     assert {r["node"] for r in out} == {0, 1}
 
 
+def test_empty_and_all_null_edge_lists_return_empty_frame(spark):
+    for rows in ([], [(None, 1), (2, None)]):
+        df = spark.createDataFrame(rows, "src long, dst long")
+        out = graph.pagerank(df, "src", "dst", iterations=3)
+        assert out.columns == ["node", "rank"]
+        assert out.count() == 0
+
+
 def test_validation(spark):
     e = _edges(spark, [(0, 1)])
     with pytest.raises(ValueError, match="iterations"):

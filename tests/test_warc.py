@@ -81,6 +81,40 @@ def test_garbage_and_bad_length_quarantine():
     assert "Content-Length" in rows[0]["error"]
 
 
+def test_non_numeric_status_is_null_not_a_crash():
+    """Garbage archives ship status lines like 'HTTP/1.1 OK'; that
+    must be a NULL status on the record, never an exception escaping
+    the mapInPandas task (F6 contract)."""
+    body = b"HTTP/1.1 OK\r\nContent-Type: text/html\r\n\r\nhi"
+    hdr = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x.test/odd\r\n"
+           b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n")
+    (r,) = warc.parse_warc_bytes("f", hdr + body + b"\r\n\r\n")
+    assert r["parse_ok"] and r["http_status"] is None
+    assert r["body"] == b"hi"
+
+
+def test_negative_content_length_quarantines_accurately():
+    hdr = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"Content-Length: -5\r\n\r\n")
+    rows = warc.parse_warc_bytes("f", hdr + b"xxxx\r\n\r\n")
+    assert rows[0]["parse_ok"] is False
+    assert "Content-Length" in rows[0]["error"]
+
+
+def test_non_ascii_iri_round_trips_and_crlf_uri_rejected():
+    import pytest as _pytest
+    uri = "http://x.test/caf\u00e9/\u65e5\u672c"
+    data = warc.build_warc([{"uri": uri, "body": b"b"}])
+    (r,) = warc.parse_warc_bytes("f", data)
+    assert r["parse_ok"] and r["target_uri"] == uri
+    with _pytest.raises(ValueError, match="CR/LF"):
+        warc.build_warc([{"uri": "http://x.test/a\r\nInjected: h",
+                          "body": b""}])
+
+
 def test_non_response_record_has_null_http_fields():
     body = b"software: test\r\n"
     hdr = (b"WARC/1.0\r\n"

@@ -71,22 +71,26 @@ def pagerank(edges: DataFrame, src: str, dst: str,
                          kind="output")
     edges = edges.filter(F.col(src).isNotNull()
                          & F.col(dst).isNotNull())
-    if materialize:
-        edges = edges.localCheckpoint()
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
              .distinct())
+    # the out-degree is a static per-src value: attach it to the edge
+    # list ONCE so each iteration runs a single join (ranks), not two
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
+    edges = edges.join(deg, src)
     if materialize:
+        edges = edges.localCheckpoint()
         nodes = nodes.localCheckpoint()
-        deg = deg.localCheckpoint()
     n = nodes.count()  # bounded driver probe: one scalar, like CC's
+    if n == 0:
+        # a fully-NULL or empty edge list has no nodes to rank —
+        # return the empty (node, rank) frame, not a ZeroDivisionError
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     base = F.lit((1.0 - damping) / n)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         contribs = (edges
                     .join(ranks, edges[src] == ranks["node"])
-                    .join(deg, src)
                     .select(F.col(dst).alias("node"),
                             (F.col("rank") / F.col("__outdeg"))
                             .alias("__contrib"))

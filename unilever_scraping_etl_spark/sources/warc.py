@@ -66,14 +66,21 @@ def build_warc(records: list[dict], compress: bool = False) -> bytes:
                 f"Content-Type: {ctype}\r\n"
                 f"Content-Length: {len(body)}\r\n\r\n"
                 ).encode("ascii") + body
-        rid = hashlib.md5(r["uri"].encode()).hexdigest()
+        uri = r["uri"]
+        if "\r" in uri or "\n" in uri:
+            # a CR/LF inside a header value would inject a bogus
+            # header line / terminate the block early — framing attack
+            raise ValueError(f"CR/LF in WARC-Target-URI: {uri!r}")
+        rid = hashlib.md5(uri.encode()).hexdigest()
         hdr = (f"WARC/1.0\r\n"
                f"WARC-Type: response\r\n"
                f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
                f"WARC-Date: {r.get('date', '2024-01-01T00:00:00Z')}\r\n"
-               f"WARC-Target-URI: {r['uri']}\r\n"
+               f"WARC-Target-URI: {uri}\r\n"
                f"Content-Type: application/http;msgtype=response\r\n"
-               f"Content-Length: {len(http)}\r\n\r\n").encode("ascii")
+               # utf-8, not ascii: the WARC spec allows UTF-8 header
+               # values and real corpus URIs are IRIs
+               f"Content-Length: {len(http)}\r\n\r\n").encode("utf-8")
         out.write(hdr + http + _HDR_END)
     raw = out.getvalue()
     return gzip.compress(raw, mtime=0) if compress else raw
@@ -107,10 +114,14 @@ def parse_warc_bytes(warc_file: str, data: bytes) -> list[dict]:
             return bad(f"offset {pos}: unterminated header block")
         headers: dict[str, str] = {}
         for line in data[pos:hdr_end].split(_CRLF)[1:]:
-            k, _, v = line.decode("latin-1").partition(":")
+            # WARC headers are UTF-8 per spec (IRIs in Target-URI);
+            # replace rather than crash on undeclared legacy bytes
+            k, _, v = line.decode("utf-8", "replace").partition(":")
             headers[k.strip().lower()] = v.strip()
         try:
             length = int(headers["content-length"])
+            if length < 0:
+                raise ValueError(length)
         except (KeyError, ValueError):
             return bad(f"offset {pos}: missing/bad Content-Length")
         payload = data[hdr_end + 4:hdr_end + 4 + length]
@@ -128,7 +139,13 @@ def parse_warc_bytes(warc_file: str, data: bytes) -> list[dict]:
             if he >= 0:
                 status_line, *hlines = payload[:he].split(_CRLF)
                 parts = status_line.decode("latin-1").split(" ")
-                status = int(parts[1]) if len(parts) > 1 else None
+                try:
+                    # garbage archives ship status lines like
+                    # "HTTP/1.1 OK" — a bad code is a NULL status on
+                    # this record, never a task crash (F6 contract)
+                    status = int(parts[1]) if len(parts) > 1 else None
+                except ValueError:
+                    status = None
                 for line in hlines:
                     k, _, v = line.decode("latin-1").partition(":")
                     if k.strip().lower() == "content-type":
