@@ -4662,7 +4662,6 @@ WHERE text IS NOT NULL
          "by format (Content-Length chaining).")
 def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
-    import pathlib
     import shutil
     import tempfile
 
@@ -4673,25 +4672,81 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
             .filter(F.col("text").isNotNull()))
-    # bounded fixture synthesis (the INPUT side of the round trip —
-    # the engine path under test starts at read_warc)
-    pdf = docs.toPandas()
     tmp = tempfile.mkdtemp(prefix="spark_warc_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    groups: dict[int, list[dict]] = {}
-    for r in pdf.itertuples():
-        groups.setdefault(int(r.doc_id) % 8, []).append(
-            {"uri": f"http://corpus.local/doc/{r.doc_id}",
-             "body": str(r.text).encode("utf-8")})
-    for k, recs in groups.items():
-        (pathlib.Path(tmp) / f"part{k}.warc.gz").write_bytes(
-            warc.build_warc(recs, compress=True))
+    warc.fixture_archive(docs, "doc_id", "text", tmp)
     records = warc.read_warc(spark, tmp)
     return records.filter(F.col("parse_ok")).select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
          .cast("bigint").alias("doc_id"),
         F.col("body").cast("string").alias("text"),
         F.col("http_status").cast("int").alias("http_status"))
+
+
+@q("archive_funnel", f"""
+WITH src AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+hits AS (
+  SELECT doc_id, text,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              t -> list_contains({_markers_sql('en')}, t))) AS BIGINT) AS en,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              t -> list_contains({_markers_sql('es')}, t))) AS BIGINT) AS es,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              t -> list_contains({_markers_sql('de')}, t))) AS BIGINT) AS de
+  FROM src),
+s2 AS (SELECT doc_id, text FROM hits
+       WHERE CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                  WHEN es >= de AND es > 0 THEN 'es'
+                  WHEN de > 0 THEN 'de'
+                  ELSE 'und' END = 'en'),
+s3 AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text))
+SELECT '00_records' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM src
+UNION ALL SELECT '01_http_ok', CAST(count(*) AS BIGINT) FROM src
+UNION ALL SELECT '02_lang_en', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL SELECT '03_exact_deduped', CAST(count(*) AS BIGINT) FROM s3
+""", doc="Archive-to-corpus funnel — the LLM-data pipeline end to end "
+         "in ONE lazy plan, STARTING FROM THE ARCHIVE BYTES: WARC "
+         "records (synthesized from documents, 8 gzipped files) → "
+         "parse + HTTP-200 gate → marker-argmax language ID → exact "
+         "content dedup, with per-stage audit counts (the data-card "
+         "numbers). Composes warc.read_warc with the proven lang_id "
+         "and corpus_funnel stage shapes; every stage is a filter or "
+         "hash-agg over the record stream — the archive is scanned, "
+         "never collected. The oracle rebuilds the funnel from the "
+         "source table (every synthesized record is HTTP 200 and "
+         "parses, so stages 00/01 equal the doc count and the trip "
+         "must be lossless into 02/03).")
+def archive_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources import warc
+
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .filter(F.col("text").isNotNull()))
+    tmp = tempfile.mkdtemp(prefix="spark_archfun_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    warc.fixture_archive(docs, "doc_id", "text", tmp)
+    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
+    parsed = records.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+         .cast("bigint").alias("doc_id"),
+        F.col("body").cast("string").alias("text"),
+        F.col("http_status"))
+    ok = parsed.filter(F.col("http_status") == 200).select("doc_id",
+                                                           "text")
+    en = ok.filter(text.lang_id(F.col("text")) == "en")
+    deduped = en.groupBy(F.md5("text")).agg(F.min("doc_id"))
+
+    def stage(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs")
+
+    return (stage("00_records", records)
+            .unionByName(stage("01_http_ok", ok))
+            .unionByName(stage("02_lang_en", en))
+            .unionByName(stage("03_exact_deduped", deduped)))
 
 
 @q("span_islands", """

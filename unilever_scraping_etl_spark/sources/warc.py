@@ -166,6 +166,30 @@ def parse_warc_bytes(warc_file: str, data: bytes) -> list[dict]:
     return rows
 
 
+def fixture_archive(docs: DataFrame, id_col: str, text_col: str,
+                    out_dir: str, n_files: int = 8,
+                    compress: bool = True) -> None:
+    """Serialize a documents frame into ``n_files`` WARC files under
+    ``out_dir`` — the INPUT-synthesis half of the round-trip oracle
+    queries (`warc_ingest`, `archive_funnel`). Driver-side toPandas BY
+    DESIGN: this is bounded fixture construction, not an engine path —
+    the engine path under test starts at :func:`read_warc`. URIs are
+    ``http://corpus.local/doc/<id>`` so the id survives the trip."""
+    import pathlib
+
+    pdf = docs.select(id_col, text_col).toPandas()
+    groups: dict[int, list[dict]] = {}
+    for r in pdf.itertuples(index=False):
+        did, text = getattr(r, id_col), getattr(r, text_col)
+        groups.setdefault(int(did) % n_files, []).append(
+            {"uri": f"http://corpus.local/doc/{did}",
+             "body": str(text).encode("utf-8")})
+    suffix = ".warc.gz" if compress else ".warc"
+    for k, recs in groups.items():
+        (pathlib.Path(out_dir) / f"part{k}{suffix}").write_bytes(
+            build_warc(recs, compress=compress))
+
+
 def read_warc(spark, path: str) -> DataFrame:
     """Directory (or glob) of WARC files -> one row per record
     (RECORD_SCHEMA). binaryFile scan for file-level parallelism, then
