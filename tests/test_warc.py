@@ -115,6 +115,19 @@ def test_non_ascii_iri_round_trips_and_crlf_uri_rejected():
                           "body": b""}])
 
 
+def test_all_header_values_reject_injection():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="CR/LF in date"):
+        warc.build_warc([{"uri": "http://x", "body": b"",
+                          "date": "2024\r\nWARC-Type: forged"}])
+    with _pytest.raises(ValueError, match="CR/LF in content_type"):
+        warc.build_warc([{"uri": "http://x", "body": b"",
+                          "content_type": "text/html\r\nX: y"}])
+    with _pytest.raises(ValueError, match="non-ASCII content_type"):
+        warc.build_warc([{"uri": "http://x", "body": b"",
+                          "content_type": "text/caf\u00e9"}])
+
+
 def test_non_response_record_has_null_http_fields():
     body = b"software: test\r\n"
     hdr = (b"WARC/1.0\r\n"

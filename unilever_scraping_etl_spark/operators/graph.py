@@ -71,6 +71,12 @@ def pagerank(edges: DataFrame, src: str, dst: str,
                          kind="output")
     edges = edges.filter(F.col(src).isNotNull()
                          & F.col(dst).isNotNull())
+    if materialize:
+        # snapshot the RAW edges first, so nodes/degrees derive from
+        # the SAME evaluation of a possibly-nondeterministic upstream
+        # (a sampled edge list re-evaluated per branch could put a src
+        # in edges that nodes never saw — silently dropped mass)
+        edges = edges.localCheckpoint()
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
              .distinct())

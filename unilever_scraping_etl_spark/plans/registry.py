@@ -4675,12 +4675,7 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="spark_warc_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     warc.fixture_archive(docs, "doc_id", "text", tmp)
-    records = warc.read_warc(spark, tmp)
-    return records.filter(F.col("parse_ok")).select(
-        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
-         .cast("bigint").alias("doc_id"),
-        F.col("body").cast("string").alias("text"),
-        F.col("http_status").cast("int").alias("http_status"))
+    return warc.fixture_docs(warc.read_warc(spark, tmp))
 
 
 @q("archive_funnel", f"""
@@ -4728,25 +4723,21 @@ def archive_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="spark_archfun_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     warc.fixture_archive(docs, "doc_id", "text", tmp)
-    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
-    parsed = records.select(
-        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
-         .cast("bigint").alias("doc_id"),
-        F.col("body").cast("string").alias("text"),
-        F.col("http_status"))
-    ok = parsed.filter(F.col("http_status") == 200).select("doc_id",
-                                                           "text")
-    en = ok.filter(text.lang_id(F.col("text")) == "en")
-    deduped = en.groupBy(F.md5("text")).agg(F.min("doc_id"))
-
-    def stage(name, df):
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(name).alias("stage"), "n_docs")
-
-    return (stage("00_records", records)
-            .unionByName(stage("01_http_ok", ok))
-            .unionByName(stage("02_lang_en", en))
-            .unionByName(stage("03_exact_deduped", deduped)))
+    d = warc.fixture_docs(warc.read_warc(spark, tmp))
+    # ONE pass over the archive: the four stage counts are conditional
+    # aggregates of the same record stream (corpus_funnel re-scans
+    # because its stages cross tables; here a naive union of four
+    # branches would gunzip+parse every archive file four times)
+    is_ok = F.col("http_status") == 200
+    is_en = is_ok & (text.lang_id(F.col("text")) == "en")
+    one = d.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum(is_ok.cast("long")).alias("c1"),
+        F.sum(is_en.cast("long")).alias("c2"),
+        F.count_distinct(F.when(is_en, F.md5("text"))).alias("c3"))
+    return one.select(F.expr(
+        "stack(4, '00_records', c0, '01_http_ok', c1, "
+        "'02_lang_en', c2, '03_exact_deduped', c3) AS (stage, n_docs)"))
 
 
 @q("span_islands", """

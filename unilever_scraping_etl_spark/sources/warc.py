@@ -57,25 +57,35 @@ def build_warc(records: list[dict], compress: bool = False) -> bytes:
     byte-stable), ``status`` (int, default 200), ``content_type``
     (default text/html). Record ids derive from md5(uri) —
     deterministic, no RNG (the split_train_test discipline)."""
+    def hval(name: str, v: str, ascii_only: bool = False) -> str:
+        # a CR/LF inside ANY interpolated header value would inject a
+        # bogus header line / terminate the block early (framing
+        # attack) — reject, whichever field it rides in
+        if "\r" in v or "\n" in v:
+            raise ValueError(f"CR/LF in {name}: {v!r}")
+        if ascii_only and not v.isascii():
+            raise ValueError(f"non-ASCII {name}: {v!r} (URIs may be "
+                             "IRIs; dates and media types may not)")
+        return v
+
     out = io.BytesIO()
     for r in records:
         body = r["body"]
         status = int(r.get("status", 200))
-        ctype = r.get("content_type", "text/html")
+        ctype = hval("content_type", r.get("content_type", "text/html"),
+                     ascii_only=True)
+        date = hval("date", r.get("date", "2024-01-01T00:00:00Z"),
+                    ascii_only=True)
         http = (f"HTTP/1.1 {status} OK\r\n"
                 f"Content-Type: {ctype}\r\n"
                 f"Content-Length: {len(body)}\r\n\r\n"
                 ).encode("ascii") + body
-        uri = r["uri"]
-        if "\r" in uri or "\n" in uri:
-            # a CR/LF inside a header value would inject a bogus
-            # header line / terminate the block early — framing attack
-            raise ValueError(f"CR/LF in WARC-Target-URI: {uri!r}")
+        uri = hval("WARC-Target-URI", r["uri"])
         rid = hashlib.md5(uri.encode()).hexdigest()
         hdr = (f"WARC/1.0\r\n"
                f"WARC-Type: response\r\n"
                f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
-               f"WARC-Date: {r.get('date', '2024-01-01T00:00:00Z')}\r\n"
+               f"WARC-Date: {date}\r\n"
                f"WARC-Target-URI: {uri}\r\n"
                f"Content-Type: application/http;msgtype=response\r\n"
                # utf-8, not ascii: the WARC spec allows UTF-8 header
@@ -179,8 +189,9 @@ def fixture_archive(docs: DataFrame, id_col: str, text_col: str,
 
     pdf = docs.select(id_col, text_col).toPandas()
     groups: dict[int, list[dict]] = {}
-    for r in pdf.itertuples(index=False):
-        did, text = getattr(r, id_col), getattr(r, text_col)
+    # zip over the columns, not itertuples: pandas renames non-
+    # identifier/keyword column names to positional fields there
+    for did, text in zip(pdf[id_col], pdf[text_col]):
         groups.setdefault(int(did) % n_files, []).append(
             {"uri": f"http://corpus.local/doc/{did}",
              "body": str(text).encode("utf-8")})
@@ -188,6 +199,20 @@ def fixture_archive(docs: DataFrame, id_col: str, text_col: str,
     for k, recs in groups.items():
         (pathlib.Path(out_dir) / f"part{k}{suffix}").write_bytes(
             build_warc(recs, compress=compress))
+
+
+def fixture_docs(records: DataFrame) -> DataFrame:
+    """Read-side twin of :func:`fixture_archive`: project parsed
+    records back to ``(doc_id, text, http_status)`` by unpacking the
+    ``corpus.local/doc/<id>`` URI scheme — shared by every query built
+    on the synthesized archive so the scheme lives in ONE place."""
+    from pyspark.sql import functions as F
+
+    return records.filter(F.col("parse_ok")).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+         .cast("bigint").alias("doc_id"),
+        F.col("body").cast("string").alias("text"),
+        F.col("http_status"))
 
 
 def read_warc(spark, path: str) -> DataFrame:
