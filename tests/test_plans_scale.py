@@ -250,6 +250,21 @@ def test_snapshot_partition_pruning(spark, tmp_path):
     assert 0 < read_files < all_files
 
 
+def test_orc_scan_gets_pushed_filter(spark, tmp_path):
+    """The orc_roundtrip docstring's claim, pinned: the predicate must
+    reach the ORC scan as a pushed filter — format parity means the
+    pushdown machinery works through the second columnar format, not
+    just byte fidelity."""
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").orc(str(tmp_path / "orc"))
+    back = spark.read.orc(str(tmp_path / "orc")).filter(
+        F.col("n_chars") > 100)
+    plan = _plan(back)
+    assert "GreaterThan(n_chars,100)" in plan.replace(" ", "")
+    assert "FileScan orc" in plan
+
+
 def test_merge_upsert_on_bucketed_snapshot_has_no_snapshot_exchange(
         spark, tmp_path):
     """The composed incremental-warehouse claim (cdc.py docstring:

@@ -4645,6 +4645,78 @@ def jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text", "lang", "n_chars"))
 
 
+@q("csv_ingest", """
+SELECT doc_id, lang, n_chars FROM documents
+""", doc="CSV corpus round trip, completing the interchange-format "
+         "matrix (parquet/JSONL/WARC/ORC/CSV): distributed executor-"
+         "side CSV write WITH header and quoting (the lang field is "
+         "free text in principle), one hand-corrupted line appended, "
+         "then a schema-explicit PERMISSIVE read with "
+         "columnNameOfCorruptRecord and the same bounded quarantine "
+         "probe as jsonl_ingest. Text itself is deliberately NOT "
+         "round-tripped through CSV (newline-bearing text in CSV is "
+         "the classic splittability trap — multiLine=true makes files "
+         "unsplittable; columnar or JSONL carries text at scale), so "
+         "this trip certifies the metadata columns.")
+def csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import pathlib
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="spark_csv_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    docs.write.mode("overwrite").option("header", True).csv(
+        f"{tmp}/corpus")
+    (pathlib.Path(tmp) / "corpus" / "part-corrupt.csv").write_text(
+        "doc_id,lang,n_chars\nnot_a_number,en,also_not\n")
+    schema = "doc_id bigint, lang string, n_chars bigint, _bad string"
+    parsed = (spark.read.schema(schema)
+              .option("header", True)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_bad")
+              .csv(f"{tmp}/corpus"))
+    n_bad = len(parsed.select("doc_id", "_bad")
+                .filter(F.col("_bad").isNotNull()).collect())
+    if n_bad != 1:
+        raise AssertionError(f"csv_ingest: expected exactly the one "
+                             f"injected corrupt line, got {n_bad}")
+    return (parsed.filter(F.col("_bad").isNull())
+            .select("doc_id", "lang", "n_chars"))
+
+
+@q("orc_roundtrip", """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE n_chars > 100
+GROUP BY lang
+""", doc="ORC columnar round trip: documents written as ORC by the "
+         "executors (Spark's second built-in columnar format — ORC "
+         "warehouses are common migration sources), read back and "
+         "aggregated under a pushed predicate. The plan must show the "
+         "n_chars filter reaching the ORC scan (pinned in tests) — "
+         "format parity means the PUSHDOWN machinery works, not just "
+         "the bytes.")
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="spark_orc_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    docs.write.mode("overwrite").orc(f"{tmp}/corpus")
+    back = spark.read.orc(f"{tmp}/corpus")
+    return (back.filter(F.col("n_chars") > 100)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
 @q("warc_ingest", """
 SELECT doc_id, text, 200 AS http_status FROM documents
 WHERE text IS NOT NULL
