@@ -166,3 +166,62 @@ def test_no_operator_emits_duplicate_output_columns(spark):
         assert len(out.columns) == len(set(out.columns)), out.columns
     # and masking must preserve the input schema ORDER exactly
     assert outs[-1].columns == ["id", "text", "lang"]
+
+
+# ---------------------------------------------------------------------------
+# r11: the shared helper must BE the enforcement path in every guarded
+# module — not just behavior-equivalent. A reintroduced local copy
+# (the pre-r11 state of sampling/ranking/relational) passes the sweep
+# above but fails this probe.
+
+_HELPER_PROBES = [
+    ("sampling", sampling, lambda s: sampling.weighted_sample_topk(
+        s.range(5).select(F.col("id"), F.lit(1.0).alias("w"),
+                          F.lit(1).alias("__wkey")), "id", "w", 2)),
+    ("ranking", ranking, lambda s: ranking.skyline_2d(
+        s.range(5).select(F.col("id").alias("x"),
+                          F.col("id").alias("y"),
+                          F.lit(1).alias("__pm")), "x", "y")),
+    ("relational", relational, lambda s: relational.interval_join(
+        s.range(5).select(F.col("id").alias("p"),
+                          F.lit(1).alias("__bin")),
+        s.range(5).select(F.col("id").alias("s"),
+                          (F.col("id") + 1).alias("e")),
+        "p", "s", "e", bin_width=1.0)),
+    ("relational", relational, lambda s: relational.interval_overlap_join(
+        s.range(5).select(F.col("id").alias("ls"),
+                          (F.col("id") + 1).alias("le"),
+                          F.lit(1).alias("__sbin")),
+        s.range(5).select(F.col("id").alias("rs"),
+                          (F.col("id") + 1).alias("re")),
+        "ls", "le", "rs", "re", bin_width=1.0)),
+    ("cdc", cdc, lambda s: cdc.scd2_build(
+        s.range(5).select(F.col("id").alias("k"),
+                          F.col("id").alias("t"),
+                          F.lit("a").alias("a"),
+                          F.lit(1).alias("__same")), ["k"], "t", ["a"])),
+    ("spans", spans, lambda s: spans.span_occurrences(
+        s.range(5).select(F.col("id"),
+                          F.lit("a b c d").alias("text"),
+                          F.lit(1).alias("__toks")),
+        "id", "text", span_len=3)),
+]
+
+
+@pytest.mark.parametrize(
+    "mod_name,mod,thunk", _HELPER_PROBES,
+    ids=[f"{m}:{i}" for i, (m, _, _) in enumerate(_HELPER_PROBES)])
+def test_shared_helper_is_the_enforcement_path(
+        spark, monkeypatch, mod_name, mod, thunk):
+    calls = []
+
+    def spy(op_name, columns, reserved, kind="working"):
+        calls.append(op_name)
+        return require_free_columns(op_name, columns, reserved, kind)
+
+    monkeypatch.setattr(mod, "require_free_columns", spy)
+    with pytest.raises(ValueError, match="reserved"):
+        thunk(spark)
+    assert calls, (f"{mod_name} raised without going through "
+                   "_contracts.require_free_columns — local copy "
+                   "reintroduced?")

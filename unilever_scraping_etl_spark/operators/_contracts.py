@@ -9,18 +9,15 @@ round 9 (`sampling.py`, `ranking.py`, twice in `relational.py`, and
 missing from `cdc.py` — which is exactly how it got skipped); this is
 the one shared implementation so the next operator can't skip it.
 
-Migration note: `cdc.py` and every NEW operator module use this
-helper; `sampling.py`/`ranking.py`/`relational.py` deliberately keep
-their behavior-identical local copies for now — converting them is a
-zero-semantic source edit that would evict 19 certified queries into
-the 50-slot verification window and crowd out the r6-certificate
-refresh the r9 verdict ordered. Convert each when its dependents
-rotate into a refresh window anyway (r11+). The cross-operator
-contract itself is enforced REGARDLESS of implementation by
-tests/test_contracts.py, which drives reserved names through the
-public operators of every guarded module (sampling, ranking,
-relational, cdc, spans) and checks every operator's happy-path output
-schema for silent duplicates.
+Migration complete (round 11): every guarded module — `cdc.py`,
+`spans.py`, `sampling.py`, `ranking.py`, `relational.py` — routes the
+check through this helper; the round-10 deferral (converting mid-r10
+would have evicted 19 certified queries and crowded out the r6
+refresh) is retired. tests/test_contracts.py enforces the contract
+two ways: an adversarial-name sweep through the public operators of
+every guarded module plus a monkeypatch probe asserting THIS function
+is the enforcement path in each module (a reintroduced local copy
+fails the probe), and a duplicate-output-schema sweep.
 """
 
 from __future__ import annotations

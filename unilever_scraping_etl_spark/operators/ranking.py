@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._contracts import require_free_columns
+
 _RESERVED = ("__bucket", "__pm")
 
 
@@ -126,10 +128,7 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str,
     it runs on the union of local frontiers, which is what makes it
     safe; ``buckets`` sizes phase-1 parallelism.
     """
-    for c in _RESERVED:
-        if c in df.columns:
-            raise ValueError(f"skyline_2d: column name {c!r} is reserved "
-                             "by the operator's working columns")
+    require_free_columns("skyline_2d", df.columns, _RESERVED)
     keep = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     dtypes = dict(df.dtypes)
     for c in (x_col, y_col):

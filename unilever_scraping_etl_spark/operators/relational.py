@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._contracts import require_free_columns
+
 
 def topk_per_group(df: DataFrame, group_cols: list[str], order_by: list[Column],
                    k: int, rank_col: str = "rn") -> DataFrame:
@@ -170,10 +172,9 @@ def interval_join(points: DataFrame, intervals: DataFrame, point_col: str,
     if overlap:
         raise ValueError(f"points/intervals column names must be "
                          f"disjoint, both have: {sorted(overlap)}")
-    taken = {"__bin"} & (set(points.columns) | set(intervals.columns))
-    if taken:
-        raise ValueError(f"reserved working column name in input: "
-                         f"{sorted(taken)}")
+    require_free_columns("interval_join",
+                         list(points.columns) + list(intervals.columns),
+                         ("__bin",))
     w = float(bin_width)
     p = (points.filter(F.col(point_col).isNotNull())
          .withColumn("__bin",
@@ -234,10 +235,9 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     if overlap:
         raise ValueError(f"left/right column names must be disjoint, "
                          f"both have: {sorted(overlap)}")
-    taken = {"__bin", "__sbin"} & (set(left.columns) | set(right.columns))
-    if taken:
-        raise ValueError(f"reserved working column name in input: "
-                         f"{sorted(taken)}")
+    require_free_columns("interval_overlap_join",
+                         list(left.columns) + list(right.columns),
+                         ("__bin", "__sbin"))
     w = float(bin_width)
 
     def binned(df: DataFrame, s: str, e: str) -> DataFrame:

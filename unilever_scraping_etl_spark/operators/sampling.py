@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._contracts import require_free_columns
+
 _RESERVED = ("__u", "__wkey")
 
 
@@ -48,10 +50,7 @@ def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
     duplicated id would give both rows the same draw (correlated, not
     a fresh coin). Uniqueness is the caller's contract, same as
     ``dedup_exact``'s survivor id."""
-    for c in _RESERVED:
-        if c in df.columns:
-            raise ValueError(f"weighted_sample_topk: column name {c!r} "
-                             "is reserved by the operator")
+    require_free_columns("weighted_sample_topk", df.columns, _RESERVED)
     if k < 1:
         raise ValueError("k must be >= 1")
     u = ((F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
