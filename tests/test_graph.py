@@ -14,7 +14,7 @@ def _edges(spark, pairs):
     return spark.createDataFrame(pairs, "src long, dst long")
 
 
-def _reference(pairs, iterations, d=0.85):
+def _reference(pairs, iterations, d=0.85, redistribute_dangling=False):
     nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
     n = len(nodes)
     outdeg = {}
@@ -25,7 +25,10 @@ def _reference(pairs, iterations, d=0.85):
         contrib = {v: 0.0 for v in nodes}
         for u, v in pairs:
             contrib[v] += rank[u] / outdeg[u]
-        rank = {v: (1 - d) / n + d * contrib[v] for v in nodes}
+        dmass = (sum(rank[v] for v in nodes if v not in outdeg)
+                 if redistribute_dangling else 0.0)
+        rank = {v: (1 - d) / n + d * (contrib[v] + dmass / n)
+                for v in nodes}
     return rank
 
 
@@ -100,6 +103,90 @@ def test_validation(spark):
         graph.pagerank(e, "src", "dst", damping=1.0)
     with pytest.raises(ValueError, match="reserved"):
         graph.pagerank(e.withColumn("rank", F.lit(1)), "src", "dst")
+    with pytest.raises(ValueError, match="tol"):
+        graph.pagerank(e, "src", "dst", tol=-0.1)
+    with pytest.raises(ValueError, match="materialize"):
+        graph.pagerank(e, "src", "dst", tol=0.01, materialize=False)
+
+
+def test_dangling_redistribution_conserves_total_mass(spark):
+    """0->1, 1->2, 2 dangling: plain formulation leaks node 2's mass;
+    redistribute_dangling must hold the total at exactly 1 at any K,
+    and match the python reference node by node."""
+    pairs = [(0, 1), (1, 2), (0, 2)]
+    out = graph.pagerank(_edges(spark, pairs), "src", "dst",
+                         iterations=6, redistribute_dangling=True)
+    total = out.agg(F.sum("rank")).first()[0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+    exp = _reference(pairs, 6, redistribute_dangling=True)
+    got = {r["node"]: r["rank"] for r in out.collect()}
+    for v, r in exp.items():
+        assert got[v] == pytest.approx(r, abs=1e-10)
+    # and the default (drop) run leaks mass on this graph — the two
+    # modes are genuinely different here
+    plain = (graph.pagerank(_edges(spark, pairs), "src", "dst",
+                            iterations=6)
+             .agg(F.sum("rank")).first()[0])
+    assert plain < 0.999
+
+
+def test_tol_stops_early_on_cycle(spark):
+    """A directed cycle is at its fixed point from iteration 0, so the
+    first delta probe reads 0 and tol stops the loop after ONE
+    iteration despite a cap of 7."""
+    pairs = [(i, (i + 1) % 5) for i in range(5)]
+    out = graph.pagerank(_edges(spark, pairs), "src", "dst",
+                         iterations=7, tol=0.0).collect()
+    assert graph._LAST_PR_ITERATIONS == 1
+    for r in out:
+        assert r["rank"] == pytest.approx(0.2, abs=1e-12)
+
+
+def test_tol_converged_result_matches_reference(spark):
+    """tol early-stop on a strongly-connected graph: stops before the
+    cap, matches the python reference at EXACTLY the iteration count
+    it reports, and sits within ~tol of the converged fixed point
+    (d=0.5 so contraction reaches 1e-8 in ~27 rounds — a deep
+    un-checkpointed Spark run is not a usable comparator)."""
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 2), (2, 1), (1, 0)]
+    conv = {r["node"]: r["rank"]
+            for r in graph.pagerank(_edges(spark, pairs), "src", "dst",
+                                    iterations=60, tol=1e-8,
+                                    damping=0.5).collect()}
+    used = graph._LAST_PR_ITERATIONS
+    assert used < 60
+    exact = _reference(pairs, used, d=0.5)
+    fixed = _reference(pairs, 200, d=0.5)
+    for v, r in conv.items():
+        assert r == pytest.approx(exact[v], abs=1e-10)
+        assert r == pytest.approx(fixed[v], abs=1e-6)
+
+
+def test_tol_with_dangling_redistribution_composes(spark):
+    """Both flags together: early-stopped ranks match the reference
+    fold (with redistribution) at the reported iteration count, and
+    mass stays 1 — node 2 dangles in this graph."""
+    pairs = [(0, 1), (1, 2), (0, 2), (1, 0)]
+    out = {r["node"]: r["rank"]
+           for r in graph.pagerank(_edges(spark, pairs), "src", "dst",
+                                   iterations=60, tol=1e-8, damping=0.5,
+                                   redistribute_dangling=True).collect()}
+    used = graph._LAST_PR_ITERATIONS
+    assert used < 60
+    exp = _reference(pairs, used, d=0.5, redistribute_dangling=True)
+    for v, r in exp.items():
+        assert out[v] == pytest.approx(r, abs=1e-10)
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_tol_cap_still_binds(spark):
+    """An unreachable tolerance runs exactly the cap."""
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 2)]
+    graph.pagerank(_edges(spark, pairs), "src", "dst",
+                   iterations=3, tol=0.0).collect()
+    # this graph is NOT at a fixed point after 3 rounds; tol=0 never
+    # fires, so the cap binds
+    assert graph._LAST_PR_ITERATIONS == 3
 
 
 try:
@@ -120,6 +207,23 @@ try:
         assert set(out) == set(exp)
         for v, r in exp.items():
             assert out[v] == pytest.approx(r, abs=1e-10)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(_pair, min_size=1, max_size=15))
+    def test_dangling_redistribution_matches_python_reference(pairs):
+        """Random small graphs routinely contain dangling nodes (any
+        dst that never appears as src) — the redistribution recurrence
+        must match the reference fold node by node, and conserve mass
+        to 1 exactly (the property the flag exists for)."""
+        spark = _hyp_spark[0]
+        exp = _reference(pairs, iterations=4, redistribute_dangling=True)
+        res = graph.pagerank(_edges(spark, pairs), "src", "dst",
+                             iterations=4, redistribute_dangling=True)
+        out = {r["node"]: r["rank"] for r in res.collect()}
+        assert set(out) == set(exp)
+        for v, r in exp.items():
+            assert out[v] == pytest.approx(r, abs=1e-10)
+        assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
 
     _hyp_spark = [None]
 

@@ -1,0 +1,125 @@
+"""Host-graph operators (operators/hostgraph.py): RFC 3986 host
+canonicalization cases, host-level reference resolution, link
+extraction, graph construction, and the linked-archive fixture round
+trip against a python-computed edge set."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unilever_scraping_etl_spark.operators import graph, hostgraph
+
+
+def _hosts(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["h"] for r in
+            df.select(hostgraph.canonical_host(F.col("url"))
+                      .alias("h")).collect()]
+
+
+def test_canonical_host_normalization(spark):
+    cases = [
+        ("http://example.com/path", "example.com"),
+        ("HTTP://ExAmPlE.Com:80/Path?q#f", "example.com"),
+        ("https://user:pw@host.net:8443/x", "host.net"),
+        ("//proto.relative.org./y", "proto.relative.org"),
+        ("http://trailing.dot.", "trailing.dot"),
+        ("http://[2001:DB8::1]:8080/v6", "[2001:db8::1]"),
+        ("/just/a/path", None),
+        ("mailto:ops@example.com", None),
+        ("javascript:void(0)", None),
+        ("", None),
+        ("#fragment", None),
+    ]
+    got = _hosts(spark, [u for u, _ in cases])
+    assert got == [h for _, h in cases]
+
+
+def test_resolve_link_host_three_way(spark):
+    """Own authority wins; scheme-without-authority is NULL; relative
+    references land on the base host."""
+    df = spark.createDataFrame(
+        [("https://other.org/x",), ("mailto:a@b",), ("/rel/path",),
+         ("?query=1",), ("//bare.host/z",)], "href string")
+    out = [r["h"] for r in df.select(
+        hostgraph.resolve_link_host(F.col("href"), F.lit("base.com"))
+        .alias("h")).collect()]
+    assert out == ["other.org", None, "base.com", "base.com",
+                   "bare.host"]
+
+
+def _records(spark, rows):
+    return spark.createDataFrame(
+        [(u, b.encode()) for u, b in rows],
+        "target_uri string, body binary")
+
+
+def test_extract_link_hosts_and_graph(spark):
+    body = ('<a href="HTTP://B.Com:80/1">x</a> '
+            '<A HREF="/self">y</A> '
+            '<a href="mailto:z@q">m</a> '
+            '<a href="//c.net./p">w</a> '
+            '<a href="//c.net/other">dup-host</a>')
+    recs = _records(spark, [("http://a.com/page", body)])
+    links = hostgraph.extract_link_hosts(recs).collect()
+    assert [(r["src_host"], r["dst_host"]) for r in links] == [
+        ("a.com", "b.com"), ("a.com", "a.com"), ("a.com", None),
+        ("a.com", "c.net"), ("a.com", "c.net")]
+    edges = sorted(map(tuple, hostgraph.host_link_graph(recs).collect()))
+    # self-loop and NULL dropped, c.net deduped
+    assert edges == [("a.com", "b.com"), ("a.com", "c.net")]
+
+
+def test_reserved_and_output_names_rejected(spark):
+    recs = _records(spark, [("http://a.com/", "<a href=\"/x\">l</a>")])
+    with pytest.raises(ValueError, match="reserved"):
+        hostgraph.extract_link_hosts(recs.withColumn("__href", F.lit(1)))
+    with pytest.raises(ValueError, match="reserved"):
+        hostgraph.extract_link_hosts(
+            recs.withColumn("src_host", F.lit(1)))
+
+
+def test_fixture_round_trip_matches_formula(spark, tmp_path):
+    """The linked archive read back through the full engine path must
+    yield EXACTLY the analytic edge set {(d%H, (7d+1)%H),
+    (d%H, (3d+2)%H)} minus self-loops — the property the host_rank
+    oracle depends on."""
+    from unilever_scraping_etl_spark.sources import warc
+
+    ids = list(range(37))
+    docs = spark.createDataFrame([(d,) for d in ids], "doc_id long")
+    hostgraph.fixture_linked_archive(docs, "doc_id", str(tmp_path),
+                                     n_hosts=7, n_files=3)
+    recs = warc.read_warc(spark, str(tmp_path)).filter(F.col("parse_ok"))
+    got = sorted(map(tuple, hostgraph.host_link_graph(recs).collect()))
+
+    def h(k):
+        return f"h{k}.corpus.local"
+
+    exp = set()
+    for d in ids:
+        for t in ((7 * d + 1) % 7, (3 * d + 2) % 7):
+            if t != d % 7:
+                exp.add((h(d % 7), h(t)))
+    assert got == sorted(exp)
+
+
+def test_host_pagerank_end_to_end_small(spark, tmp_path):
+    """Tiny end-to-end: archive -> host graph -> pagerank returns one
+    rank per host and conserves plausibility (all ranks positive,
+    node set == hosts in the graph)."""
+    from unilever_scraping_etl_spark.sources import warc
+
+    docs = spark.createDataFrame([(d,) for d in range(12)],
+                                 "doc_id long")
+    hostgraph.fixture_linked_archive(docs, "doc_id", str(tmp_path),
+                                     n_hosts=4, n_files=2)
+    recs = warc.read_warc(spark, str(tmp_path)).filter(F.col("parse_ok"))
+    edges = (hostgraph.host_link_graph(recs)
+             .withColumnRenamed("src_host", "src")
+             .withColumnRenamed("dst_host", "dst"))
+    out = graph.pagerank(edges, "src", "dst", iterations=4).collect()
+    nodes = {r["node"] for r in out}
+    assert nodes == {f"h{k}.corpus.local" for k in range(4)}
+    assert all(r["rank"] > 0 for r in out)

@@ -14,10 +14,24 @@ step one join + one aggregation — no GraphX, no RDDs. Per iteration:
     rank'(v)   = (1−d)/N + d · contrib(v)             (map)
 
 Nodes with no in-links keep the (1−d)/N floor; mass arriving at
-dangling nodes (no out-links) is dropped, matching the plain
-fixed-iteration formulation the oracle unrolls (symmetric edge lists
-— the co-occurrence graphs this engine derives — have no dangling
-nodes, so the two definitions coincide there).
+dangling nodes (no out-links) is dropped by default, matching the
+plain fixed-iteration formulation the oracle unrolls (symmetric edge
+lists — the co-occurrence graphs this engine derives — have no
+dangling nodes, so the two definitions coincide there).
+``redistribute_dangling=True`` opts into the textbook correction
+instead: each iteration the rank mass sitting on dangling nodes is
+spread uniformly, ``rank'(v) = (1−d)/N + d·(contrib(v) + m/N)`` with
+``m = Σ_{u dangling} rank(u)`` — total mass is then conserved at
+exactly 1 on ANY graph. The dangling mass enters the plan as a 1-row
+broadcast (agg → crossJoin), never a driver collect.
+
+Convergence: ``iterations`` is the fixed K by default; passing
+``tol`` turns it into a CAP and stops early once ``max|Δrank|`` over
+the nodes falls to ``tol`` or below. Each tol check is one bounded
+driver probe (a single max-abs-delta scalar — the same discipline as
+connected components' convergence checksum) and each checked
+iteration is localCheckpointed, so the probe never re-executes the
+iteration chain.
 
 Scale posture: the edge list, node set, and out-degrees are
 MATERIALIZED once up front (``materialize=True`` default) — a lazy
@@ -45,14 +59,21 @@ from unilever_scraping_etl_spark.operators._contracts import (
     require_free_columns,
 )
 
-_WORKING = ("__outdeg", "__contrib", "__rank")
+_WORKING = ("__outdeg", "__contrib", "__rank", "__dmass", "__prev")
+
+# diagnostic: iterations the last pagerank() call actually ran (the
+# tol early-stop is otherwise invisible) — same pattern as connected
+# components' _LAST_CC_ROUNDS
+_LAST_PR_ITERATIONS = 0
 
 
 def pagerank(edges: DataFrame, src: str, dst: str,
              iterations: int = 5, damping: float = 0.85,
              checkpoint_every: int | None = None,
              rank_digits: int | None = None,
-             materialize: bool = True) -> DataFrame:
+             materialize: bool = True,
+             tol: float | None = None,
+             redistribute_dangling: bool = False) -> DataFrame:
     """Fixed-iteration PageRank over the directed edge list
     ``edges[src, dst]`` (parallel duplicate edges count once per
     occurrence — pre-DISTINCT the list if that is not intended).
@@ -61,14 +82,28 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     the final rank (engines disagree in the last ulp of float sums —
     round on BOTH sides when comparing cross-engine). Edges with a
     NULL endpoint are dropped (a NULL key would otherwise surface as
-    a phantom node with the base rank)."""
+    a phantom node with the base rank).
+
+    ``tol``: stop as soon as ``max|Δrank| <= tol`` between successive
+    iterations, with ``iterations`` as the cap (requires
+    ``materialize=True`` — the probe evaluates eagerly, and an
+    unmaterialized upstream would re-derive the graph every check).
+    ``redistribute_dangling``: conserve dangling-node mass by uniform
+    redistribution instead of dropping it (module docstring)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
+    if tol is not None and tol < 0.0:
+        raise ValueError("tol must be >= 0")
+    if tol is not None and not materialize:
+        raise ValueError("tol requires materialize=True (each "
+                         "convergence probe evaluates the plan)")
     require_free_columns("pagerank", edges.columns, _WORKING)
     require_free_columns("pagerank", edges.columns, ("node", "rank"),
                          kind="output")
+    global _LAST_PR_ITERATIONS
+    _LAST_PR_ITERATIONS = 0
     edges = edges.filter(F.col(src).isNotNull()
                          & F.col(dst).isNotNull())
     if materialize:
@@ -93,8 +128,18 @@ def pagerank(edges: DataFrame, src: str, dst: str,
         # return the empty (node, rank) frame, not a ZeroDivisionError
         return nodes.select("node", F.lit(0.0).alias("rank"))
     base = F.lit((1.0 - damping) / n)
+    dangling = None
+    if redistribute_dangling:
+        # nodes with no out-edge, fixed for the whole run: their rank
+        # mass re-enters uniformly each iteration
+        dangling = nodes.join(
+            edges.select(F.col(src).alias("node")).distinct(),
+            "node", "left_anti")
+        if materialize:
+            dangling = dangling.localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
+        _LAST_PR_ITERATIONS = i + 1
         contribs = (edges
                     .join(ranks, edges[src] == ranks["node"])
                     .select(F.col(dst).alias("node"),
@@ -102,13 +147,31 @@ def pagerank(edges: DataFrame, src: str, dst: str,
                             .alias("__contrib"))
                     .groupBy("node")
                     .agg(F.sum("__contrib").alias("__contrib")))
-        ranks = (nodes.join(contribs, "node", "left")
-                 .select("node",
-                         (base + F.lit(damping)
-                          * F.coalesce(F.col("__contrib"), F.lit(0.0))
-                          ).alias("rank")))
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
+        gain = F.coalesce(F.col("__contrib"), F.lit(0.0))
+        new = nodes.join(contribs, "node", "left")
+        if redistribute_dangling:
+            dmass = (ranks.join(dangling, "node", "left_semi")
+                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                          .alias("__dmass")))
+            new = new.crossJoin(F.broadcast(dmass))
+            gain = gain + F.col("__dmass") / F.lit(float(n))
+        new = new.select(
+            "node", (base + F.lit(damping) * gain).alias("rank"))
+        if tol is not None:
+            # probe needs the frame evaluated anyway; checkpointing it
+            # also keeps each probe from re-running the iteration chain
+            new = new.localCheckpoint()
+            delta = (new.join(ranks.withColumnRenamed("rank", "__prev"),
+                              "node")
+                     .agg(F.max(F.abs(F.col("rank") - F.col("__prev"))))
+                     .first()[0])
+            ranks = new
+            if delta is not None and delta <= tol:
+                break
+        else:
+            ranks = new
+            if checkpoint_every and (i + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint()
     if rank_digits is not None:
         ranks = ranks.select("node", F.round("rank", rank_digits)
                              .alias("rank"))
