@@ -14,7 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from unilever_scraping_etl_spark.operators import (
-    cdc, ranking, relational, sampling, spans,
+    cdc, hostgraph, ranking, relational, sampling, spans,
 )
 from unilever_scraping_etl_spark.operators._contracts import (
     require_free_columns,
@@ -110,6 +110,21 @@ CASES = [
          _with(s.range(5).select(F.col("id"),
                                  F.lit("a b c d").alias("text")), n),
          "id", "text", span_len=3)),
+    ("extract_link_hosts", "__href",
+     lambda s, n: hostgraph.extract_link_hosts(
+         _with(s.range(2).select(
+             F.lit("http://a.com/").alias("target_uri"),
+             F.lit(b"<a href=\"/x\">l</a>").alias("body")), n))),
+    ("extract_anchor_texts", "__tag",
+     lambda s, n: hostgraph.extract_anchor_texts(
+         _with(s.range(2).select(
+             F.lit("http://a.com/").alias("target_uri"),
+             F.lit(b"<a href=\"/x\">l</a>").alias("body")), n))),
+    ("extract_anchor_texts", "anchor",
+     lambda s, n: hostgraph.extract_anchor_texts(
+         _with(s.range(2).select(
+             F.lit("http://a.com/").alias("target_uri"),
+             F.lit(b"<a href=\"/x\">l</a>").alias("body")), n))),
 ]
 
 

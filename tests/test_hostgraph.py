@@ -71,6 +71,23 @@ def test_extract_link_hosts_and_graph(spark):
     assert edges == [("a.com", "b.com"), ("a.com", "c.net")]
 
 
+def test_extract_anchor_texts(spark):
+    body = ('<a href="http://b.com/1">  Visit   B  </a>'
+            '<a class="x" HREF="//c.net/p" id="y">C SITE</a>'
+            '<a href="/self">me</a>'
+            '<a href="mailto:z@q">mail</a>'
+            '<a href="http://d.org/q"><b>markup</b></a>')  # not captured
+    recs = _records(spark, [("http://a.com/page", body)])
+    got = [(r["src_host"], r["dst_host"], r["anchor"])
+           for r in hostgraph.extract_anchor_texts(recs).collect()]
+    assert got == [
+        ("a.com", "b.com", "visit b"),       # ws-normalized, lowered
+        ("a.com", "c.net", "c site"),        # attrs around href ok
+        ("a.com", "a.com", "me"),            # relative -> page host
+        ("a.com", None, "mail"),             # no authority -> NULL
+    ]                                        # markup anchor excluded
+
+
 def test_reserved_and_output_names_rejected(spark):
     recs = _records(spark, [("http://a.com/", "<a href=\"/x\">l</a>")])
     with pytest.raises(ValueError, match="reserved"):

@@ -1882,6 +1882,11 @@ def test_plan_linter_all_queries(spark):
                                 # dozen rows), never the corpus —
                                 # that's the point of the rewrite that
                                 # replaced three corpus re-scans
+        "authority_sample",     # rank-assign window runs over the
+                                # TakeOrderedAndProject result (k=10
+                                # rows by construction); the corpus
+                                # itself never crosses a single-
+                                # partition exchange
     }
     cartesian_ok = {"join_cross"}
     failures = []

@@ -43,7 +43,7 @@ from unilever_scraping_etl_spark.operators._contracts import (
     require_free_columns,
 )
 
-_WORKING = ("__href",)
+_WORKING = ("__href", "__tag")
 
 # authority host of an absolute or protocol-relative reference:
 # optional scheme, mandatory "//", optional userinfo, then either a
@@ -101,6 +101,43 @@ def extract_link_hosts(records: DataFrame, uri_col: str = "target_uri",
                     resolve_link_host(F.col("__href"),
                                       F.col("src_host"))
                     .alias("dst_host")))
+
+
+_ANCHOR_TAG = r'(?i)<a\s[^>]*href\s*=\s*"[^"]*"[^>]*>[^<]*</a>'
+
+
+def extract_anchor_texts(records: DataFrame,
+                         uri_col: str = "target_uri",
+                         body_col: str = "body") -> DataFrame:
+    """(src_host, dst_host, anchor) per link occurrence — the anchor
+    text corpus (what pages SAY about the hosts they link to), the
+    classic query→document training-pair artifact web search and
+    retrieval models are trained on. Same single narrow scan as
+    ``extract_link_hosts``: whole ``<a …>text</a>`` tags via one
+    ``regexp_extract_all``, then href and anchor pulled from each
+    exploded tag JVM-side; anchors are whitespace-normalized and
+    lowercased (the standard anchor-corpus canonicalization). Only
+    direct-text anchors are captured (``[^<]*`` — an anchor wrapping
+    markup is markup, not anchor text); NULL-host rows pass through
+    for the caller to quarantine or drop."""
+    require_free_columns("extract_anchor_texts", records.columns,
+                         _WORKING)
+    require_free_columns("extract_anchor_texts", records.columns,
+                         ("src_host", "dst_host", "anchor"),
+                         kind="output")
+    base = canonical_host(F.col(uri_col))
+    tag = F.explode(F.regexp_extract_all(
+        F.col(body_col).cast("string"), F.lit(_ANCHOR_TAG), F.lit(0)))
+    href = F.regexp_extract(F.col("__tag"), r'(?i)href\s*=\s*"([^"]*)"',
+                            1)
+    anchor = F.regexp_extract(F.col("__tag"), r">([^<]*)</", 1)
+    anchor = F.lower(F.trim(F.regexp_replace(anchor, r"\s+", " ")))
+    return (records
+            .select(base.alias("src_host"), tag.alias("__tag"))
+            .select("src_host",
+                    resolve_link_host(href, F.col("src_host"))
+                    .alias("dst_host"),
+                    anchor.alias("anchor")))
 
 
 def host_link_graph(records: DataFrame, uri_col: str = "target_uri",

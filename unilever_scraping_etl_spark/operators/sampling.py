@@ -51,6 +51,8 @@ def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
     a fresh coin). Uniqueness is the caller's contract, same as
     ``dedup_exact``'s survivor id."""
     require_free_columns("weighted_sample_topk", df.columns, _RESERVED)
+    require_free_columns("weighted_sample_topk", df.columns,
+                         ("sample_key", "sample_rank"), kind="output")
     if k < 1:
         raise ValueError("k must be >= 1")
     u = ((F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
@@ -65,3 +67,34 @@ def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
     return (out.withColumn("sample_rank", F.row_number().over(w))
                .filter(F.col("sample_rank") <= k)
                .withColumnRenamed("__wkey", "sample_key"))
+
+
+def weighted_sample_global(df: DataFrame, id_col: str, weight_col: str,
+                           k: int,
+                           round_digits: int = 12) -> DataFrame:
+    """Global (ungrouped) A-Res top-k — same sampling semantics and
+    key construction as ``weighted_sample_topk`` with no groups, but
+    the scale-correct plan: ``orderBy(key).limit(k)`` plans
+    TakeOrderedAndProject (each task keeps its local top-k, the
+    driver merges k·P rows), where the window form would funnel the
+    WHOLE input through one Exchange SinglePartition. ``sample_rank``
+    is then assigned by a window over the k-row result — bounded by
+    construction. Same contracts as the grouped form: unique
+    ``id_col``, NULL/non-positive weights excluded, deterministic
+    doc-id tiebreak."""
+    require_free_columns("weighted_sample_global", df.columns,
+                         _RESERVED)
+    require_free_columns("weighted_sample_global", df.columns,
+                         ("sample_key", "sample_rank"), kind="output")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = ((F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                 16, 10).cast("bigint") + 1) / F.lit(4294967296.0))
+    key = F.round(F.log(u) / F.col(weight_col), round_digits)
+    out = (df.filter(F.col(weight_col).isNotNull()
+                     & (F.col(weight_col) > 0))
+             .withColumn("sample_key", key)
+             .orderBy(F.col("sample_key").desc(), F.col(id_col))
+             .limit(k))
+    w = Window.orderBy(F.col("sample_key").desc(), F.col(id_col))
+    return out.withColumn("sample_rank", F.row_number().over(w))

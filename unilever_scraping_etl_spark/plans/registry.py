@@ -4547,15 +4547,14 @@ _PARTS_EDGES_CTE = """edges AS (
     WHERE a.l_orderkey % 7 = 0 AND b.l_orderkey % 7 = 0)"""
 
 
-def _pagerank_oracle(iterations: int,
-                     edges_cte: str = _PARTS_EDGES_CTE) -> str:
-    """Unrolled fixed-iteration PageRank SQL (DuckDB disallows
-    aggregates in a recursive CTE term, so K iterations unroll into K
-    contribution/rank CTE pairs — mechanical, generated here).
-    ``edges_cte`` is the CTE chain that ends by defining
-    ``edges(src, dst)`` — callers swap in their own graph."""
-    head = f"""
-WITH {edges_cte},
+def _pagerank_ctes(iterations: int, edges_cte: str) -> tuple[str, str]:
+    """CTE chain for unrolled fixed-iteration PageRank (DuckDB
+    disallows aggregates in a recursive CTE term, so K iterations
+    unroll into K contribution/rank CTE pairs — mechanical, generated
+    here). ``edges_cte`` ends by defining ``edges(src, dst)``.
+    Returns (chain, final_cte_name) so composing oracles can keep
+    building on the converged ranks."""
+    head = f"""{edges_cte},
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
@@ -4572,9 +4571,14 @@ p{i} AS (SELECT nodes.node,
                 0.15 / nn.n + 0.85 * coalesce(c{i}.contrib, 0.0) AS rank
          FROM nodes CROSS JOIN nn
          LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
-    tail = (f"\nSELECT node, round(rank, 9) AS rank "
-            f"FROM p{iterations}")
-    return head + "".join(steps) + tail
+    return head + "".join(steps), f"p{iterations}"
+
+
+def _pagerank_oracle(iterations: int,
+                     edges_cte: str = _PARTS_EDGES_CTE) -> str:
+    chain, last = _pagerank_ctes(iterations, edges_cte)
+    return (f"\nWITH {chain}\n"
+            f"SELECT node, round(rank, 9) AS rank FROM {last}")
 
 
 @q("pagerank_parts", _pagerank_oracle(5),
@@ -4880,6 +4884,229 @@ def host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumnRenamed("dst_host", "dst"))
     return graph.pagerank(edges, "src", "dst", iterations=5,
                           rank_digits=9)
+
+
+def _harmonic_oracle(radius: int, edges_cte: str) -> str:
+    """Unrolled truncated harmonic centrality: r_t = pairs reachable
+    by SOME path of length exactly t (not necessarily shortest), the
+    min over the union recovers the true distance; every graph node
+    appears, 0.0 when nothing reaches it within the radius."""
+    reach = ["r1 AS (SELECT DISTINCT src AS u, dst AS v FROM edges)"]
+    for t in range(2, radius + 1):
+        reach.append(
+            f"r{t} AS (SELECT DISTINCT r{t - 1}.u, e.dst AS v "
+            f"FROM r{t - 1} JOIN edges e ON r{t - 1}.v = e.src)")
+    unions = "\n  UNION ALL ".join(
+        f"SELECT u, v, {t} AS dist FROM r{t}"
+        for t in range(1, radius + 1))
+    reach_sql = ",\n".join(reach)
+    return f"""
+WITH {edges_cte},
+{reach_sql},
+allp AS ({unions}),
+d AS (SELECT u, v, min(dist) AS dist FROM allp WHERE u <> v
+      GROUP BY u, v),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h AS (SELECT v AS node, sum(1.0 / dist) AS harmonic FROM d GROUP BY v)
+SELECT nodes.node, round(coalesce(h.harmonic, 0.0), 9) AS harmonic
+FROM nodes LEFT JOIN h ON nodes.node = h.node
+"""
+
+
+@q("host_harmonic", _harmonic_oracle(3, _HOST_EDGES_CTE),
+   doc="Truncated harmonic centrality over the archive's host graph "
+       "(operators/centrality.harmonic_centrality — Boldi & Vigna "
+       "2014, the metric Common Crawl's published host rankings "
+       "lead with): exact BFS pair expansion, one shuffle per round, "
+       "first-arrival-is-shortest so a left_anti against seen pairs "
+       "both dedups and assigns distances; H(v) = sum of 1/d(u->v) "
+       "over incoming distances <= 3, 0.0 for unreached hosts, "
+       "round-9 both sides (per-node float sums order differently "
+       "across engines). Oracle unrolls the same expansion into "
+       "per-length reach CTEs with a min() recovering true distance. "
+       "Exact pair expansion is the HOST-graph tool; the HyperBall "
+       "sketch twin (host_harmonic_sketch) is the page-scale path.")
+def host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import centrality, hostgraph
+    from ..sources import warc
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()).select("doc_id"))
+    tmp = tempfile.mkdtemp(prefix="spark_hharm_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    hostgraph.fixture_linked_archive(docs, "doc_id", tmp)
+    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
+    edges = (hostgraph.host_link_graph(records)
+             .withColumnRenamed("src_host", "src")
+             .withColumnRenamed("dst_host", "dst"))
+    return centrality.harmonic_centrality(edges, "src", "dst", radius=3)
+
+
+@q("host_harmonic_sketch", None,
+   doc="HyperBall (Boldi, Rosa & Vigna 2011) approximation of the "
+       "same truncated harmonic centrality: per-node HyperLogLog "
+       "in-ball sketches kept as (node, register, value) ROWS, each "
+       "round = ship registers along in-edges + "
+       "groupBy(node,reg).max + the HLL estimator with linear-"
+       "counting correction — all JVM expressions, state "
+       "O(nodes x 2^p) independent of pair count, which is what "
+       "survives the page-level graph at 100 TB. Deterministic "
+       "(xxhash64 node hashing) but approximate -> rows-only check; "
+       "accuracy vs the exact twin is property-tested in "
+       "tests/test_centrality.py.")
+def host_harmonic_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import centrality, hostgraph
+    from ..sources import warc
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()).select("doc_id"))
+    tmp = tempfile.mkdtemp(prefix="spark_hharms_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    hostgraph.fixture_linked_archive(docs, "doc_id", tmp)
+    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
+    edges = (hostgraph.host_link_graph(records)
+             .withColumnRenamed("src_host", "src")
+             .withColumnRenamed("dst_host", "dst"))
+    return centrality.harmonic_centrality_sketch(edges, "src", "dst",
+                                                 radius=3, p=6)
+
+
+def _authority_sample_oracle() -> str:
+    chain, last = _pagerank_ctes(5, _HOST_EDGES_CTE)
+    return f"""
+WITH {chain},
+hr AS (SELECT node, round(rank, 9) AS rank FROM {last}),
+d2 AS (SELECT doc_id,
+              'h' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.corpus.local' AS host
+       FROM documents WHERE text IS NOT NULL),
+w AS (SELECT d2.doc_id, d2.host, hr.rank,
+             CAST(round(hr.rank * 1000000000) AS BIGINT) AS wi
+      FROM d2 JOIN hr ON d2.host = hr.node),
+keyed AS (SELECT doc_id, host, rank,
+                 round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8))::BIGINT + 1)
+                          / CAST(4294967296 AS DOUBLE)) / wi,
+                       12) AS sample_key
+          FROM w),
+r AS (SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id)
+                AS rk
+      FROM keyed)
+SELECT doc_id, host, rank, sample_key, CAST(rk AS INT) AS sample_rank
+FROM r WHERE rk <= 10
+"""
+
+
+@q("authority_sample", _authority_sample_oracle(),
+   doc="Authority-weighted corpus sampling — the pipeline Common "
+       "Crawl's published host ranks exist FOR: host PageRank over "
+       "the archive's link graph becomes each document's sampling "
+       "weight, then a global Efraimidis-Spirakis A-Res top-10 "
+       "without replacement picks the corpus slice "
+       "(sampling.weighted_sample_global — orderBy+limit plans "
+       "TakeOrderedAndProject, each task keeps a local top-k, no "
+       "SinglePartition funnel of the corpus; the rank-assign window "
+       "runs over the 10-row result). Weights enter as integers "
+       "(round-9 rank x 1e9 — A-Res depends only on relative "
+       "weights, and an integer divisor keeps the ln(u)/w key's "
+       "cross-engine float drift at ~1e-22, far under the round-12 "
+       "quantum; dividing by the raw ~0.05 rank would AMPLIFY ln's "
+       "ulp past it). Oracle: the unrolled-PR CTE chain composed "
+       "with the A-Res key formula — the full "
+       "archive->graph->rank->weight->sample lattice is hash-checked "
+       "end to end.")
+def authority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import hostgraph, sampling
+    from ..sources import warc
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()).select("doc_id"))
+    tmp = tempfile.mkdtemp(prefix="spark_authsample_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    hostgraph.fixture_linked_archive(docs, "doc_id", tmp)
+    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
+    edges = (hostgraph.host_link_graph(records)
+             .withColumnRenamed("src_host", "src")
+             .withColumnRenamed("dst_host", "dst"))
+    ranks = graph.pagerank(edges, "src", "dst", iterations=5,
+                           rank_digits=9)
+    pages = records.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+         .cast("bigint").alias("doc_id"),
+        hostgraph.canonical_host(F.col("target_uri")).alias("host"))
+    weighted = (pages.join(F.broadcast(
+                    ranks.withColumnRenamed("node", "host")), "host")
+                .withColumn("wi", F.round(F.col("rank") * 1e9)
+                            .cast("bigint")))
+    out = sampling.weighted_sample_global(weighted, "doc_id", "wi", 10)
+    return out.select("doc_id", "host", "rank", "sample_key",
+                      "sample_rank")
+
+
+@q("anchor_text", """
+WITH docs AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+raw AS (
+    SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.corpus.local' AS src,
+           'h' || CAST((doc_id * 7 + 1) % 20 AS VARCHAR)
+               || '.corpus.local' AS dst,
+           'one' AS anchor
+    FROM docs
+    UNION ALL
+    SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.corpus.local',
+           'h' || CAST((doc_id * 3 + 2) % 20 AS VARCHAR)
+               || '.corpus.local',
+           'two'
+    FROM docs),
+x AS (SELECT * FROM raw WHERE src <> dst)
+SELECT dst AS dst_host, anchor,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_src_hosts
+FROM x GROUP BY dst, anchor
+""", doc="Anchor-text corpus rollup (hostgraph.extract_anchor_texts) — "
+         "what pages SAY about the hosts they link to, the classic "
+         "query->document training-pair artifact: whole <a> tags from "
+         "one regexp_extract_all scan of the archived bodies, href + "
+         "anchor pulled per tag JVM-side, anchors whitespace-"
+         "normalized and lowercased, reduced per (dst_host, anchor) "
+         "to link occurrences and distinct referring hosts. Self-"
+         "referential anchors (the fixture's path-relative link) and "
+         "authority-less targets (its mailto:) drop — cross-host "
+         "anchors are the independent-description signal. Oracle "
+         "rebuilds the (src, dst, anchor) triples from the fixture's "
+         "link formula; one mis-parsed tag or un-normalized anchor "
+         "shifts a count and fails the hash.")
+def anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import hostgraph
+    from ..sources import warc
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()).select("doc_id"))
+    tmp = tempfile.mkdtemp(prefix="spark_anchors_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    hostgraph.fixture_linked_archive(docs, "doc_id", tmp)
+    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
+    ank = hostgraph.extract_anchor_texts(records)
+    return (ank.filter(F.col("dst_host").isNotNull()
+                       & (F.col("src_host") != F.col("dst_host")))
+            .groupBy("dst_host", "anchor")
+            .agg(F.count(F.lit(1)).alias("n_links"),
+                 F.count_distinct("src_host").alias("n_src_hosts")))
 
 
 @q("span_islands", """
