@@ -1,0 +1,167 @@
+"""Harmonic centrality (operators/centrality.py): exact pair
+expansion vs a python BFS reference (hand cases + hypothesis sweep),
+early-exit diagnostics, and the HyperBall sketch's accuracy envelope
+against the exact operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unilever_scraping_etl_spark.operators import centrality
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _reference(pairs, radius):
+    """BFS from every node over the directed edge list; H(v) sums
+    1/d(u->v) over incoming distances <= radius."""
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    adj: dict = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+    h = {v: 0.0 for v in nodes}
+    for u in nodes:
+        dist = {u: 0}
+        frontier = [u]
+        for d in range(1, radius + 1):
+            nxt = []
+            for x in frontier:
+                for y in adj.get(x, ()):
+                    if y not in dist:
+                        dist[y] = d
+                        nxt.append(y)
+            frontier = nxt
+        for v, d in dist.items():
+            if v != u and d > 0:
+                h[v] += 1.0 / d
+    return {v: round(x, 9) for v, x in h.items()}
+
+
+def test_path_graph_hand_computed(spark):
+    """0 -> 1 -> 2 -> 3, radius 3: H(1)=1, H(2)=1+1/2, H(3)=1+1/2+1/3,
+    H(0)=0."""
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    out = {r["node"]: r["harmonic"]
+           for r in centrality.harmonic_centrality(
+               _edges(spark, pairs), "src", "dst", radius=3).collect()}
+    assert out[0] == 0.0
+    assert out[1] == pytest.approx(1.0)
+    assert out[2] == pytest.approx(1.5)
+    assert out[3] == pytest.approx(1.0 + 0.5 + 1.0 / 3, abs=1e-9)
+
+
+def test_radius_truncation(spark):
+    """Same path, radius 1: only direct predecessors count."""
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    out = {r["node"]: r["harmonic"]
+           for r in centrality.harmonic_centrality(
+               _edges(spark, pairs), "src", "dst", radius=1).collect()}
+    assert out == {0: 0.0, 1: 1.0, 2: 1.0, 3: 1.0}
+
+
+def test_cycle_symmetric(spark):
+    """Directed 4-cycle, radius 3: every node sees the other three at
+    distances 1, 2, 3."""
+    pairs = [(i, (i + 1) % 4) for i in range(4)]
+    out = centrality.harmonic_centrality(_edges(spark, pairs),
+                                         "src", "dst", radius=3)
+    exp = 1.0 + 0.5 + round(1.0 / 3, 12)
+    for r in out.collect():
+        assert r["harmonic"] == pytest.approx(exp, abs=1e-8)
+
+
+def test_early_exit_on_exhausted_frontier(spark):
+    """A 2-path exhausts all shortest paths at distance 2; radius 10
+    must stop expanding after round 2 (diagnostic counter)."""
+    pairs = [(0, 1), (1, 2)]
+    centrality.harmonic_centrality(_edges(spark, pairs), "src", "dst",
+                                   radius=10).collect()
+    assert centrality._LAST_HC_ROUNDS == 2
+
+
+def test_duplicate_and_null_edges_ignored(spark):
+    pairs = [(0, 1), (0, 1), (None, 1), (0, None)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = {r["node"]: r["harmonic"]
+           for r in centrality.harmonic_centrality(
+               df, "src", "dst", radius=2).collect()}
+    assert out == {0: 0.0, 1: 1.0}
+
+
+def test_validation(spark):
+    e = _edges(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="radius"):
+        centrality.harmonic_centrality(e, "src", "dst", radius=0)
+    with pytest.raises(ValueError, match="reserved"):
+        centrality.harmonic_centrality(
+            e.withColumn("harmonic", F.lit(1)), "src", "dst")
+    with pytest.raises(ValueError, match="radius"):
+        centrality.harmonic_centrality_sketch(e, "src", "dst", radius=0)
+    with pytest.raises(ValueError, match="p must"):
+        centrality.harmonic_centrality_sketch(e, "src", "dst", p=2)
+
+
+def test_sketch_tracks_exact_on_a_real_graph(spark):
+    """HyperBall vs exact on a 60-node preferential-ish digraph:
+    per-node relative error within the p=6 envelope (generous 3-sigma
+    ~40% bound per node on TOTALS; the aggregate correlation is the
+    operational property, checked via the sum)."""
+    pairs = [(i, (i * 7 + 1) % 60) for i in range(60)]
+    pairs += [(i, (i * 3 + 2) % 60) for i in range(60)]
+    pairs += [(i, 0) for i in range(1, 20)]  # node 0 is an authority
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    exact = {r["node"]: r["harmonic"]
+             for r in centrality.harmonic_centrality(
+                 e, "src", "dst", radius=3).collect()}
+    est = {r["node"]: r["harmonic_est"]
+           for r in centrality.harmonic_centrality_sketch(
+               e, "src", "dst", radius=3, p=6).collect()}
+    assert set(est) == set(exact)
+    t_exact, t_est = sum(exact.values()), sum(est.values())
+    assert t_est == pytest.approx(t_exact, rel=0.25)
+    # the authority node must rank in the estimator's top decile
+    top = sorted(est, key=est.get, reverse=True)[:6]
+    assert 0 in top
+
+
+def test_sketch_is_deterministic(spark):
+    pairs = [(i, (i + 1) % 9) for i in range(9)] + [(0, 5), (3, 7)]
+    e = _edges(spark, pairs)
+    a = sorted(map(tuple, centrality.harmonic_centrality_sketch(
+        e, "src", "dst", radius=2).collect()))
+    b = sorted(map(tuple, centrality.harmonic_centrality_sketch(
+        e, "src", "dst", radius=2).collect()))
+    assert a == b
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _pair = st.tuples(st.integers(0, 6), st.integers(0, 6))
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(_pair, min_size=1, max_size=18), st.integers(1, 4))
+    def test_exact_matches_python_reference(pairs, radius):
+        spark = _hyp_spark[0]
+        exp = _reference(pairs, radius)
+        out = {r["node"]: r["harmonic"]
+               for r in centrality.harmonic_centrality(
+                   _edges(spark, pairs), "src", "dst",
+                   radius=radius).collect()}
+        assert set(out) == set(exp)
+        for v, x in exp.items():
+            assert out[v] == pytest.approx(x, abs=1e-9)
+
+    _hyp_spark = [None]
+
+    @pytest.fixture(autouse=True)
+    def _capture_spark(spark):
+        _hyp_spark[0] = spark
+        yield
+
+except ImportError:
+    pass

@@ -14,7 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from unilever_scraping_etl_spark.operators import (
-    cdc, hostgraph, ranking, relational, sampling, spans,
+    cdc, centrality, hostgraph, ranking, relational, sampling, spans,
 )
 from unilever_scraping_etl_spark.operators._contracts import (
     require_free_columns,
@@ -125,6 +125,16 @@ CASES = [
          _with(s.range(2).select(
              F.lit("http://a.com/").alias("target_uri"),
              F.lit(b"<a href=\"/x\">l</a>").alias("body")), n))),
+    ("harmonic_centrality", "__dist",
+     lambda s, n: centrality.harmonic_centrality(
+         _with(s.range(3).select(F.col("id").alias("s"),
+                                 (F.col("id") + 1).alias("d")), n),
+         "s", "d")),
+    ("harmonic_centrality_sketch", "__reg",
+     lambda s, n: centrality.harmonic_centrality_sketch(
+         _with(s.range(3).select(F.col("id").alias("s"),
+                                 (F.col("id") + 1).alias("d")), n),
+         "s", "d")),
 ]
 
 

@@ -1,0 +1,205 @@
+"""Harmonic centrality over directed graphs — the OTHER centrality
+web pipelines weight corpora with (Common Crawl's published host
+rankings are harmonic-centrality-first; Boldi & Vigna, "Axioms for
+Centrality", 2014). Truncated at radius R:
+
+    H_R(v) = Σ_{u ≠ v, 0 < d(u→v) ≤ R}  1 / d(u→v)
+
+(incoming-distance convention: H(v) counts the nodes that can REACH
+v, the authority direction — same orientation as PageRank's mass
+flow; d is the directed shortest-path length.)
+
+Two implementations, one semantics:
+
+- ``harmonic_centrality`` — EXACT pair expansion: maintain the
+  reachable-pair frontier ``(u, v, dist)``; each round joins the
+  frontier with the edge list (one shuffle) and keeps only
+  first-time-reached pairs (left_anti against seen — BFS order means
+  first arrival IS the shortest distance). The pair table is
+  O(reachable pairs ≤ R): exact is the HOST-graph tool (10^6–10^8
+  pairs at web scale), and the full-oracle twin — plain SQL can
+  unroll the same expansion.
+
+- ``harmonic_centrality_sketch`` — HyperBall (Boldi, Rosa & Vigna
+  2011): per-node HyperLogLog sketches of the in-ball, one register
+  ROW per (node, register) — never a per-node blob — so each round
+  is edges-join + groupBy(node, reg).max(val), all JVM expressions.
+  |B_t(v)| estimates come from the standard HLL estimator (with the
+  small-range linear-counting correction), and
+  H(v) ≈ Σ_t (|B_t| − |B_{t−1}|)/t with negative increments clamped
+  (estimator noise). This is the PAGE-graph scale path: state is
+  O(nodes × 2^p) rows of three integers, independent of pair count.
+
+Register hashing is deterministic (xxhash64 of the node id): the
+sketch gives the same answer on every run — approximate but
+reproducible, the house discipline for sketches (HLL distinct,
+quantile rollup). The rho (leading-zero-rank) computation stays
+JVM-side via a length(bin(x)) identity — no Python row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unilever_scraping_etl_spark.operators._contracts import (
+    require_free_columns,
+)
+
+_WORKING = ("__u", "__v", "__dist", "__reg", "__val", "__est", "__t")
+
+# diagnostic: rounds the last exact call actually expanded (early exit
+# on an empty frontier) — same pattern as graph._LAST_PR_ITERATIONS
+_LAST_HC_ROUNDS = 0
+
+
+def harmonic_centrality(edges: DataFrame, src: str, dst: str,
+                        radius: int = 3,
+                        materialize: bool = True) -> DataFrame:
+    """Exact truncated harmonic centrality. Returns ``(node,
+    harmonic)`` for every node in the graph (0.0 for nodes nothing
+    reaches within ``radius``); ``harmonic`` is rounded to 9 digits
+    (per-node float sums accumulate in engine-specific order — round
+    on BOTH sides when comparing cross-engine, the pagerank rule).
+    NULL-endpoint edges drop; parallel duplicates are harmless (the
+    frontier is distinct). One shuffle per BFS round plus the final
+    aggregation; stops early when a round adds no new pairs (bounded
+    1-scalar driver probe per round)."""
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    require_free_columns("harmonic_centrality", edges.columns, _WORKING)
+    require_free_columns("harmonic_centrality", edges.columns,
+                         ("node", "harmonic"), kind="output")
+    global _LAST_HC_ROUNDS
+    _LAST_HC_ROUNDS = 0
+    edges = edges.filter(F.col(src).isNotNull()
+                         & F.col(dst).isNotNull())
+    if materialize:
+        edges = edges.localCheckpoint()
+    pairs = (edges.select(F.col(src).alias("__u"),
+                          F.col(dst).alias("__v"))
+             .distinct())
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    if materialize:
+        pairs = pairs.localCheckpoint()
+        nodes = nodes.localCheckpoint()
+    seen = pairs.withColumn("__dist", F.lit(1))
+    frontier = pairs
+    _LAST_HC_ROUNDS = 1
+    for t in range(2, radius + 1):
+        nxt = (frontier.join(edges, frontier["__v"] == edges[src])
+               .select("__u", F.col(dst).alias("__v"))
+               .distinct()
+               .join(seen.select("__u", "__v"), ["__u", "__v"],
+                     "left_anti"))
+        if materialize:
+            nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():  # bounded probe: one boolean per round
+            break
+        _LAST_HC_ROUNDS = t
+        seen = seen.union(nxt.withColumn("__dist", F.lit(t)))
+        frontier = nxt
+    h = (seen.filter(F.col("__u") != F.col("__v"))
+         .groupBy(F.col("__v").alias("node"))
+         .agg(F.sum(F.lit(1.0) / F.col("__dist")).alias("harmonic")))
+    return (nodes.join(h, "node", "left")
+            .select("node",
+                    F.round(F.coalesce(F.col("harmonic"), F.lit(0.0)),
+                            9).alias("harmonic")))
+
+
+def _rho(x):
+    """HLL rank of a non-negative 58-bit value: 1 + leading zeros of
+    ``x`` in a 58-bit window. ``bin(x)`` has no leading zeros, so
+    leading_zeros = 58 − length(bin(x)) — exact integer arithmetic,
+    whole-stage-codegen resident. x = 0 (probability 2^-58) saturates
+    at 59."""
+    return (F.when(x == 0, F.lit(59))
+            .otherwise(F.lit(59) - F.length(F.bin(x))))
+
+
+def harmonic_centrality_sketch(edges: DataFrame, src: str, dst: str,
+                               radius: int = 3, p: int = 6,
+                               materialize: bool = True) -> DataFrame:
+    """HyperBall approximation of truncated harmonic centrality.
+    State is (node, register, value) ROWS — 2^p registers per node at
+    most, grown lazily from each node's own hash — so a round is:
+    ship register rows along in-edges (join), elementwise max
+    (groupBy(node, reg).max), estimate ball sizes, accumulate
+    (|B_t| − |B_{t−1}|)/t. Everything is JVM expressions; accuracy is
+    the standard HLL ±1.04/√(2^p) per ball estimate (p=6 → ~13%), and
+    the output is DETERMINISTIC (xxhash64 node hashing, no RNG).
+    Returns ``(node, harmonic_est)``."""
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    if not 4 <= p <= 12:
+        raise ValueError("p must be in [4, 12]")
+    require_free_columns("harmonic_centrality_sketch", edges.columns,
+                         _WORKING)
+    require_free_columns("harmonic_centrality_sketch", edges.columns,
+                         ("node", "harmonic_est"), kind="output")
+    m = 1 << p
+    # alpha_m for m >= 64 per Flajolet et al.; small m use table values
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m))
+    edges = edges.filter(F.col(src).isNotNull()
+                         & F.col(dst).isNotNull())
+    if materialize:
+        edges = edges.localCheckpoint()
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    if materialize:
+        nodes = nodes.localCheckpoint()
+
+    h64 = F.xxhash64(F.col("node").cast("string"))
+    # idx: low p bits (pmod — xxhash64 is signed); rho: leading zeros
+    # of the next 58 bits + 1 (shiftrightunsigned keeps them unsigned)
+    idx = F.pmod(h64, F.lit(m))
+    val = _rho(F.shiftrightunsigned(h64, p))
+    regs = nodes.select("node", idx.cast("int").alias("__reg"),
+                        val.cast("int").alias("__val"))
+    if materialize:
+        regs = regs.localCheckpoint()
+
+    def estimate(r: DataFrame) -> DataFrame:
+        """HLL estimate per node from its (sparse) register rows:
+        absent registers contribute 2^0 = 1 to the harmonic-mean sum
+        and count as zeros for the linear-counting correction."""
+        agg = r.groupBy("node").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("__val"))).alias("__s"),
+            F.count(F.lit(1)).alias("__nz"),
+            F.sum(F.when(F.col("__val") == 0, 1).otherwise(0))
+             .alias("__z0"))
+        zeros = (F.lit(m) - F.col("__nz")) + F.col("__z0")
+        raw = F.lit(alpha * m * m) / (F.col("__s")
+                                      + (F.lit(m) - F.col("__nz")))
+        est = F.when((raw <= 2.5 * m) & (zeros > 0),
+                     F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+                     ).otherwise(raw)
+        return agg.select("node", est.alias("__est"))
+
+    acc = nodes.select("node", F.lit(0.0).alias("harmonic_est"))
+    prev = estimate(regs)
+    for t in range(1, radius + 1):
+        shipped = (regs.join(edges, regs["node"] == edges[src])
+                   .select(F.col(dst).alias("node"), "__reg", "__val"))
+        regs = (regs.unionByName(shipped)
+                .groupBy("node", "__reg")
+                .agg(F.max("__val").alias("__val")))
+        if materialize:
+            regs = regs.localCheckpoint()
+        cur = estimate(regs)
+        gain = F.greatest(F.lit(0.0),
+                          F.col("__est") - F.col("__p")) / F.lit(float(t))
+        acc = (acc.join(cur, "node")
+               .join(prev.withColumnRenamed("__est", "__p"), "node")
+               .select("node",
+                       (F.col("harmonic_est") + gain)
+                       .alias("harmonic_est")))
+        if materialize:
+            acc = acc.localCheckpoint()
+        prev = cur
+    return acc
