@@ -122,6 +122,19 @@ def test_fixture_round_trip_matches_formula(spark, tmp_path):
     assert got == sorted(exp)
 
 
+def test_link_extraction_is_a_narrow_projection(spark):
+    """100 TB posture pin: href/anchor extraction must be a pure
+    projection + explode — NO shuffle. The body is read once per
+    record and never crosses an exchange; only the (tiny) host pairs
+    do, later, in the distinct."""
+    recs = _records(spark, [("http://a.com/p", "<a href=\"/x\">l</a>")])
+    for op in (hostgraph.extract_link_hosts,
+               hostgraph.extract_anchor_texts):
+        plan = (op(recs)._jdf.queryExecution().executedPlan()
+                .toString())
+        assert "Exchange" not in plan, plan
+
+
 def test_host_pagerank_end_to_end_small(spark, tmp_path):
     """Tiny end-to-end: archive -> host graph -> pagerank returns one
     rank per host and conserves plausibility (all ranks positive,
