@@ -135,6 +135,46 @@ def test_link_extraction_is_a_narrow_projection(spark):
         assert "Exchange" not in plan, plan
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _label = st.text(alphabet="abcXY09-", min_size=1, max_size=6)
+    _urls = st.builds(
+        lambda scheme, user, labels, port, path, dot: (
+            f"{scheme}://{user}{'.'.join(labels)}{dot}{port}{path}"),
+        scheme=st.sampled_from(["http", "HTTP", "https", "ftp"]),
+        user=st.sampled_from(["", "u@", "u:p@"]),
+        labels=st.lists(_label, min_size=1, max_size=3),
+        port=st.sampled_from(["", ":80", ":8080"]),
+        path=st.sampled_from(["", "/", "/a/b?q=1#f"]),
+        dot=st.sampled_from(["", "."]))
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(_urls, min_size=1, max_size=8))
+    def test_canonical_host_matches_urllib_reference(urls):
+        """canonical_host vs the stdlib: urlsplit's hostname is
+        already lowercased, port/userinfo-stripped; the trailing-dot
+        strip is the one extra RFC 6.2.3 step we apply on top."""
+        from urllib.parse import urlsplit
+
+        spark = _hyp_spark[0]
+        exp = [(urlsplit(u).hostname or "").rstrip(".") or None
+               for u in urls]
+        got = _hosts(spark, urls)
+        assert got == exp
+
+    _hyp_spark = [None]
+
+    @pytest.fixture(autouse=True)
+    def _capture_spark(spark):
+        _hyp_spark[0] = spark
+        yield
+
+except ImportError:
+    pass
+
+
 def test_host_pagerank_end_to_end_small(spark, tmp_path):
     """Tiny end-to-end: archive -> host graph -> pagerank returns one
     rank per host and conserves plausibility (all ranks positive,
