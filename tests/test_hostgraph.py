@@ -175,6 +175,70 @@ except ImportError:
     pass
 
 
+def test_streaming_host_graph_increments(spark, tmp_path):
+    """SURVEY §7.7 composition: fold new WARC segments into a
+    versioned host-graph snapshot through the streaming CDC apply —
+    the incrementally-maintained form of host_rank's input. Three
+    archive segments (disjoint doc ranges) are parsed batch-side,
+    each segment's distinct edges become versioned upsert rows in a
+    parquet change feed; apply_cdc_stream folds them micro-batch by
+    micro-batch. The final committed snapshot's edge set must equal
+    the one-shot host_link_graph over ALL segments together."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from unilever_scraping_etl_spark.sources import warc
+    from unilever_scraping_etl_spark.streaming import cdc_stream
+
+    segs = []
+    for i, ids in enumerate([range(0, 12), range(12, 24),
+                             range(24, 36)]):
+        d = tmp_path / f"seg{i}"
+        d.mkdir()
+        docs = spark.createDataFrame([(x,) for x in ids],
+                                     "doc_id long")
+        hostgraph.fixture_linked_archive(docs, "doc_id", str(d),
+                                         n_hosts=6, n_files=2)
+        segs.append(str(d))
+
+    feed = str(tmp_path / "feed")
+    schema = "src_host string, dst_host string, version long, op string"
+    for v, seg in enumerate(segs):
+        recs = warc.read_warc(spark, seg).filter(F2.col("parse_ok"))
+        edges = (hostgraph.host_link_graph(recs)
+                 .withColumn("version", F2.lit(v))
+                 .withColumn("op", F2.lit("U")))
+        edges.coalesce(1).write.mode("append").parquet(feed)
+    # pin mtimes oldest-first so micro-batch order is deterministic
+    for root, _, files in os.walk(feed):
+        for f in files:
+            p = os.path.join(root, f)
+            os.utime(p, (1_000_000, 1_000_000))
+
+    snap_root = str(tmp_path / "graph_snapshot")
+    empty = spark.createDataFrame([], schema)
+    cdc_stream.init_snapshot(empty, snap_root)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    q = cdc_stream.apply_cdc_stream(
+        stream, snap_root, ["src_host", "dst_host"], "version",
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    final = cdc_stream.read_snapshot(spark, snap_root)
+    got = sorted((r["src_host"], r["dst_host"])
+                 for r in final.collect())
+    one_shot = sorted(set(
+        (r["src_host"], r["dst_host"])
+        for seg in segs
+        for r in hostgraph.host_link_graph(
+            warc.read_warc(spark, seg).filter(F2.col("parse_ok")))
+        .collect()))
+    assert got == one_shot
+    assert cdc_stream.latest_version(snap_root) >= 1
+
+
 def test_host_pagerank_end_to_end_small(spark, tmp_path):
     """Tiny end-to-end: archive -> host graph -> pagerank returns one
     rank per host and conserves plausibility (all ranks positive,
