@@ -135,6 +135,42 @@ def test_link_extraction_is_a_narrow_projection(spark):
         assert "Exchange" not in plan, plan
 
 
+def test_registered_domains_longest_suffix_wins(spark):
+    """PSL core algorithm: longest matching rule wins; registered
+    domain = rule + one label; a host that IS a rule, or matches no
+    rule, folds to NULL."""
+    suffixes = spark.createDataFrame(
+        [("com",), ("uk",), ("co.uk",), ("org",)], "suffix string")
+    hosts = spark.createDataFrame(
+        [("a.b.co.uk",), ("deep.a.b.co.uk",), ("x.com",),
+         ("sub.x.com",), ("co.uk",), ("com",), ("localhost",),
+         ("plain.uk",), ("a.b.co.uk",)],  # duplicate collapses
+        "h string")
+    got = {r["host"]: r["registered_domain"]
+           for r in hostgraph.registered_domains(
+               hosts, "h", suffixes).collect()}
+    assert got == {
+        "a.b.co.uk": "b.co.uk",        # co.uk beats uk
+        "deep.a.b.co.uk": "b.co.uk",
+        "x.com": "x.com",
+        "sub.x.com": "x.com",
+        "co.uk": None,                 # host IS a public suffix
+        "com": None,
+        "localhost": None,             # no rule matches
+        "plain.uk": "plain.uk",
+    }
+    out = hostgraph.registered_domains(hosts, "h", suffixes)
+    assert out.count() == 8            # distinct hosts only
+
+
+def test_registered_domains_reserved_names(spark):
+    suffixes = spark.createDataFrame([("com",)], "suffix string")
+    hosts = spark.createDataFrame([("x.com",)], "h string") \
+        .withColumn("__i", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        hostgraph.registered_domains(hosts, "h", suffixes)
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st

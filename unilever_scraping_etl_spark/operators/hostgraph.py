@@ -159,6 +159,58 @@ def host_link_graph(records: DataFrame, uri_col: str = "target_uri",
             .distinct())
 
 
+def registered_domains(hosts: DataFrame, host_col: str,
+                       suffixes: DataFrame,
+                       suffix_col: str = "suffix") -> DataFrame:
+    """Fold hosts to registered domains (eTLD+1) against a
+    public-suffix table — the policy layer `canonical_host`
+    deliberately excludes (module docstring): longest matching
+    suffix wins, registered domain = the suffix plus one more label.
+
+    Returns a `(host, registered_domain)` mapping over the DISTINCT
+    hosts of ``hosts[host_col]`` — join it back to fact rows (the
+    mapping is the natural dedup unit; at web scale it is ~90M rows
+    against the ~9k-rule public-suffix list, which enters broadcast).
+    ``registered_domain`` is NULL when no rule matches (IP literals,
+    single-label local names) or when the host IS a public suffix.
+
+    Implements the core PSL match (publicsuffix.org algorithm steps
+    1–5): candidate suffixes are every label-aligned suffix of the
+    host, matched exactly; wildcard (`*.ck`) and exception (`!…`)
+    rules are out of scope — they are <1% of the list and need a
+    second match pass, documented here rather than half-built.
+    All JVM: one explode of ≤ label-count candidates per distinct
+    host, one broadcast join, one min-aggregation."""
+    require_free_columns("registered_domains", hosts.columns,
+                         ("__i", "__suffix"))
+    h = hosts.select(F.col(host_col).alias("host")).distinct()
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    # suffix starting at label i (1-based): labels[i .. n]; i = 1 is
+    # the whole host (a host can itself be a public suffix)
+    cands = h.select(
+        "host",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                i.alias("__i"),
+                F.array_join(F.slice(labels, i, n - i + 1), ".")
+                 .alias("__suffix")))).alias("c")
+    ).select("host", F.col("c.__i").alias("__i"),
+             F.col("c.__suffix").alias("__suffix"))
+    rules = F.broadcast(
+        suffixes.select(F.col(suffix_col).alias("__suffix")).distinct())
+    best = (cands.join(rules, "__suffix")
+            .groupBy("host").agg(F.min("__i").alias("__i")))
+    lbl = F.split(F.col("host"), r"\.")
+    reg = F.when(F.col("__i") > 1,
+                 F.array_join(
+                     F.slice(lbl, F.col("__i") - 1,
+                             F.size(lbl) - F.col("__i") + 2), "."))
+    return (h.join(best, "host", "left")
+            .select("host", reg.alias("registered_domain")))
+
+
 def fixture_linked_archive(docs: DataFrame, id_col: str, out_dir: str,
                            n_hosts: int = 20, n_files: int = 8) -> None:
     """Fixture half of the host-rank oracle round trip: serialize the
