@@ -163,6 +163,31 @@ def test_registered_domains_longest_suffix_wins(spark):
     assert out.count() == 8            # distinct hosts only
 
 
+def test_registered_domains_wildcard_and_exception_rules(spark):
+    """The publicsuffix.org spec's canonical .ck example: `*.ck`
+    makes every test.ck-style 2-label name a public suffix, `!www.ck`
+    carves www.ck back out as registrable and overrides the
+    wildcard."""
+    suffixes = spark.createDataFrame(
+        [("*.ck",), ("!www.ck",), ("com",)], "suffix string")
+    hosts = spark.createDataFrame(
+        [("test.ck",), ("a.test.ck",), ("deep.a.test.ck",),
+         ("www.ck",), ("b.www.ck",), ("ck",), ("x.com",)],
+        "h string")
+    got = {r["host"]: r["registered_domain"]
+           for r in hostgraph.registered_domains(
+               hosts, "h", suffixes).collect()}
+    assert got == {
+        "test.ck": None,               # *.ck: test.ck IS the suffix
+        "a.test.ck": "a.test.ck",      # suffix test.ck + one label
+        "deep.a.test.ck": "a.test.ck",
+        "www.ck": "www.ck",            # exception: itself registrable
+        "b.www.ck": "www.ck",
+        "ck": None,                    # bare ck matches no rule
+        "x.com": "x.com",
+    }
+
+
 def test_registered_domains_reserved_names(spark):
     suffixes = spark.createDataFrame([("com",)], "suffix string")
     hosts = spark.createDataFrame([("x.com",)], "h string") \

@@ -164,23 +164,29 @@ def registered_domains(hosts: DataFrame, host_col: str,
                        suffix_col: str = "suffix") -> DataFrame:
     """Fold hosts to registered domains (eTLD+1) against a
     public-suffix table — the policy layer `canonical_host`
-    deliberately excludes (module docstring): longest matching
-    suffix wins, registered domain = the suffix plus one more label.
+    deliberately excludes (module docstring). Full publicsuffix.org
+    rule semantics: exact rules (`co.uk`), wildcard rules (`*.ck` —
+    the `*` consumes exactly one label), and exception rules
+    (`!www.ck` — the exception itself is registrable and overrides
+    any wildcard); the prevailing rule is an exception if one
+    matches, else the matching rule with the most labels; registered
+    domain = public suffix plus one more host label.
 
     Returns a `(host, registered_domain)` mapping over the DISTINCT
     hosts of ``hosts[host_col]`` — join it back to fact rows (the
     mapping is the natural dedup unit; at web scale it is ~90M rows
-    against the ~9k-rule public-suffix list, which enters broadcast).
+    against the ~9k-rule list, which enters broadcast).
     ``registered_domain`` is NULL when no rule matches (IP literals,
-    single-label local names) or when the host IS a public suffix.
+    single-label local names — the spec's implicit `*` default is
+    deliberately NOT applied: an unlisted TLD folding every 2-label
+    host silently is a data-quality hazard, list your rules) or when
+    the host IS a public suffix.
 
-    Implements the core PSL match (publicsuffix.org algorithm steps
-    1–5): candidate suffixes are every label-aligned suffix of the
-    host, matched exactly; wildcard (`*.ck`) and exception (`!…`)
-    rules are out of scope — they are <1% of the list and need a
-    second match pass, documented here rather than half-built.
-    All JVM: one explode of ≤ label-count candidates per distinct
-    host, one broadcast join, one min-aggregation."""
+    All JVM: ONE explode of ≤ label-count suffix candidates per
+    distinct host serves all three rule kinds (a wildcard `*.X`
+    matching at label i−1 is an exact match of `X` at label i; an
+    exception match at i registers s_i itself), one broadcast join,
+    one conditional min-aggregation."""
     require_free_columns("registered_domains", hosts.columns,
                          ("__i", "__suffix"))
     h = hosts.select(F.col(host_col).alias("host")).distinct()
@@ -198,15 +204,35 @@ def registered_domains(hosts: DataFrame, host_col: str,
                  .alias("__suffix")))).alias("c")
     ).select("host", F.col("c.__i").alias("__i"),
              F.col("c.__suffix").alias("__suffix"))
-    rules = F.broadcast(
-        suffixes.select(F.col(suffix_col).alias("__suffix")).distinct())
-    best = (cands.join(rules, "__suffix")
-            .groupBy("host").agg(F.min("__i").alias("__i")))
+    raw = suffixes.select(F.col(suffix_col).alias("__rule")).distinct()
+    kind = (F.when(F.col("__rule").startswith("!"), F.lit("exc"))
+            .when(F.col("__rule").startswith("*."), F.lit("wild"))
+            .otherwise(F.lit("exact")))
+    stripped = F.when(
+        F.col("__rule").startswith("!"),
+        F.expr("substring(__rule, 2)")).when(
+        F.col("__rule").startswith("*."),
+        F.expr("substring(__rule, 3)")).otherwise(F.col("__rule"))
+    rules = F.broadcast(raw.select(stripped.alias("__suffix"),
+                                   kind.alias("__kind")))
+    m = cands.join(rules, "__suffix")
+    # wildcard stripped rule matching s_i means `*.rule` matches the
+    # suffix starting at i-1 (the `*` consumes label i-1) — only
+    # valid when that label exists (i >= 2)
+    eff_i = (F.when(F.col("__kind") == "wild", F.col("__i") - 1)
+             .otherwise(F.col("__i")))
+    m = (m.filter((F.col("__kind") != "wild") | (F.col("__i") >= 2))
+         .select("host", F.col("__kind"), eff_i.alias("__i")))
+    best = m.groupBy("host").agg(
+        F.min(F.when(F.col("__kind") == "exc", F.col("__i")))
+         .alias("__exc_i"),
+        F.min(F.when(F.col("__kind") != "exc", F.col("__i")))
+         .alias("__norm_i"))
     lbl = F.split(F.col("host"), r"\.")
-    reg = F.when(F.col("__i") > 1,
-                 F.array_join(
-                     F.slice(lbl, F.col("__i") - 1,
-                             F.size(lbl) - F.col("__i") + 2), "."))
+    tail = lambda start: F.array_join(  # noqa: E731
+        F.slice(lbl, start, F.size(lbl) - start + 1), ".")
+    reg = (F.when(F.col("__exc_i").isNotNull(), tail(F.col("__exc_i")))
+           .when(F.col("__norm_i") > 1, tail(F.col("__norm_i") - 1)))
     return (h.join(best, "host", "left")
             .select("host", reg.alias("registered_domain")))
 
