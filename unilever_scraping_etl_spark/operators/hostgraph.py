@@ -46,11 +46,13 @@ from unilever_scraping_etl_spark.operators._contracts import (
 _WORKING = ("__href", "__tag")
 
 # authority host of an absolute or protocol-relative reference:
-# optional scheme, mandatory "//", optional userinfo, then either a
-# bracketed IPv6 literal or a reg-name/IPv4 (stops at port ":",
-# path "/", query "?" or fragment "#")
-_AUTHORITY_HOST = (r'^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//(?:[^/?#@]*@)?'
-                   r'(\[[^\]]*\]|[^/?#:\[]+)')
+# optional scheme, mandatory "//", optional userinfo (greedy to the
+# LAST "@" before the path — urlsplit semantics; '@' is excluded from
+# the host class so a bare-"@" authority cannot backtrack into a
+# phantom '@' host), then either a bracketed IPv6 literal or a
+# reg-name/IPv4 (stops at port ":", path "/", query "?", fragment "#")
+_AUTHORITY_HOST = (r'^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//(?:[^/?#]*@)?'
+                   r'(\[[^\]]*\]|[^/?#:@\[]+)')
 # a scheme followed by anything BUT "//": no authority, no host
 _SCHEME_NO_AUTHORITY = r'^[A-Za-z][A-Za-z0-9+.\-]*:(?!//)'
 
