@@ -266,7 +266,7 @@ try:
         lambda scheme, user, labels, port, path, dot: (
             f"{scheme}://{user}{'.'.join(labels)}{dot}{port}{path}"),
         scheme=st.sampled_from(["http", "HTTP", "https", "ftp"]),
-        user=st.sampled_from(["", "u@", "u:p@"]),
+        user=st.sampled_from(["", "u@", "u:p@", "@", "a@b@"]),
         labels=st.lists(_label, min_size=1, max_size=3),
         port=st.sampled_from(["", ":80", ":8080"]),
         path=st.sampled_from(["", "/", "/a/b?q=1#f"]),
@@ -284,6 +284,69 @@ try:
         exp = [(urlsplit(u).hostname or "").rstrip(".") or None
                for u in urls]
         got = _hosts(spark, urls)
+        assert got == exp
+
+    def _psl_reference(host, rules):
+        """Spec-faithful publicsuffix.org fold (no implicit *)."""
+        labels = host.split(".")
+        n = len(labels)
+
+        def matches(rule_labels):
+            if len(rule_labels) > n:
+                return False
+            for rl, hl in zip(rule_labels, labels[n - len(rule_labels):]):
+                if rl != "*" and rl != hl:
+                    return False
+            return True
+
+        exc = [r[1:] for r in rules if r.startswith("!")
+               and matches(r[1:].split("."))]
+        if exc:
+            # exception: the rule itself is the registered domain
+            best = max(exc, key=lambda r: len(r.split(".")))
+            return best
+        norm = [r for r in rules if not r.startswith("!")
+                and matches(r.split("."))]
+        if not norm:
+            return None
+        best = max(norm, key=lambda r: len(r.split(".")))
+        k = len(best.split("."))          # public-suffix label count
+        if k >= n:
+            return None                   # host IS a public suffix
+        return ".".join(labels[n - k - 1:])
+
+    _rule = st.builds(
+        lambda bang, star, labels: (
+            bang + ".".join((["*"] if star else []) + labels)),
+        bang=st.sampled_from(["", "!"]),
+        star=st.booleans(),
+        labels=st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                        min_size=1, max_size=2))
+    _host = st.builds(
+        ".".join,
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "x", "y"]),
+                 min_size=1, max_size=4))
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(_host, min_size=1, max_size=6, unique=True),
+           st.lists(_rule, min_size=1, max_size=6, unique=True))
+    def test_registered_domains_matches_psl_reference(hosts, rules):
+        """Random small hosts × random rule sets (exact, wildcard,
+        exception mixed) against a spec-faithful python fold. One
+        divergence from the spec is deliberate on both sides here: no
+        implicit-* rule (documented in the operator)."""
+        # '!' rules are only meaningful with >= 2 labels per spec
+        # usage; also skip rule sets where an exception has no
+        # wildcard to carve out of — the fold is still well-defined,
+        # keep them.
+        spark = _hyp_spark[0]
+        sf = spark.createDataFrame([(r,) for r in rules],
+                                   "suffix string")
+        hs = spark.createDataFrame([(h,) for h in hosts], "h string")
+        got = {r["host"]: r["registered_domain"]
+               for r in hostgraph.registered_domains(
+                   hs, "h", sf).collect()}
+        exp = {h: _psl_reference(h, rules) for h in hosts}
         assert got == exp
 
     _hyp_spark = [None]
