@@ -73,7 +73,8 @@ def pagerank(edges: DataFrame, src: str, dst: str,
              rank_digits: int | None = None,
              materialize: bool = True,
              tol: float | None = None,
-             redistribute_dangling: bool = False) -> DataFrame:
+             redistribute_dangling: bool = False,
+             broadcast_ranks: bool | None = None) -> DataFrame:
     """Fixed-iteration PageRank over the directed edge list
     ``edges[src, dst]`` (parallel duplicate edges count once per
     occurrence — pre-DISTINCT the list if that is not intended).
@@ -89,7 +90,15 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     ``materialize=True`` — the probe evaluates eagerly, and an
     unmaterialized upstream would re-derive the graph every check).
     ``redistribute_dangling``: conserve dangling-node mass by uniform
-    redistribution instead of dropping it (module docstring)."""
+    redistribution instead of dropping it (module docstring).
+    ``broadcast_ranks``: hint the (node, rank) side of each
+    iteration's join broadcast, removing the edge-side exchange
+    entirely — measured ~11% at sf0.1 and a bigger first-iteration
+    win (BASELINE.md round-11). The rank table is ONE ROW PER NODE,
+    so this is only sane on node-bounded graphs (host graphs, entity
+    graphs); default ``None`` auto-enables when the bounded node
+    probe reads ≤ 1M — page-level graphs fall back to the shuffle
+    plan, where AQE may still convert at runtime."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if not 0.0 < damping < 1.0:
@@ -137,11 +146,14 @@ def pagerank(edges: DataFrame, src: str, dst: str,
             "node", "left_anti")
         if materialize:
             dangling = dangling.localCheckpoint()
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= 1_000_000
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         _LAST_PR_ITERATIONS = i + 1
+        rside = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (edges
-                    .join(ranks, edges[src] == ranks["node"])
+                    .join(rside, edges[src] == rside["node"])
                     .select(F.col(dst).alias("node"),
                             (F.col("rank") / F.col("__outdeg"))
                             .alias("__contrib"))
