@@ -135,6 +135,26 @@ def test_link_extraction_is_a_narrow_projection(spark):
         assert "Exchange" not in plan, plan
 
 
+def test_is_noindex_meta_tag(spark):
+    """Both attribute orders, case/whitespace noise, noindex among
+    other directives; non-robots metas and NULL bodies are false."""
+    rows = [
+        (b'<META NAME="robots" CONTENT="NOINDEX">', True),
+        (b"<meta name='robots' content='nofollow, noindex'>", True),
+        (b'<meta content="noindex" name="robots">', True),
+        (b'<meta  name = "robots"  content = "none-noindexy">', True),
+        (b'<meta name="robots" content="nofollow">', False),
+        (b'<meta name="viewport" content="noindex">', False),
+        (b'plain text noindex', False),
+        (None, False),
+    ]
+    df = spark.createDataFrame([(b,) for b, _ in rows], "body binary")
+    got = [r["x"] for r in
+           df.select(hostgraph.is_noindex(F.col("body"))
+                     .alias("x")).collect()]
+    assert got == [e for _, e in rows]
+
+
 def test_registered_domains_longest_suffix_wins(spark):
     """PSL core algorithm: longest matching rule wins; registered
     domain = rule + one label; a host that IS a rule, or matches no
@@ -315,11 +335,15 @@ try:
             return None                   # host IS a public suffix
         return ".".join(labels[n - k - 1:])
 
+    # exact / wildcard / exception — never a wildcard-exception
+    # ("!*.x"): the published PSL's exception rules are concrete
+    # hostnames, and registered_domains documents matching them as
+    # such
     _rule = st.builds(
-        lambda bang, star, labels: (
-            bang + ".".join((["*"] if star else []) + labels)),
-        bang=st.sampled_from(["", "!"]),
-        star=st.booleans(),
+        lambda kind, labels: (
+            {"exact": "", "exc": "!"}.get(kind, "")
+            + ("*." if kind == "wild" else "") + ".".join(labels)),
+        kind=st.sampled_from(["exact", "wild", "exc"]),
         labels=st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
                         min_size=1, max_size=2))
     _host = st.builds(

@@ -161,6 +161,28 @@ def host_link_graph(records: DataFrame, uri_col: str = "target_uri",
             .distinct())
 
 
+_NOINDEX_META = (r'(?is)<meta\s[^>]*name\s*=\s*["\']robots["\'][^>]*'
+                 r'content\s*=\s*["\'][^"\']*noindex')
+_NOINDEX_META_REV = (r'(?is)<meta\s[^>]*content\s*=\s*["\'][^"\']*'
+                     r'noindex[^"\']*["\'][^>]*name\s*=\s*["\']'
+                     r'robots["\']')
+
+
+def is_noindex(body: Column) -> Column:
+    """True when an HTML body opts out of indexing via
+    ``<meta name="robots" content="… noindex …">`` (either attribute
+    order; REP meta-tag spec as standardized in RFC 9309's companion
+    usage). Archive curation drops these — the publisher asked not
+    to be indexed, and a corpus is an index. NULL-safe (NULL body →
+    false). One regexp over the body the scan already carries; pair
+    with the F6 quarantine discipline rather than silent drops:
+    ``records.withColumn("noindex", is_noindex(...))`` keeps the
+    audit count."""
+    s = body.cast("string")
+    return F.coalesce(s.rlike(_NOINDEX_META)
+                      | s.rlike(_NOINDEX_META_REV), F.lit(False))
+
+
 def registered_domains(hosts: DataFrame, host_col: str,
                        suffixes: DataFrame,
                        suffix_col: str = "suffix") -> DataFrame:
@@ -172,7 +194,9 @@ def registered_domains(hosts: DataFrame, host_col: str,
     (`!www.ck` — the exception itself is registrable and overrides
     any wildcard); the prevailing rule is an exception if one
     matches, else the matching rule with the most labels; registered
-    domain = public suffix plus one more host label.
+    domain = public suffix plus one more host label. Exception rules
+    are matched as the concrete hostnames they are in the published
+    list (a hypothetical wildcard-exception `!*.x` is unsupported).
 
     Returns a `(host, registered_domain)` mapping over the DISTINCT
     hosts of ``hosts[host_col]`` — join it back to fact rows (the
