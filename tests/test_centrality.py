@@ -91,6 +91,19 @@ def test_duplicate_and_null_edges_ignored(spark):
     assert out == {0: 0.0, 1: 1.0}
 
 
+def test_empty_and_all_null_edge_lists_return_empty_frames(spark):
+    for rows in ([], [(None, 1), (2, None)]):
+        df = spark.createDataFrame(rows, "src long, dst long")
+        exact = centrality.harmonic_centrality(df, "src", "dst",
+                                               radius=3)
+        assert exact.columns == ["node", "harmonic"]
+        assert exact.count() == 0
+        est = centrality.harmonic_centrality_sketch(df, "src", "dst",
+                                                    radius=2)
+        assert est.columns == ["node", "harmonic_est"]
+        assert est.count() == 0
+
+
 def test_validation(spark):
     e = _edges(spark, [(0, 1)])
     with pytest.raises(ValueError, match="radius"):
