@@ -142,7 +142,12 @@ def test_is_noindex_meta_tag(spark):
         (b'<META NAME="robots" CONTENT="NOINDEX">', True),
         (b"<meta name='robots' content='nofollow, noindex'>", True),
         (b'<meta content="noindex" name="robots">', True),
-        (b'<meta  name = "robots"  content = "none-noindexy">', True),
+        (b'<meta name="robots" content="noindex, nofollow">', True),
+        (b'<meta name="robots" content=" noindex ">', True),
+        # REP directives are TOKENS: substrings of other tokens are
+        # not directives (the review's noindexifier class)
+        (b'<meta  name = "robots"  content = "none-noindexy">', False),
+        (b'<meta name="robots" content="noindexifier">', False),
         (b'<meta name="robots" content="nofollow">', False),
         (b'<meta name="viewport" content="noindex">', False),
         (b'plain text noindex', False),
@@ -218,6 +223,35 @@ def test_canonical_host_adversarial_authorities(spark):
              ("HTTP://[2001:DB8::1]/x", "[2001:db8::1]")]
     got = _hosts(spark, [u for u, _ in cases])
     assert got == [h for _, h in cases]
+
+
+def test_data_href_attributes_are_not_links(spark):
+    """r11 review finding: data-href / xlink:href must not shadow the
+    real href or mint phantom edges — the attribute NAME needs a
+    boundary."""
+    body = ('<a data-href="http://tracker.evil/x" href="/contact">c</a>'
+            '<link xlink:href="http://cdn.example/s.css">')
+    recs = _records(spark, [("http://a.com/p", body)])
+    links = [(r["src_host"], r["dst_host"])
+             for r in hostgraph.extract_link_hosts(recs).collect()]
+    assert links == [("a.com", "a.com")]  # the real relative href only
+    anchors = [(r["dst_host"], r["anchor"])
+               for r in hostgraph.extract_anchor_texts(recs).collect()]
+    assert anchors == [("a.com", "c")]
+
+
+def test_whitespace_padded_and_malformed_authority_hrefs(spark):
+    """r11 review finding: ' http://real.com/x ' (padded inside the
+    quotes) must resolve to real.com, not collapse to a self-loop;
+    an authority marker with an unparseable host must be NULL, never
+    the page's host."""
+    df = spark.createDataFrame(
+        [(" http://real.com/x ",), ("//",), ("http://:80/x",),
+         ("http:///p",), ("\t/rel\n",)], "href string")
+    out = [r["h"] for r in df.select(
+        hostgraph.resolve_link_host(F.col("href"), F.lit("base.com"))
+        .alias("h")).collect()]
+    assert out == ["real.com", None, None, None, "base.com"]
 
 
 def test_extract_links_null_and_linkless_bodies(spark):

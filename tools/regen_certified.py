@@ -101,7 +101,8 @@ def real_fn(f):
 
 def fp(spec):
     src = inspect.getsource(real_fn(spec.spark))
-    for h in ("_spread", "_parse_bytes"):
+    for h in ("_spread", "_parse_bytes",
+              "_host_fixture_records", "_host_edges"):
         helper = getattr(registry, h, None)
         if helper is not None and f"{h}(" in src:
             src += inspect.getsource(helper)

@@ -64,7 +64,10 @@ def harmonic_centrality(edges: DataFrame, src: str, dst: str,
     NULL-endpoint edges drop; parallel duplicates are harmless (the
     frontier is distinct). One shuffle per BFS round plus the final
     aggregation; stops early when a round adds no new pairs (bounded
-    1-scalar driver probe per round)."""
+    1-scalar driver probe per round — only under the default
+    ``materialize=True``: with an un-checkpointed lineage each probe
+    would re-execute every prior round, so ``materialize=False``
+    skips the probe and runs all ``radius`` rounds lazily)."""
     if radius < 1:
         raise ValueError("radius must be >= 1")
     require_free_columns("harmonic_centrality", edges.columns, _WORKING)
@@ -96,8 +99,8 @@ def harmonic_centrality(edges: DataFrame, src: str, dst: str,
                      "left_anti"))
         if materialize:
             nxt = nxt.localCheckpoint()
-        if nxt.isEmpty():  # bounded probe: one boolean per round
-            break
+            if nxt.isEmpty():  # bounded probe: one boolean per round
+                break
         _LAST_HC_ROUNDS = t
         seen = seen.union(nxt.withColumn("__dist", F.lit(t)))
         frontier = nxt
@@ -167,13 +170,13 @@ def harmonic_centrality_sketch(edges: DataFrame, src: str, dst: str,
     def estimate(r: DataFrame) -> DataFrame:
         """HLL estimate per node from its (sparse) register rows:
         absent registers contribute 2^0 = 1 to the harmonic-mean sum
-        and count as zeros for the linear-counting correction."""
+        and ARE the zero registers for the linear-counting correction
+        (_rho never returns 0 — a present register is always >= 1, so
+        zeros == m - row_count exactly)."""
         agg = r.groupBy("node").agg(
             F.sum(F.pow(F.lit(2.0), -F.col("__val"))).alias("__s"),
-            F.count(F.lit(1)).alias("__nz"),
-            F.sum(F.when(F.col("__val") == 0, 1).otherwise(0))
-             .alias("__z0"))
-        zeros = (F.lit(m) - F.col("__nz")) + F.col("__z0")
+            F.count(F.lit(1)).alias("__nz"))
+        zeros = F.lit(m) - F.col("__nz")
         raw = F.lit(alpha * m * m) / (F.col("__s")
                                       + (F.lit(m) - F.col("__nz")))
         est = F.when((raw <= 2.5 * m) & (zeros > 0),

@@ -55,6 +55,10 @@ _AUTHORITY_HOST = (r'^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//(?:[^/?#]*@)?'
                    r'(\[[^\]]*\]|[^/?#:@\[]+)')
 # a scheme followed by anything BUT "//": no authority, no host
 _SCHEME_NO_AUTHORITY = r'^[A-Za-z][A-Za-z0-9+.\-]*:(?!//)'
+# the reference CLAIMS an authority (leading "//", scheme optional) —
+# used to distinguish "authority present but host unparseable" (no
+# host to land on -> NULL) from a path-relative reference (-> base)
+_HAS_AUTHORITY = r'^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//'
 
 
 def canonical_host(url: Column) -> Column:
@@ -69,17 +73,26 @@ def canonical_host(url: Column) -> Column:
 
 def resolve_link_host(href: Column, base_host: Column) -> Column:
     """Host a link reference lands on, per RFC 3986 §5 reduced to the
-    host level: own authority wins; scheme-without-authority is NULL
-    (no host to land on); everything else — path-relative, query,
-    fragment — resolves to the page's host."""
-    own = canonical_host(href)
-    return F.when(own.isNotNull(), own).otherwise(
-        F.when(~href.rlike(_SCHEME_NO_AUTHORITY), base_host))
+    host level: own authority wins; scheme-without-authority
+    (mailto:, javascript:) is NULL; an authority marker with an
+    unparseable host (``http://:80/x``, ``//``, ``http:///p``) is
+    also NULL — attributing either to the page would mint self-loop
+    authority out of markup noise; everything else — path-relative,
+    query, fragment — resolves to the page's host. The reference is
+    trimmed first (the URL spec strips leading/trailing whitespace
+    before parsing; real HTML pads hrefs inside the quotes)."""
+    t = F.trim(href)
+    own = canonical_host(t)
+    return (F.when(own.isNotNull(), own)
+            .when(t.rlike(_SCHEME_NO_AUTHORITY)
+                  | t.rlike(_HAS_AUTHORITY), F.lit(None))
+            .otherwise(base_host))
 
 
 def extract_link_hosts(records: DataFrame, uri_col: str = "target_uri",
                        body_col: str = "body",
-                       href_pattern: str = r'(?i)href\s*=\s*"([^"]*)"'
+                       href_pattern: str =
+                       r'(?i)(?<![\w:-])href\s*=\s*"([^"]*)"'
                        ) -> DataFrame:
     """(src_host, dst_host) per link occurrence from HTML bodies:
     hrefs via ``regexp_extract_all`` (JVM regex, one narrow projection
@@ -105,7 +118,11 @@ def extract_link_hosts(records: DataFrame, uri_col: str = "target_uri",
                     .alias("dst_host")))
 
 
-_ANCHOR_TAG = r'(?i)<a\s[^>]*href\s*=\s*"[^"]*"[^>]*>[^<]*</a>'
+# (?<![\w:-]) guards the attribute NAME: data-href / xlink:href must
+# not be captured as links (they would shadow the real href or mint
+# phantom edges into the authority graph)
+_ANCHOR_TAG = (r'(?i)<a\s[^>]*(?<![\w:-])href\s*=\s*"[^"]*"[^>]*>'
+               r'[^<]*</a>')
 
 
 def extract_anchor_texts(records: DataFrame,
@@ -130,8 +147,8 @@ def extract_anchor_texts(records: DataFrame,
     base = canonical_host(F.col(uri_col))
     tag = F.explode(F.regexp_extract_all(
         F.col(body_col).cast("string"), F.lit(_ANCHOR_TAG), F.lit(0)))
-    href = F.regexp_extract(F.col("__tag"), r'(?i)href\s*=\s*"([^"]*)"',
-                            1)
+    href = F.regexp_extract(F.col("__tag"),
+                            r'(?i)(?<![\w:-])href\s*=\s*"([^"]*)"', 1)
     anchor = F.regexp_extract(F.col("__tag"), r">([^<]*)</", 1)
     anchor = F.lower(F.trim(F.regexp_replace(anchor, r"\s+", " ")))
     return (records
@@ -161,11 +178,16 @@ def host_link_graph(records: DataFrame, uri_col: str = "target_uri",
             .distinct())
 
 
+# REP directives are comma-separated tokens: 'noindex' must match as
+# a whole token (value start / comma / whitespace on both sides), not
+# as a substring of another directive ('noindexifier')
+_NOINDEX_VALUE = (r'["\'](?:[^"\']*[\s,])?noindex(?=[\s,"\'])'
+                  r'[^"\']*["\']')
 _NOINDEX_META = (r'(?is)<meta\s[^>]*name\s*=\s*["\']robots["\'][^>]*'
-                 r'content\s*=\s*["\'][^"\']*noindex')
-_NOINDEX_META_REV = (r'(?is)<meta\s[^>]*content\s*=\s*["\'][^"\']*'
-                     r'noindex[^"\']*["\'][^>]*name\s*=\s*["\']'
-                     r'robots["\']')
+                 r'content\s*=\s*' + _NOINDEX_VALUE)
+_NOINDEX_META_REV = (r'(?is)<meta\s[^>]*content\s*=\s*'
+                     + _NOINDEX_VALUE +
+                     r'[^>]*name\s*=\s*["\']robots["\']')
 
 
 def is_noindex(body: Column) -> Column:

@@ -36,6 +36,18 @@ from ._contracts import require_free_columns
 _RESERVED = ("__u", "__wkey")
 
 
+def _ares_key(id_col: str, weight_col: str, round_digits: int):
+    """Efraimidis–Spirakis A-Res rank key, RNG-free: u is a
+    hash-uniform of the (unique) id — md5's first 8 hex digits over
+    2^32, exact in any engine (power-of-two divisor) — and the key
+    orders by ln(u)/w; ln's last-ulp engine disagreement is absorbed
+    by the rounding. ONE definition shared by the grouped and global
+    forms (the copy-paste-drift lesson of _contracts.py)."""
+    u = ((F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                 16, 10).cast("bigint") + 1) / F.lit(4294967296.0))
+    return F.round(F.log(u) / F.col(weight_col), round_digits)
+
+
 def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
                          k: int, group_cols: list[str] | None = None,
                          round_digits: int = 12) -> DataFrame:
@@ -55,12 +67,10 @@ def weighted_sample_topk(df: DataFrame, id_col: str, weight_col: str,
                          ("sample_key", "sample_rank"), kind="output")
     if k < 1:
         raise ValueError("k must be >= 1")
-    u = ((F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                 16, 10).cast("bigint") + 1) / F.lit(4294967296.0))
-    key = F.round(F.log(u) / F.col(weight_col), round_digits)
     out = (df.filter(F.col(weight_col).isNotNull()
                      & (F.col(weight_col) > 0))
-             .withColumn("__wkey", key))
+             .withColumn("__wkey",
+                         _ares_key(id_col, weight_col, round_digits)))
     w = (Window.partitionBy(*group_cols) if group_cols
          else Window.partitionBy())
     w = w.orderBy(F.col("__wkey").desc(), F.col(id_col))
@@ -83,17 +93,13 @@ def weighted_sample_global(df: DataFrame, id_col: str, weight_col: str,
     ``id_col``, NULL/non-positive weights excluded, deterministic
     doc-id tiebreak."""
     require_free_columns("weighted_sample_global", df.columns,
-                         _RESERVED)
-    require_free_columns("weighted_sample_global", df.columns,
                          ("sample_key", "sample_rank"), kind="output")
     if k < 1:
         raise ValueError("k must be >= 1")
-    u = ((F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                 16, 10).cast("bigint") + 1) / F.lit(4294967296.0))
-    key = F.round(F.log(u) / F.col(weight_col), round_digits)
     out = (df.filter(F.col(weight_col).isNotNull()
                      & (F.col(weight_col) > 0))
-             .withColumn("sample_key", key)
+             .withColumn("sample_key",
+                         _ares_key(id_col, weight_col, round_digits))
              .orderBy(F.col("sample_key").desc(), F.col(id_col))
              .limit(k))
     w = Window.orderBy(F.col("sample_key").desc(), F.col(id_col))

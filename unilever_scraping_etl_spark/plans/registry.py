@@ -4830,6 +4830,43 @@ def archive_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'02_lang_en', c2, '03_exact_deduped', c3) AS (stage, n_docs)"))
 
 
+def _host_fixture_records(spark: SparkSession, sf_dir: str,
+                          prefix: str) -> DataFrame:
+    """Shared preamble of the five host-graph queries (host_rank,
+    host_harmonic, host_harmonic_sketch, authority_sample,
+    anchor_text): serialize the documents table into the
+    deterministic linked archive and read it back through the engine
+    WARC path, parse-ok records only. ONE definition — a drift in the
+    fixture contract (n_hosts, link formula) would otherwise need
+    five synchronized edits to keep every oracle's analytic rebuild
+    honest. Listed in _REGISTRY_HELPERS so each query's certification
+    fingerprint tracks this source."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import hostgraph
+    from ..sources import warc
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()).select("doc_id"))
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    hostgraph.fixture_linked_archive(docs, "doc_id", tmp)
+    return warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
+
+
+def _host_edges(records: DataFrame) -> DataFrame:
+    """Distinct host->host edges renamed to pagerank/centrality's
+    (src, dst) convention — the other shared tail of the host-graph
+    preamble."""
+    from ..operators import hostgraph
+
+    return (hostgraph.host_link_graph(records)
+            .withColumnRenamed("src_host", "src")
+            .withColumnRenamed("dst_host", "dst"))
+
+
 _HOST_EDGES_CTE = """docs AS (
     SELECT doc_id FROM documents WHERE text IS NOT NULL),
 raw AS (
@@ -4866,22 +4903,8 @@ edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)"""
        "per-file archive parallelism, a distinct-shuffle down to the "
        "(tiny) host graph, then join+agg iterations over hosts only.")
 def host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
-    import shutil
-    import tempfile
-
-    from ..operators import hostgraph
-    from ..sources import warc
-
-    docs = (_t(spark, sf_dir, "documents")
-            .filter(F.col("text").isNotNull()).select("doc_id"))
-    tmp = tempfile.mkdtemp(prefix="spark_hostrank_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    hostgraph.fixture_linked_archive(docs, "doc_id", tmp)
-    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
-    edges = (hostgraph.host_link_graph(records)
-             .withColumnRenamed("src_host", "src")
-             .withColumnRenamed("dst_host", "dst"))
+    edges = _host_edges(_host_fixture_records(spark, sf_dir,
+                                              "spark_hostrank_"))
     return graph.pagerank(edges, "src", "dst", iterations=5,
                           rank_digits=9)
 
@@ -4927,22 +4950,10 @@ FROM nodes LEFT JOIN h ON nodes.node = h.node
        "Exact pair expansion is the HOST-graph tool; the HyperBall "
        "sketch twin (host_harmonic_sketch) is the page-scale path.")
 def host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
-    import shutil
-    import tempfile
+    from ..operators import centrality
 
-    from ..operators import centrality, hostgraph
-    from ..sources import warc
-
-    docs = (_t(spark, sf_dir, "documents")
-            .filter(F.col("text").isNotNull()).select("doc_id"))
-    tmp = tempfile.mkdtemp(prefix="spark_hharm_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    hostgraph.fixture_linked_archive(docs, "doc_id", tmp)
-    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
-    edges = (hostgraph.host_link_graph(records)
-             .withColumnRenamed("src_host", "src")
-             .withColumnRenamed("dst_host", "dst"))
+    edges = _host_edges(_host_fixture_records(spark, sf_dir,
+                                              "spark_hharm_"))
     return centrality.harmonic_centrality(edges, "src", "dst", radius=3)
 
 
@@ -4959,22 +4970,10 @@ def host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
        "accuracy vs the exact twin is property-tested in "
        "tests/test_centrality.py.")
 def host_harmonic_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
-    import shutil
-    import tempfile
+    from ..operators import centrality
 
-    from ..operators import centrality, hostgraph
-    from ..sources import warc
-
-    docs = (_t(spark, sf_dir, "documents")
-            .filter(F.col("text").isNotNull()).select("doc_id"))
-    tmp = tempfile.mkdtemp(prefix="spark_hharms_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    hostgraph.fixture_linked_archive(docs, "doc_id", tmp)
-    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
-    edges = (hostgraph.host_link_graph(records)
-             .withColumnRenamed("src_host", "src")
-             .withColumnRenamed("dst_host", "dst"))
+    edges = _host_edges(_host_fixture_records(spark, sf_dir,
+                                              "spark_hharms_"))
     return centrality.harmonic_centrality_sketch(edges, "src", "dst",
                                                  radius=3, p=6)
 
@@ -5024,24 +5023,11 @@ FROM r WHERE rk <= 10
        "archive->graph->rank->weight->sample lattice is hash-checked "
        "end to end.")
 def authority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
-    import shutil
-    import tempfile
-
     from ..operators import hostgraph, sampling
-    from ..sources import warc
 
-    docs = (_t(spark, sf_dir, "documents")
-            .filter(F.col("text").isNotNull()).select("doc_id"))
-    tmp = tempfile.mkdtemp(prefix="spark_authsample_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    hostgraph.fixture_linked_archive(docs, "doc_id", tmp)
-    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
-    edges = (hostgraph.host_link_graph(records)
-             .withColumnRenamed("src_host", "src")
-             .withColumnRenamed("dst_host", "dst"))
-    ranks = graph.pagerank(edges, "src", "dst", iterations=5,
-                           rank_digits=9)
+    records = _host_fixture_records(spark, sf_dir, "spark_authsample_")
+    ranks = graph.pagerank(_host_edges(records), "src", "dst",
+                           iterations=5, rank_digits=9)
     pages = records.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
          .cast("bigint").alias("doc_id"),
@@ -5088,19 +5074,9 @@ FROM x GROUP BY dst, anchor
          "link formula; one mis-parsed tag or un-normalized anchor "
          "shifts a count and fails the hash.")
 def anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
-    import shutil
-    import tempfile
-
     from ..operators import hostgraph
-    from ..sources import warc
 
-    docs = (_t(spark, sf_dir, "documents")
-            .filter(F.col("text").isNotNull()).select("doc_id"))
-    tmp = tempfile.mkdtemp(prefix="spark_anchors_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    hostgraph.fixture_linked_archive(docs, "doc_id", tmp)
-    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
+    records = _host_fixture_records(spark, sf_dir, "spark_anchors_")
     ank = hostgraph.extract_anchor_texts(records)
     return (ank.filter(F.col("dst_host").isNotNull()
                        & (F.col("src_host") != F.col("dst_host")))
@@ -5466,7 +5442,8 @@ def _deps_of(src: str, mods: dict[str, str]) -> set[str]:
     return out
 
 
-_REGISTRY_HELPERS = ("_spread", "_parse_bytes")
+_REGISTRY_HELPERS = ("_spread", "_parse_bytes",
+                     "_host_fixture_records", "_host_edges")
 
 # Module sources are immutable within a process, and _ordered()/
 # _cert_round() fingerprint every query several times per listing —
