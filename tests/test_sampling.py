@@ -97,3 +97,28 @@ def test_global_sample_plans_distributed_topk(spark):
     plan = (sampling.weighted_sample_topk(df, "doc_id", "w", 5)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_global_form_equals_ungrouped_topk(spark):
+    """weighted_sample_global and the ungrouped weighted_sample_topk
+    share one _ares_key definition and MUST pick the identical row
+    set with identical keys and ranks — the invariant the r11
+    deduplication exists to protect."""
+    rows = [(i, 1 + (i * 7) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = sorted(map(tuple, sampling.weighted_sample_global(
+        df, "doc_id", "w", 9)
+        .select("doc_id", "sample_key", "sample_rank").collect()))
+    b = sorted(map(tuple, sampling.weighted_sample_topk(
+        df, "doc_id", "w", 9)
+        .select("doc_id", "sample_key", "sample_rank").collect()))
+    assert a == b
+
+
+def test_global_form_guards(spark):
+    df = spark.createDataFrame([(1, 2)], "doc_id long, w long")
+    with pytest.raises(ValueError, match="k must be"):
+        sampling.weighted_sample_global(df, "doc_id", "w", 0)
+    with pytest.raises(ValueError, match="reserved"):
+        sampling.weighted_sample_global(
+            df.withColumn("sample_key", F.lit(1)), "doc_id", "w", 1)
