@@ -140,6 +140,50 @@ def test_sketch_tracks_exact_on_a_real_graph(spark):
     assert 0 in top
 
 
+def test_sketch_tracks_exact_across_precisions(spark):
+    """r12 advice (high): _rho's leading-zero window must track p —
+    a fixed p=6 window scales ball estimates by ~2^(p−6) for any
+    other p. Same 60-node graph as the p=6 test, run at p=8 and
+    p=10: totals must track exact within the (tighter) HLL envelope,
+    and the estimate must IMPROVE or hold as p grows rather than
+    blow up 4×/16×."""
+    pairs = [(i, (i * 7 + 1) % 60) for i in range(60)]
+    pairs += [(i, (i * 3 + 2) % 60) for i in range(60)]
+    pairs += [(i, 0) for i in range(1, 20)]
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    t_exact = sum(r["harmonic"]
+                  for r in centrality.harmonic_centrality(
+                      e, "src", "dst", radius=3).collect())
+    for p, rel in ((8, 0.15), (10, 0.12)):
+        est = centrality.harmonic_centrality_sketch(
+            e, "src", "dst", radius=3, p=p)
+        t_est = sum(r["harmonic_est"] for r in est.collect())
+        assert t_est == pytest.approx(t_exact, rel=rel), f"p={p}"
+
+
+def test_rho_window_tracks_p(spark):
+    """The register value for a node hash equals the python-computed
+    1 + leading-zeros of the top (64−p) bits, for every supported
+    p — pins the 65−p window arithmetic directly."""
+    import ctypes
+
+    from unilever_scraping_etl_spark.operators.centrality import _rho
+
+    nodes = [f"n{i}" for i in range(12)]
+    df = spark.createDataFrame([(n,) for n in nodes], "node string")
+    for p in (4, 6, 8, 12):
+        h = F.xxhash64(F.col("node").cast("string"))
+        got = {r["node"]: r["v"] for r in df.select(
+            "node",
+            _rho(F.shiftrightunsigned(h, p), p).alias("v")).collect()}
+        for r in df.select(
+                "node", F.xxhash64(F.col("node").cast("string"))
+                .alias("h")).collect():
+            x = ctypes.c_uint64(r["h"]).value >> p
+            exp = (65 - p) if x == 0 else (65 - p - x.bit_length())
+            assert got[r["node"]] == exp, (p, r["node"])
+
+
 def test_sketch_is_deterministic(spark):
     pairs = [(i, (i + 1) % 9) for i in range(9)] + [(0, 5), (3, 7)]
     e = _edges(spark, pairs)

@@ -152,6 +152,15 @@ def test_is_noindex_meta_tag(spark):
         (b'<meta name="viewport" content="noindex">', False),
         (b'plain text noindex', False),
         (None, False),
+        # r12 advice: the attribute NAME needs a boundary — an
+        # attribute merely ENDING in "name"/"content" must not
+        # satisfy the match (itemname="robots" is not a robots meta)
+        (b'<meta itemname="robots" content="noindex">', False),
+        (b'<meta content="noindex" itemname="robots">', False),
+        (b'<meta name="robots" data-content="noindex">', False),
+        (b'<meta data-name="robots" content="noindex">', False),
+        # ...while a preceding attribute must not unseat a REAL match
+        (b'<meta itemprop="x" name="robots" content="noindex">', True),
     ]
     df = spark.createDataFrame([(b,) for b, _ in rows], "body binary")
     got = [r["x"] for r in
@@ -220,7 +229,19 @@ def test_canonical_host_adversarial_authorities(spark):
     cases = [("http://:80/x", None), ("http:///path", None),
              ("//", None), ("http://@/p", None),
              ("http://@host.com/p", "host.com"),
-             ("HTTP://[2001:DB8::1]/x", "[2001:db8::1]")]
+             ("HTTP://[2001:DB8::1]/x", "[2001:db8::1]"),
+             # r12 advice: userinfo with an EMPTY host must not
+             # backtrack into reading the userinfo as the host
+             ("http://user@:8080/x", None),
+             ("http://user@:80/x", None),
+             ("http://user@/path", None),
+             ("http://u@", None),
+             ("http://a@b@", None),
+             ("http://a.com@", None),
+             # whitespace rule now lives IN canonical_host (r11
+             # verdict nit): padded page URIs keep their host
+             (" http://pad.com/x ", "pad.com"),
+             ("\thttp://tab.com/y\n", "tab.com")]
     got = _hosts(spark, [u for u, _ in cases])
     assert got == [h for _, h in cases]
 
@@ -316,26 +337,39 @@ try:
     from hypothesis import strategies as st
 
     _label = st.text(alphabet="abcXY09-", min_size=1, max_size=6)
+    # min_size=0 labels → EMPTY host (r12 advice: userinfo with an
+    # empty host backtracked into a phantom host); pad → the URL
+    # spec's whitespace rule (strip ends, remove tab/newline anywhere)
     _urls = st.builds(
-        lambda scheme, user, labels, port, path, dot: (
-            f"{scheme}://{user}{'.'.join(labels)}{dot}{port}{path}"),
+        lambda scheme, user, labels, port, path, dot, pad: (
+            f"{pad}{scheme}://{user}{'.'.join(labels)}{dot}{port}"
+            f"{path}{pad}"),
         scheme=st.sampled_from(["http", "HTTP", "https", "ftp"]),
         user=st.sampled_from(["", "u@", "u:p@", "@", "a@b@"]),
-        labels=st.lists(_label, min_size=1, max_size=3),
+        labels=st.lists(_label, min_size=0, max_size=3),
         port=st.sampled_from(["", ":80", ":8080"]),
         path=st.sampled_from(["", "/", "/a/b?q=1#f"]),
-        dot=st.sampled_from(["", "."]))
+        dot=st.sampled_from(["", ".", "\t."]),
+        pad=st.sampled_from(["", " ", "\t", "\n", " \t"]))
 
     @settings(max_examples=15, deadline=None)
     @given(st.lists(_urls, min_size=1, max_size=8))
     def test_canonical_host_matches_urllib_reference(urls):
         """canonical_host vs the stdlib: urlsplit's hostname is
         already lowercased, port/userinfo-stripped; the trailing-dot
-        strip is the one extra RFC 6.2.3 step we apply on top."""
+        strip is the one extra RFC 6.2.3 step we apply on top. The
+        WHATWG whitespace rule is applied identically on both sides
+        first: urlsplit itself removes tab/newline anywhere but only
+        strips LEADING spaces ('http://a ' keeps the trailing space
+        in the netloc), whereas the URL spec — and _clean_ref —
+        strips both ends; the parser comparison is on the cleaned
+        reference."""
+        import re
         from urllib.parse import urlsplit
 
         spark = _hyp_spark[0]
-        exp = [(urlsplit(u).hostname or "").rstrip(".") or None
+        exp = [(urlsplit(re.sub(r"[\t\n\r]", "", u).strip(" "))
+                .hostname or "").rstrip(".") or None
                for u in urls]
         got = _hosts(spark, urls)
         assert got == exp

