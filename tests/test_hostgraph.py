@@ -122,6 +122,42 @@ def test_fixture_round_trip_matches_formula(spark, tmp_path):
     assert got == sorted(exp)
 
 
+def test_anchor_fixture_round_trip_matches_formula(spark, tmp_path):
+    """The anchor archive read back through the engine anchor path
+    must yield EXACTLY the analytic (src, dst, anchor) set — the
+    property the anchor_retrieval oracle's query derivation depends
+    on: anchors normalize to 'W[d%8] W[(d//8)%8]', the self link and
+    the mailto drop out of the cross-host corpus."""
+    from unilever_scraping_etl_spark.sources import warc
+
+    ids = list(range(41))
+    docs = spark.createDataFrame([(d,) for d in ids], "doc_id long")
+    hostgraph.fixture_anchor_archive(docs, "doc_id", str(tmp_path),
+                                     n_hosts=9, n_files=3)
+    recs = warc.read_warc(spark, str(tmp_path)).filter(F.col("parse_ok"))
+    ank = hostgraph.extract_anchor_texts(recs)
+    got = sorted(map(tuple, ank.filter(
+        F.col("dst_host").isNotNull()
+        & (F.col("src_host") != F.col("dst_host"))).distinct()
+        .collect()))
+    W = hostgraph._ANCHOR_VOCAB
+
+    def h(k):
+        return f"h{k}.corpus.local"
+
+    exp = {(h(d % 9), h((7 * d + 1) % 9),
+            f"{W[d % 8]} {W[(d // 8) % 8]}")
+           for d in ids if (7 * d + 1) % 9 != d % 9}
+    assert got == sorted(exp)
+    # the full corpus (pre-filter) also carries the self link's
+    # anchor on the page host and a NULL-host mailto row
+    full = ank.collect()
+    assert any(r["anchor"] == "self"
+               and r["dst_host"] == r["src_host"] for r in full)
+    assert any(r["dst_host"] is None and r["anchor"] == "noise"
+               for r in full)
+
+
 def test_link_extraction_is_a_narrow_projection(spark):
     """100 TB posture pin: href/anchor extraction must be a pure
     projection + explode — NO shuffle. The body is read once per
@@ -238,6 +274,13 @@ def test_canonical_host_adversarial_authorities(spark):
              ("http://u@", None),
              ("http://a@b@", None),
              ("http://a.com@", None),
+             # ':' doubles as the port marker, so the empty-host
+             # check must also scan the REST of the authority for '@'
+             ("http://u:p@", None),
+             ("http://u:p@h.net/x", "h.net"),
+             # '@' in query/path is legal and must NOT void the host
+             ("http://h.com/p?user=@x", "h.com"),
+             ("http://h.com:80?a@b", "h.com"),
              # whitespace rule now lives IN canonical_host (r11
              # verdict nit): padded page URIs keep their host
              (" http://pad.com/x ", "pad.com"),

@@ -51,15 +51,19 @@ _WORKING = ("__href", "__tag")
 # the host class so a bare-"@" authority cannot backtrack into a
 # phantom '@' host), then either a bracketed IPv6 literal or a
 # reg-name/IPv4 (stops at port ":", path "/", query "?", fragment "#").
-# The trailing lookahead pins what may FOLLOW the host (port, path,
-# query, fragment, or end): without it, a userinfo-with-empty-host
-# reference ("http://user@:8080/x", "http://user@/p") backtracks out
-# of the userinfo branch and re-reads "user" as the host — a phantom
-# host minting phantom authority edges (r11 advice). With the
-# lookahead the host can never be followed by "@", so the skipped
-# userinfo path fails and the whole match (correctly) yields NULL.
+# The trailing lookaheads pin what may FOLLOW the host: (a) the next
+# char is a port/path/query/fragment delimiter or end, and (b) no "@"
+# remains anywhere later in the AUTHORITY ([^/?#]* cannot cross into
+# the path, where "@" is legal). Without them, a userinfo-with-empty-
+# host reference backtracks out of the userinfo branch and re-reads
+# the userinfo as the host — "http://user@:8080/x" minted host
+# 'user' (r11 advice), and "http://u:p@" minted 'u' past lookahead
+# (a) alone because ":" doubles as the port marker (caught by the
+# r12 hypothesis sweep). With both, every skipped-userinfo parse
+# fails and the reference (correctly) yields NULL.
 _AUTHORITY_HOST = (r'^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//(?:[^/?#]*@)?'
-                   r'(\[[^\]]*\]|[^/?#:@\[]+)(?=[:/?#]|$)')
+                   r'(\[[^\]]*\]|[^/?#:@\[]+)(?=[:/?#]|$)'
+                   r'(?![^/?#]*@)')
 # a scheme followed by anything BUT "//": no authority, no host
 _SCHEME_NO_AUTHORITY = r'^[A-Za-z][A-Za-z0-9+.\-]*:(?!//)'
 # the reference CLAIMS an authority (leading "//", scheme optional) —
@@ -311,6 +315,51 @@ def registered_domains(hosts: DataFrame, host_col: str,
            .when(F.col("__norm_i") > 1, tail(F.col("__norm_i") - 1)))
     return (h.join(best, "host", "left")
             .select("host", reg.alias("registered_domain")))
+
+
+_ANCHOR_VOCAB = ("spark", "join", "hash", "table",
+                 "scan", "stream", "window", "data")
+
+
+def fixture_anchor_archive(docs: DataFrame, id_col: str, out_dir: str,
+                           n_hosts: int = 20, n_files: int = 8) -> None:
+    """Fixture half of the anchor→document retrieval oracle
+    (``anchor_retrieval``): like :func:`fixture_linked_archive`, but
+    each page's cross-host link carries a TWO-WORD anchor drawn from
+    ``_ANCHOR_VOCAB`` — words that overlap the documents table's
+    token distribution, so BM25 retrieval over the anchor queries is
+    non-degenerate. Doc ``d`` (served from ``h{d % H}.corpus.local``)
+    links to ``h{(7d+1) % H}`` (never self: ``6d+1`` is odd) with
+    anchor words ``W[d % 8]`` and ``W[(d // 8) % 8]`` rendered with
+    case and whitespace noise (``'SPARK  join'``) that anchor
+    normalization must erase, plus a path-relative self link and a
+    ``mailto:`` that the anchor-corpus filters must drop. The anchor
+    set is thus analytic in doc_id — reproducible in plain SQL, which
+    is what makes the downstream retrieval full-oracle. Driver-side
+    toPandas BY DESIGN: bounded fixture synthesis."""
+    import pathlib
+
+    from unilever_scraping_etl_spark.sources import warc
+
+    pdf = docs.select(id_col).toPandas()
+    groups: dict[int, list[dict]] = {}
+    for did in pdf[id_col]:
+        d = int(did)
+        a = (7 * d + 1) % n_hosts
+        w1 = _ANCHOR_VOCAB[d % 8]
+        w2 = _ANCHOR_VOCAB[(d // 8) % 8]
+        body = (f'<html><body>\n'
+                f'<a href="/local/page/{d}">self</a>\n'
+                f'<a href="http://h{a}.corpus.local/p/{d}">'
+                f'{w1.upper()}  {w2}</a>\n'
+                f'<a href="mailto:ops@corpus.local">noise</a>\n'
+                f'</body></html>').encode("ascii")
+        groups.setdefault(d % n_files, []).append(
+            {"uri": f"http://h{d % n_hosts}.corpus.local/doc/{d}",
+             "body": body})
+    for k, recs in groups.items():
+        (pathlib.Path(out_dir) / f"part{k}.warc.gz").write_bytes(
+            warc.build_warc(recs, compress=True))
 
 
 def fixture_linked_archive(docs: DataFrame, id_col: str, out_dir: str,

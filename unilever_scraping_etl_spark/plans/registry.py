@@ -4978,6 +4978,39 @@ def host_harmonic_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                  radius=3, p=6)
 
 
+_HARMONIC_TARGET_HOSTS = (3, 7, 11, 16, 19)
+
+
+@q("host_harmonic_sample",
+   "SELECT * FROM (" + _harmonic_oracle(3, _HOST_EDGES_CTE) + ") "
+   "WHERE node IN ("
+   + ", ".join(f"'h{k}.corpus.local'" for k in _HARMONIC_TARGET_HOSTS)
+   + ")",
+   doc="Exact truncated harmonic centrality FOR A NODE SAMPLE "
+       "(centrality.harmonic_centrality(targets=...), new r12): the "
+       "pair frontier seeds at the targets' in-edges and expands "
+       "BACKWARD, so the pair table is O(sample x ball) instead of "
+       "O(all reachable pairs) — the tool that produces exact ground "
+       "truth for sketch validation on graphs where the full "
+       "expansion is infeasible (used by tools/stress_hyperball.py "
+       "at 2M nodes, where full exact would be ~300M pairs and the "
+       "40-node sample is ~6k). Same archive -> host-graph path as "
+       "host_harmonic, restricted to 5 of the 20 hosts; the oracle "
+       "is the full unrolled expansion filtered to the same sample, "
+       "so the backward expansion must agree with the forward one "
+       "pair for pair.")
+def host_harmonic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import centrality
+
+    edges = _host_edges(_host_fixture_records(spark, sf_dir,
+                                              "spark_hharmt_"))
+    tgt = spark.createDataFrame(
+        [(f"h{k}.corpus.local",) for k in _HARMONIC_TARGET_HOSTS],
+        "node string")
+    return centrality.harmonic_centrality(edges, "src", "dst",
+                                          radius=3, targets=tgt)
+
+
 def _authority_sample_oracle() -> str:
     chain, last = _pagerank_ctes(5, _HOST_EDGES_CTE)
     return f"""
@@ -5083,6 +5116,272 @@ def anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst_host", "anchor")
             .agg(F.count(F.lit(1)).alias("n_links"),
                  F.count_distinct("src_host").alias("n_src_hosts")))
+
+
+@q("domain_fold", """
+WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS k,
+                  doc_id % 8 AS s
+           FROM documents),
+hosts AS (
+    SELECT DISTINCT CASE s
+        WHEN 0 THEN 'shop' || k || '.com'
+        WHEN 1 THEN 'shop' || k || '.co.uk'
+        WHEN 2 THEN 'a.shop' || k || '.co.uk'
+        WHEN 3 THEN 'shop' || k || '.foo' || k || '.ck'
+        WHEN 4 THEN 'www.ck'
+        WHEN 5 THEN 'x' || k || '.www.ck'
+        WHEN 6 THEN 'localhost'
+        ELSE 'co.uk' END AS host
+    FROM d),
+lab AS (SELECT host, string_split(host, '.') AS ls FROM hosts),
+cand AS (SELECT host, i, array_to_string(ls[i:], '.') AS suffix
+         FROM lab, unnest(generate_series(1, len(ls), 1)) AS t(i)),
+rules(rule) AS (VALUES ('com'), ('uk'), ('co.uk'), ('*.ck'),
+                       ('!www.ck')),
+r2 AS (SELECT CASE WHEN rule LIKE '!%' THEN 'exc'
+                   WHEN rule LIKE '*.%' THEN 'wild'
+                   ELSE 'exact' END AS kind,
+              CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+                   WHEN rule LIKE '*.%' THEN substr(rule, 3)
+                   ELSE rule END AS suffix
+       FROM rules),
+m AS (SELECT host, kind,
+             CASE WHEN kind = 'wild' THEN i - 1 ELSE i END AS i
+      FROM cand JOIN r2 USING (suffix)
+      WHERE kind <> 'wild' OR i >= 2),
+best AS (SELECT host,
+                min(CASE WHEN kind = 'exc' THEN i END) AS exc_i,
+                min(CASE WHEN kind <> 'exc' THEN i END) AS norm_i
+         FROM m GROUP BY host)
+SELECT h.host,
+       CASE WHEN exc_i IS NOT NULL
+            THEN array_to_string(string_split(h.host, '.')[exc_i:], '.')
+            WHEN norm_i > 1
+            THEN array_to_string(string_split(h.host, '.')[norm_i - 1:],
+                                 '.')
+       END AS registered_domain
+FROM hosts h LEFT JOIN best USING (host)
+""", doc="Registered-domain (eTLD+1) folding with FULL "
+         "publicsuffix.org rule semantics (operators/hostgraph."
+         "registered_domains) — the policy layer canonical_host "
+         "deliberately excludes: exact rules (com, co.uk — longest "
+         "match wins), wildcard rules (*.ck — the * consumes exactly "
+         "one label), and exception rules (!www.ck — itself "
+         "registrable, overrides the wildcard); NULL when no rule "
+         "matches (localhost — the spec's implicit-* default is "
+         "deliberately off) or when the host IS a public suffix "
+         "(co.uk). The host set is synthesized from doc_id across "
+         "all eight rule-interaction shapes, so every branch of the "
+         "fold is value-checked. Engine: ONE candidate-suffix "
+         "explode per distinct host serves all three rule kinds, "
+         "broadcast rule join, conditional min-agg — at web scale "
+         "~90M distinct hosts against a ~9k-rule broadcast. Oracle: "
+         "an independent SQL fold over the same candidate explode "
+         "(lateral unnest + rule join + min-agg).")
+def domain_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import hostgraph
+
+    k = (F.col("doc_id") % 5).cast("string")
+    s = F.col("doc_id") % 8
+    host = (F.when(s == 0, F.concat(F.lit("shop"), k, F.lit(".com")))
+            .when(s == 1, F.concat(F.lit("shop"), k, F.lit(".co.uk")))
+            .when(s == 2, F.concat(F.lit("a.shop"), k, F.lit(".co.uk")))
+            .when(s == 3, F.concat(F.lit("shop"), k, F.lit(".foo"), k,
+                                   F.lit(".ck")))
+            .when(s == 4, F.lit("www.ck"))
+            .when(s == 5, F.concat(F.lit("x"), k, F.lit(".www.ck")))
+            .when(s == 6, F.lit("localhost"))
+            .otherwise(F.lit("co.uk")))
+    hosts = _t(spark, sf_dir, "documents").select(host.alias("host"))
+    rules = spark.createDataFrame(
+        [("com",), ("uk",), ("co.uk",), ("*.ck",), ("!www.ck",)],
+        "suffix string")
+    return hostgraph.registered_domains(hosts, "host", rules)
+
+
+@q("noindex_audit", """
+WITH d AS (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL),
+f AS (SELECT lang, (doc_id % 6) IN (0, 1, 2) AS noindex FROM d)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN noindex THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_noindex,
+       CAST(sum(CASE WHEN noindex THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_kept
+FROM f GROUP BY lang
+""", doc="Meta-robots noindex gate feeding the F6 quarantine audit "
+         "(operators/hostgraph.is_noindex): documents are serialized "
+         "into a WARC archive whose pages carry one of six doc_id-"
+         "keyed head shapes — a plain noindex meta, the reversed "
+         "attribute order in single quotes, an uppercase noindex "
+         "inside a directive list (all three must flag), a "
+         "'noindexing' substring trap, an itemname=robots attribute-"
+         "boundary trap (r12 advice), and no meta at all (none may "
+         "flag) — then read back through the engine WARC path and "
+         "flagged per REP token semantics. The audit keeps counts "
+         "per language (kept vs noindex) rather than silently "
+         "dropping — a corpus is an index, and the publisher opt-"
+         "out must be honored AND accounted. The oracle states the "
+         "expected REP semantics analytically per shape, so one "
+         "false positive (trap flagged) or miss (variant unflagged) "
+         "shifts a count and fails the hash. Scale: the flag is one "
+         "JVM regexp over the body column the parse already "
+         "carries; the lang join is fixture bookkeeping (a real "
+         "archive carries its metadata in-record).")
+def noindex_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import hostgraph
+    from ..sources import warc
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "text")
+            .filter(F.col("text").isNotNull()))
+    s = F.col("doc_id") % 6
+    meta = (F.when(s == 0, F.lit(
+                '<meta name="robots" content="noindex">'))
+            .when(s == 1, F.lit(
+                "<meta content='noindex, nofollow' name='robots'>"))
+            .when(s == 2, F.lit(
+                '<META NAME="robots" CONTENT="NOFOLLOW, NOINDEX">'))
+            .when(s == 3, F.lit(
+                '<meta name="robots" content="noindexing">'))
+            .when(s == 4, F.lit(
+                '<meta itemname="robots" content="noindex">'))
+            .otherwise(F.lit("")))
+    page = F.concat(F.lit("<html><head>"), meta,
+                    F.lit("</head><body>"), F.col("text"),
+                    F.lit("</body></html>"))
+    tmp = tempfile.mkdtemp(prefix="spark_noidx_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    warc.fixture_archive(docs.select("doc_id",
+                                     page.alias("page_html")),
+                         "doc_id", "page_html", tmp)
+    recs = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
+    flagged = recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+         .cast("bigint").alias("doc_id"),
+        hostgraph.is_noindex(F.col("body")).alias("noindex"))
+    return (flagged.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("noindex").cast("long")).alias("n_noindex"),
+                 F.sum((~F.col("noindex")).cast("long")).alias("n_kept")))
+
+
+@q("anchor_retrieval", """
+WITH wv(i, wd) AS (VALUES (0, 'spark'), (1, 'join'), (2, 'hash'),
+                          (3, 'table'), (4, 'scan'), (5, 'stream'),
+                          (6, 'window'), (7, 'data')),
+d0 AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+anch AS (SELECT DISTINCT w1.wd || ' ' || w2.wd AS query_id,
+                w1.wd AS t1, w2.wd AS t2
+         FROM d0
+         JOIN wv w1 ON w1.i = d0.doc_id % 8
+         JOIN wv w2 ON w2.i = (d0.doc_id // 8) % 8),
+q AS (SELECT query_id, t1 AS term FROM anch
+      UNION SELECT query_id, t2 FROM anch),
+tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+       FROM tok2 GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM tok2 WHERE term IN (SELECT DISTINCT term FROM q)
+       GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        FROM tf GROUP BY term),
+ts AS (SELECT tf.doc_id, tf.term,
+              ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75
+                                + 0.75 * dl.dl / stats.avgdl)) AS s
+       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN stats),
+pq AS (SELECT q.query_id, ts.doc_id, round(sum(ts.s), 6) AS score
+       FROM ts JOIN q USING (term) GROUP BY q.query_id, ts.doc_id),
+cand AS (
+    SELECT query_id, doc_id AS neighbor_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS r
+        FROM pq) WHERE r <= 20),
+qt AS (SELECT query_id, list_distinct(list(term)) AS qtok
+       FROM q GROUP BY query_id),
+dt AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+pairs AS (
+    SELECT c.query_id, c.neighbor_id,
+           len(list_intersect(qt.qtok, dt.tok)) AS i,
+           len(list_distinct(dt.tok)) AS ld,
+           len(list_distinct(qt.qtok)) AS lq
+    FROM cand c JOIN qt USING (query_id)
+                JOIN dt ON dt.doc_id = c.neighbor_id),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN i = 0 THEN 0.0
+                ELSE (2.0 * (i / ld) * (i / lq)) / ((i / ld) + (i / lq))
+           END AS score
+    FROM pairs)
+SELECT query_id, neighbor_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM scored QUALIFY rank <= 5
+""", doc="The anchor→document retrieval composition — the artifact "
+         "an LLM-data pipeline exports from a web archive: anchor "
+         "texts are the classic query side of query→document "
+         "training pairs (what pages SAY about what they link to), "
+         "and the composed two-stage retriever turns each distinct "
+         "anchor into ranked document matches. Stage 0 is the REAL "
+         "archive path: documents → WARC fixture whose pages carry "
+         "two-word anchors analytic in doc_id with case/whitespace "
+         "noise (hostgraph.fixture_anchor_archive) → engine parse → "
+         "extract_anchor_texts → distinct normalized anchors become "
+         "the query set (one mis-parsed or un-normalized anchor "
+         "changes the queries and fails the hash). Stage 1: BM25 "
+         "over-fetches 20 candidates per anchor (ranking.bm25_topk — "
+         "query vocabulary broadcast-semi-joins the token stream "
+         "before any wide shuffle; deterministic cut via rounded "
+         "score + id tiebreak). Stage 2: token-set-F1 cross-scorer "
+         "keeps the top 5 (rerank.rerank_topk — Arrow-batched pandas "
+         "UDF over bounded Q×20 pairs). Oracle: the anchor formula + "
+         "the proven bm25_rerank CTE chain, hash-checked end to end.")
+def anchor_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import hostgraph
+    from ..sources import warc
+
+    ids = (_t(spark, sf_dir, "documents")
+           .filter(F.col("text").isNotNull()).select("doc_id"))
+    tmp = tempfile.mkdtemp(prefix="spark_anchret_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    hostgraph.fixture_anchor_archive(ids, "doc_id", tmp)
+    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
+    ank = hostgraph.extract_anchor_texts(records)
+    anchors = (ank.filter(F.col("dst_host").isNotNull()
+                          & (F.col("src_host") != F.col("dst_host")))
+               .select("anchor").distinct())
+    qdf = (anchors
+           .select(F.col("anchor").alias("query_id"),
+                   F.explode(F.split("anchor", " ")).alias("term"))
+           .distinct())
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = (ranking.bm25_topk(docs, qdf, 20)
+            .select("query_id", F.col("doc_id").alias("neighbor_id")))
+    qtext = anchors.select(F.col("anchor").alias("query_id"),
+                           F.col("anchor").alias("qtext"))
+    return rerank.rerank_topk(cand, qtext, docs, m=5,
+                              query_payload="qtext",
+                              corpus_payload="text",
+                              queries_id="query_id", corpus_id="doc_id",
+                              round_digits=None)
 
 
 @q("span_islands", """
