@@ -184,6 +184,54 @@ def test_rho_window_tracks_p(spark):
             assert got[r["node"]] == exp, (p, r["node"])
 
 
+def test_hll_estimate_accuracy_across_range(spark):
+    """The HLL++ estimator flow (hll_ball_estimate: calibrated LC
+    switch + empirical bias correction) on register streams of known
+    cardinality — one deterministic realization per (p, n), xxhash64
+    ids, so these are exact pins with margin, spanning the LC band,
+    the mid-range bias hump the correction exists for, and the raw
+    band."""
+    from unilever_scraping_etl_spark.operators.centrality import (
+        _rho, hll_ball_estimate)
+
+    for p, ns, bound in ((6, (30, 150, 700, 3000), 0.08),
+                         (8, (30, 150, 300, 700, 1500, 3000), 0.10)):
+        m = 1 << p
+        for n in ns:
+            ids = spark.range(n).select(
+                F.concat(F.lit("id"), F.col("id")).alias("node"))
+            h = F.xxhash64(F.col("node").cast("string"))
+            regs = (ids.select(
+                F.lit("x").alias("node"),
+                F.pmod(h, F.lit(m)).cast("int").alias("__reg"),
+                _rho(F.shiftrightunsigned(h, p), p).cast("int")
+                 .alias("__val"))
+                .groupBy("node", "__reg")
+                .agg(F.max("__val").alias("__val")))
+            est = hll_ball_estimate(regs, p).collect()[0]["__est"]
+            assert abs(est - n) / n <= bound, (p, n, est)
+
+
+def test_targeted_exact_matches_full(spark):
+    """harmonic_centrality(targets=...) — backward pair expansion
+    pinned on a node sample — must equal the full computation on
+    those nodes (the page-scale sketch-validation tool)."""
+    pairs = [(i, (i * 7 + 1) % 60) for i in range(60)]
+    pairs += [(i, (i * 3 + 2) % 60) for i in range(60)]
+    pairs += [(i, 0) for i in range(1, 20)]
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    full = {r["node"]: r["harmonic"]
+            for r in centrality.harmonic_centrality(
+                e, "src", "dst", radius=3).collect()}
+    tgt = spark.createDataFrame([(0,), (7,), (13,), (59,)], "n long")
+    got = {r["node"]: r["harmonic"]
+           for r in centrality.harmonic_centrality(
+               e, "src", "dst", radius=3, targets=tgt).collect()}
+    assert set(got) == {0, 7, 13, 59}
+    for v, x in got.items():
+        assert x == pytest.approx(full[v], abs=1e-9)
+
+
 def test_sketch_is_deterministic(spark):
     pairs = [(i, (i + 1) % 9) for i in range(9)] + [(0, 5), (3, 7)]
     e = _edges(spark, pairs)

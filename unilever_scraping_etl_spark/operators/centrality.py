@@ -24,8 +24,11 @@ Two implementations, one semantics:
   2011): per-node HyperLogLog sketches of the in-ball, one register
   ROW per (node, register) — never a per-node blob — so each round
   is edges-join + groupBy(node, reg).max(val), all JVM expressions.
-  |B_t(v)| estimates come from the standard HLL estimator (with the
-  small-range linear-counting correction), and
+  |B_t(v)| estimates come from the HLL++ estimator flow
+  (``hll_ball_estimate``: bias-corrected raw with a CALIBRATED
+  linear-counting switch — empirical tables in ``_hll_bias.py``,
+  measured for this register scheme by tools/calibrate_hll_bias.py
+  per Heule, Nunkesser & Hall 2013), and
   H(v) ≈ Σ_t (|B_t| − |B_{t−1}|)/t with negative increments clamped
   (estimator noise). This is the PAGE-graph scale path: state is
   O(nodes × 2^p) rows of three integers, independent of pair count.
@@ -55,7 +58,8 @@ _LAST_HC_ROUNDS = 0
 
 def harmonic_centrality(edges: DataFrame, src: str, dst: str,
                         radius: int = 3,
-                        materialize: bool = True) -> DataFrame:
+                        materialize: bool = True,
+                        targets: DataFrame | None = None) -> DataFrame:
     """Exact truncated harmonic centrality. Returns ``(node,
     harmonic)`` for every node in the graph (0.0 for nodes nothing
     reaches within ``radius``); ``harmonic`` is rounded to 9 digits
@@ -67,7 +71,17 @@ def harmonic_centrality(edges: DataFrame, src: str, dst: str,
     1-scalar driver probe per round — only under the default
     ``materialize=True``: with an un-checkpointed lineage each probe
     would re-execute every prior round, so ``materialize=False``
-    skips the probe and runs all ``radius`` rounds lazily)."""
+    skips the probe and runs all ``radius`` rounds lazily).
+
+    ``targets`` (optional single-column frame of node ids) restricts
+    the computation to exact centralities OF those nodes: the pair
+    frontier seeds at in-edges of the targets and expands BACKWARD
+    (``(u, v)`` + edge ``w→u`` ⇒ ``(w, v)`` — the v side stays pinned
+    on targets), so the pair table is O(targets × ball) instead of
+    O(all reachable pairs). This is the sketch-validation tool at
+    page scale: exact ground truth for a node sample on a graph
+    where the full pair expansion is infeasible. Output rows = the
+    (distinct) targets, 0.0 when unreached."""
     if radius < 1:
         raise ValueError("radius must be >= 1")
     require_free_columns("harmonic_centrality", edges.columns, _WORKING)
@@ -82,9 +96,21 @@ def harmonic_centrality(edges: DataFrame, src: str, dst: str,
     pairs = (edges.select(F.col(src).alias("__u"),
                           F.col(dst).alias("__v"))
              .distinct())
-    nodes = (edges.select(F.col(src).alias("node"))
-             .union(edges.select(F.col(dst).alias("node")))
-             .distinct())
+    if targets is not None:
+        tgt = (targets.select(F.col(targets.columns[0]).alias("node"))
+               .distinct())
+        if materialize:
+            tgt = tgt.localCheckpoint()
+        # re-pin column ORDER after the USING-join (it fronts __v;
+        # the BFS union below is positional)
+        pairs = (pairs.join(tgt.select(F.col("node").alias("__v")),
+                            "__v", "left_semi")
+                 .select("__u", "__v"))
+        nodes = tgt
+    else:
+        nodes = (edges.select(F.col(src).alias("node"))
+                 .union(edges.select(F.col(dst).alias("node")))
+                 .distinct())
     if materialize:
         pairs = pairs.localCheckpoint()
         nodes = nodes.localCheckpoint()
@@ -92,9 +118,14 @@ def harmonic_centrality(edges: DataFrame, src: str, dst: str,
     frontier = pairs
     _LAST_HC_ROUNDS = 1
     for t in range(2, radius + 1):
-        nxt = (frontier.join(edges, frontier["__v"] == edges[src])
-               .select("__u", F.col(dst).alias("__v"))
-               .distinct()
+        if targets is None:
+            nxt = (frontier.join(edges, frontier["__v"] == edges[src])
+                   .select("__u", F.col(dst).alias("__v")))
+        else:
+            # backward expansion keeps __v pinned on the target set
+            nxt = (frontier.join(edges, frontier["__u"] == edges[dst])
+                   .select(F.col(src).alias("__u"), "__v"))
+        nxt = (nxt.distinct()
                .join(seen.select("__u", "__v"), ["__u", "__v"],
                      "left_anti"))
         if materialize:
@@ -111,6 +142,66 @@ def harmonic_centrality(edges: DataFrame, src: str, dst: str,
             .select("node",
                     F.round(F.coalesce(F.col("harmonic"), F.lit(0.0)),
                             9).alias("harmonic")))
+
+
+def _hll_alpha(m: int) -> float:
+    """alpha_m per Flajolet et al.; small-m table values."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def _interp_bias(raw, p: int):
+    """Clamped linear interpolation of the empirical raw-estimator
+    bias at the observed ``raw`` estimate — the HLL++ correction
+    (Heule, Nunkesser & Hall 2013), with tables measured for THIS
+    register scheme by tools/calibrate_hll_bias.py (their published
+    appendix tables assume their setup). Pure JVM expressions: two
+    literal arrays, a filter-count to locate the segment, element_at
+    + arithmetic to interpolate."""
+    from ._hll_bias import BIAS, RAW_ANCHORS
+
+    anchors, biases = RAW_ANCHORS[p], BIAS[p]
+    arr_a = F.array(*[F.lit(float(a)) for a in anchors])
+    arr_b = F.array(*[F.lit(float(b)) for b in biases])
+    k = F.size(F.filter(arr_a, lambda a: a <= raw))
+    i0 = F.greatest(F.lit(1), F.least(k, F.lit(len(anchors) - 1)))
+    a0, a1 = F.element_at(arr_a, i0), F.element_at(arr_a, i0 + 1)
+    b0, b1 = F.element_at(arr_b, i0), F.element_at(arr_b, i0 + 1)
+    frac = F.greatest(F.lit(0.0),
+                      F.least(F.lit(1.0), (raw - a0) / (a1 - a0)))
+    return b0 + (b1 - b0) * frac
+
+
+def hll_ball_estimate(regs: DataFrame, p: int) -> DataFrame:
+    """Per-node ball-cardinality estimate from sparse (node, __reg,
+    __val) register rows — the HLL++ estimator flow (bias-corrected
+    raw with a calibrated linear-counting switch), all JVM
+    expressions. Absent register rows contribute 2^0 = 1 to the
+    harmonic-mean sum and ARE the zero registers for linear counting
+    (_rho never returns 0, so zeros == m − row_count exactly).
+    Estimate selection: linear counting when any register is zero AND
+    its estimate falls at or under the calibrated LC_THRESHOLD[p]
+    (where LC's RMSE still beats bias-corrected raw — measured, not
+    the folklore 2.5m cut); otherwise raw minus the interpolated
+    empirical bias (correction active through the calibrated band,
+    identity above it where raw is unbiased). Returns ``(node,
+    __est)``."""
+    from ._hll_bias import LC_THRESHOLD, RAW_ANCHORS
+
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    agg = regs.groupBy("node").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("__val"))).alias("__s"),
+        F.count(F.lit(1)).alias("__nz"))
+    zeros = F.lit(m) - F.col("__nz")
+    raw = F.lit(alpha * m * m) / (F.col("__s") + zeros)
+    corrected = F.when(raw <= F.lit(float(RAW_ANCHORS[p][-1])),
+                       raw - _interp_bias(raw, p)).otherwise(raw)
+    lc = F.lit(float(m)) * F.log(F.lit(float(m))
+                                 / F.greatest(zeros, F.lit(1)))
+    est = F.when((zeros > 0) & (lc <= F.lit(float(LC_THRESHOLD[p]))),
+                 lc).otherwise(corrected)
+    return agg.select("node", est.alias("__est"))
 
 
 def _rho(x, p: int):
@@ -149,9 +240,6 @@ def harmonic_centrality_sketch(edges: DataFrame, src: str, dst: str,
     require_free_columns("harmonic_centrality_sketch", edges.columns,
                          ("node", "harmonic_est"), kind="output")
     m = 1 << p
-    # alpha_m for m >= 64 per Flajolet et al.; small m use table values
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
-        m, 0.7213 / (1.0 + 1.079 / m))
     edges = edges.filter(F.col(src).isNotNull()
                          & F.col(dst).isNotNull())
     if materialize:
@@ -172,25 +260,8 @@ def harmonic_centrality_sketch(edges: DataFrame, src: str, dst: str,
     if materialize:
         regs = regs.localCheckpoint()
 
-    def estimate(r: DataFrame) -> DataFrame:
-        """HLL estimate per node from its (sparse) register rows:
-        absent registers contribute 2^0 = 1 to the harmonic-mean sum
-        and ARE the zero registers for the linear-counting correction
-        (_rho never returns 0 — a present register is always >= 1, so
-        zeros == m - row_count exactly)."""
-        agg = r.groupBy("node").agg(
-            F.sum(F.pow(F.lit(2.0), -F.col("__val"))).alias("__s"),
-            F.count(F.lit(1)).alias("__nz"))
-        zeros = F.lit(m) - F.col("__nz")
-        raw = F.lit(alpha * m * m) / (F.col("__s")
-                                      + (F.lit(m) - F.col("__nz")))
-        est = F.when((raw <= 2.5 * m) & (zeros > 0),
-                     F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
-                     ).otherwise(raw)
-        return agg.select("node", est.alias("__est"))
-
     acc = nodes.select("node", F.lit(0.0).alias("harmonic_est"))
-    prev = estimate(regs)
+    prev = hll_ball_estimate(regs, p)
     for t in range(1, radius + 1):
         shipped = (regs.join(edges, regs["node"] == edges[src])
                    .select(F.col(dst).alias("node"), "__reg", "__val"))
@@ -199,7 +270,7 @@ def harmonic_centrality_sketch(edges: DataFrame, src: str, dst: str,
                 .agg(F.max("__val").alias("__val")))
         if materialize:
             regs = regs.localCheckpoint()
-        cur = estimate(regs)
+        cur = hll_ball_estimate(regs, p)
         gain = F.greatest(F.lit(0.0),
                           F.col("__est") - F.col("__p")) / F.lit(float(t))
         acc = (acc.join(cur, "node")
