@@ -232,6 +232,47 @@ def test_targeted_exact_matches_full(spark):
         assert x == pytest.approx(full[v], abs=1e-9)
 
 
+def test_centrality_profile_hand_computed(spark):
+    """Profile on the chain 1->2->3->0 with 4->0, radius 3: all three
+    metrics from the same pair table, against hand-computed values."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 0), (4, 0)])
+    got = {r["node"]: r for r in centrality.centrality_profile(
+        e, "src", "dst", radius=3).collect()}
+    # node 0: d(3)=1, d(4)=1, d(2)=2, d(1)=3 -> n=4, sum=7
+    assert got[0]["harmonic"] == pytest.approx(1 + 1 + 0.5 + 1 / 3,
+                                               abs=1e-9)
+    assert got[0]["n_reached"] == 4
+    assert got[0]["closeness"] == pytest.approx(4 / 7, abs=1e-9)
+    assert got[0]["lin"] == pytest.approx(16 / 7, abs=1e-9)
+    # node 4: nothing reaches it -> the all-zero convention
+    assert (got[4]["harmonic"], got[4]["n_reached"],
+            got[4]["closeness"], got[4]["lin"]) == (0.0, 0, 0.0, 0.0)
+
+
+def test_centrality_profile_consistent_with_harmonic(spark):
+    """On a random-ish graph the profile's harmonic column equals the
+    single-metric operator (same pair table, same rounding), and the
+    targeted form agrees on its sample."""
+    pairs = [(i, (i * 5 + 2) % 23) for i in range(23)]
+    pairs += [(i, (i * 11 + 1) % 23) for i in range(23)]
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    prof = {r["node"]: r for r in centrality.centrality_profile(
+        e, "src", "dst", radius=3).collect()}
+    harm = {r["node"]: r["harmonic"]
+            for r in centrality.harmonic_centrality(
+                e, "src", "dst", radius=3).collect()}
+    assert set(prof) == set(harm)
+    for v in harm:
+        assert prof[v]["harmonic"] == pytest.approx(harm[v], abs=1e-9)
+    tgt = spark.createDataFrame([(0,), (11,)], "n long")
+    sub = {r["node"]: r for r in centrality.centrality_profile(
+        e, "src", "dst", radius=3, targets=tgt).collect()}
+    assert set(sub) == {0, 11}
+    for v, row in sub.items():
+        for c in ("harmonic", "n_reached", "closeness", "lin"):
+            assert row[c] == pytest.approx(prof[v][c], abs=1e-9)
+
+
 def test_sketch_is_deterministic(spark):
     pairs = [(i, (i + 1) % 9) for i in range(9)] + [(0, 5), (3, 7)]
     e = _edges(spark, pairs)

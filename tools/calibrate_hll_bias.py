@@ -130,6 +130,10 @@ def main() -> None:
     lc_threshold: dict[int, float] = {}
     for p in range(4, 13):
         a, b, t = calibrate(p, rng)
+        # the runtime interpolation locates segments by counting
+        # anchors <= raw — strictly ascending anchors are load-bearing
+        assert all(x < y for x, y in zip(a, a[1:])), \
+            f"non-monotone anchors at p={p}: raise trial counts"
         raw_anchors[p], bias_tables[p], lc_threshold[p] = a, b, t
         print(f"p={p}: {len(a)} anchors, lc_threshold={t:.0f}, "
               f"peak bias={max(b):.1f} at raw~"

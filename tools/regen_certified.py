@@ -102,7 +102,8 @@ def real_fn(f):
 def fp(spec):
     src = inspect.getsource(real_fn(spec.spark))
     for h in ("_spread", "_parse_bytes",
-              "_host_fixture_records", "_host_edges"):
+              "_host_fixture_records", "_host_edges",
+              "_anchor_queries"):
         helper = getattr(registry, h, None)
         if helper is not None and f"{h}(" in src:
             src += inspect.getsource(helper)

@@ -4909,11 +4909,11 @@ def host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                           rank_digits=9)
 
 
-def _harmonic_oracle(radius: int, edges_cte: str) -> str:
-    """Unrolled truncated harmonic centrality: r_t = pairs reachable
-    by SOME path of length exactly t (not necessarily shortest), the
-    min over the union recovers the true distance; every graph node
-    appears, 0.0 when nothing reaches it within the radius."""
+def _reach_ctes(radius: int) -> tuple[str, str]:
+    """(reach_sql, unions) for the unrolled truncated reachability:
+    r_t = pairs reachable by SOME path of length exactly t (not
+    necessarily shortest); min over the union recovers true
+    distance. Shared by the harmonic and profile oracles."""
     reach = ["r1 AS (SELECT DISTINCT src AS u, dst AS v FROM edges)"]
     for t in range(2, radius + 1):
         reach.append(
@@ -4922,7 +4922,13 @@ def _harmonic_oracle(radius: int, edges_cte: str) -> str:
     unions = "\n  UNION ALL ".join(
         f"SELECT u, v, {t} AS dist FROM r{t}"
         for t in range(1, radius + 1))
-    reach_sql = ",\n".join(reach)
+    return ",\n".join(reach), unions
+
+
+def _harmonic_oracle(radius: int, edges_cte: str) -> str:
+    """Unrolled truncated harmonic centrality: every graph node
+    appears, 0.0 when nothing reaches it within the radius."""
+    reach_sql, unions = _reach_ctes(radius)
     return f"""
 WITH {edges_cte},
 {reach_sql},
@@ -5009,6 +5015,62 @@ def host_harmonic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node string")
     return centrality.harmonic_centrality(edges, "src", "dst",
                                           radius=3, targets=tgt)
+
+
+def _centrality_profile_oracle(radius: int, edges_cte: str) -> str:
+    """Unrolled harmonic/closeness/Lin profile over the same reach
+    CTEs as the harmonic oracle — all three metrics are aggregates
+    of the (u, v, true-distance) pair table."""
+    reach_sql, unions = _reach_ctes(radius)
+    return f"""
+WITH {edges_cte},
+{reach_sql},
+allp AS ({unions}),
+d AS (SELECT u, v, min(dist) AS dist FROM allp WHERE u <> v
+      GROUP BY u, v),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+agg AS (SELECT v AS node, round(sum(1.0 / dist), 9) AS harmonic,
+               CAST(count(*) AS BIGINT) AS n_reached,
+               round(CAST(count(*) AS DOUBLE) / sum(dist), 9)
+                   AS closeness,
+               round(CAST(count(*) AS DOUBLE) * count(*) / sum(dist),
+                     9) AS lin
+        FROM d GROUP BY v)
+SELECT nodes.node,
+       coalesce(agg.harmonic, 0.0) AS harmonic,
+       coalesce(agg.n_reached, 0) AS n_reached,
+       coalesce(agg.closeness, 0.0) AS closeness,
+       coalesce(agg.lin, 0.0) AS lin
+FROM nodes LEFT JOIN agg ON nodes.node = agg.node
+"""
+
+
+@q("host_centrality_profile", _centrality_profile_oracle(
+        3, _HOST_EDGES_CTE),
+   doc="The full authority profile from ONE truncated BFS pair "
+       "expansion (centrality.centrality_profile, new r12): "
+       "harmonic (Boldi & Vigna), truncated Bavelas closeness "
+       "(n_reached / sum of distances), and Lin's index "
+       "(n_reached^2 / sum — closeness scaled by reach so well-"
+       "connected-but-far nodes aren't punished) over incoming "
+       "shortest distances <= 3 on the archive's host graph. The "
+       "expensive part of any exact centrality is the pair table; "
+       "the three metrics are aggregates of the SAME (u, v, dist) "
+       "rows, so the profile costs one extra aggregate over the "
+       "single-metric query. Unreached hosts report all-zero "
+       "(documented truncated-profile convention — Lin's classical "
+       "isolated-node 1 does not apply to 'no incoming reach within "
+       "the radius'). Lin squares through DOUBLE before dividing "
+       "(long*long would overflow past ~3B pairs at page scale; "
+       "ANSI mode would throw). Oracle: the same unrolled reach "
+       "CTEs aggregated three ways.")
+def host_centrality_profile(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    from ..operators import centrality
+
+    edges = _host_edges(_host_fixture_records(spark, sf_dir,
+                                              "spark_hprof_"))
+    return centrality.centrality_profile(edges, "src", "dst", radius=3)
 
 
 def _authority_sample_oracle() -> str:
@@ -5351,27 +5413,7 @@ FROM scored QUALIFY rank <= 5
          "UDF over bounded Q×20 pairs). Oracle: the anchor formula + "
          "the proven bm25_rerank CTE chain, hash-checked end to end.")
 def anchor_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
-    import shutil
-    import tempfile
-
-    from ..operators import hostgraph
-    from ..sources import warc
-
-    ids = (_t(spark, sf_dir, "documents")
-           .filter(F.col("text").isNotNull()).select("doc_id"))
-    tmp = tempfile.mkdtemp(prefix="spark_anchret_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    hostgraph.fixture_anchor_archive(ids, "doc_id", tmp)
-    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
-    ank = hostgraph.extract_anchor_texts(records)
-    anchors = (ank.filter(F.col("dst_host").isNotNull()
-                          & (F.col("src_host") != F.col("dst_host")))
-               .select("anchor").distinct())
-    qdf = (anchors
-           .select(F.col("anchor").alias("query_id"),
-                   F.explode(F.split("anchor", " ")).alias("term"))
-           .distinct())
+    anchors, qdf = _anchor_queries(spark, sf_dir, "spark_anchret_")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     cand = (ranking.bm25_topk(docs, qdf, 20)
             .select("query_id", F.col("doc_id").alias("neighbor_id")))
@@ -5382,6 +5424,145 @@ def anchor_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                               corpus_payload="text",
                               queries_id="query_id", corpus_id="doc_id",
                               round_digits=None)
+
+
+def _anchor_queries(spark: SparkSession, sf_dir: str,
+                    prefix: str) -> tuple[DataFrame, DataFrame]:
+    """Shared preamble of the anchor-corpus retrieval queries
+    (anchor_retrieval, anchor_triples): documents -> anchor archive
+    (fixture_anchor_archive) -> engine WARC parse -> cross-host
+    anchor corpus -> (anchors, exploded query-term frame). ONE
+    definition so the fixture contract drift argument from the r11
+    self-review holds here too; listed in _REGISTRY_HELPERS so each
+    query's certification fingerprint tracks this source. The
+    ≤ 64-row anchors frame is localCheckpointed: it feeds multiple
+    branches (terms, BM25, rerank payload) and the WARC mapInPandas
+    would otherwise re-parse the archive per branch."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import hostgraph
+    from ..sources import warc
+
+    ids = (_t(spark, sf_dir, "documents")
+           .filter(F.col("text").isNotNull()).select("doc_id"))
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    hostgraph.fixture_anchor_archive(ids, "doc_id", tmp)
+    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
+    ank = hostgraph.extract_anchor_texts(records)
+    anchors = (ank.filter(F.col("dst_host").isNotNull()
+                          & (F.col("src_host") != F.col("dst_host")))
+               .select("anchor").distinct().localCheckpoint())
+    qdf = (anchors
+           .select(F.col("anchor").alias("query_id"),
+                   F.explode(F.split("anchor", " ")).alias("term"))
+           .distinct())
+    return anchors, qdf
+
+
+@q("anchor_triples", """
+WITH wv(i, wd) AS (VALUES (0, 'spark'), (1, 'join'), (2, 'hash'),
+                          (3, 'table'), (4, 'scan'), (5, 'stream'),
+                          (6, 'window'), (7, 'data')),
+d0 AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+anch AS (SELECT DISTINCT w1.wd || ' ' || w2.wd AS query_id,
+                w1.wd AS t1, w2.wd AS t2
+         FROM d0
+         JOIN wv w1 ON w1.i = d0.doc_id % 8
+         JOIN wv w2 ON w2.i = (d0.doc_id // 8) % 8),
+q AS (SELECT query_id, t1 AS term FROM anch
+      UNION SELECT query_id, t2 FROM anch),
+tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+       FROM tok2 GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM tok2 WHERE term IN (SELECT DISTINCT term FROM q)
+       GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        FROM tf GROUP BY term),
+ts AS (SELECT tf.doc_id, tf.term,
+              ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75
+                                + 0.75 * dl.dl / stats.avgdl)) AS s
+       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN stats),
+pq AS (SELECT q.query_id, ts.doc_id, round(sum(ts.s), 6) AS score
+       FROM ts JOIN q USING (term) GROUP BY q.query_id, ts.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS r
+           FROM pq),
+cand AS (SELECT query_id, doc_id AS neighbor_id
+         FROM ranked WHERE r <= 20),
+qt AS (SELECT query_id, list_distinct(list(term)) AS qtok
+       FROM q GROUP BY query_id),
+dt AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+pairs AS (
+    SELECT c.query_id, c.neighbor_id,
+           len(list_intersect(qt.qtok, dt.tok)) AS i,
+           len(list_distinct(dt.tok)) AS ld,
+           len(list_distinct(qt.qtok)) AS lq
+    FROM cand c JOIN qt USING (query_id)
+                JOIN dt ON dt.doc_id = c.neighbor_id),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN i = 0 THEN 0.0
+                ELSE (2.0 * (i / ld) * (i / lq)) / ((i / ld) + (i / lq))
+           END AS score
+    FROM pairs),
+pos AS (SELECT query_id, neighbor_id AS pos_id, score AS pos_score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id)
+                   AS pr
+        FROM scored),
+neg AS (SELECT query_id, doc_id AS neg_id, score AS neg_score,
+               CAST(r AS INT) AS neg_rank
+        FROM ranked WHERE r BETWEEN 11 AND 20)
+SELECT p.query_id, p.pos_id, p.pos_score,
+       n.neg_id, n.neg_score, n.neg_rank
+FROM pos p JOIN neg n USING (query_id) WHERE p.pr = 1
+""", doc="Contrastive training triples from the anchor corpus — the "
+         "(query, positive, hard-negative) export retrieval models "
+         "train on (SURVEY 7.8 item 1): the positive is the rerank "
+         "stage's top document per anchor (cross-scored token-set "
+         "F1), the hard negatives are the BM25 margin band — stage-1 "
+         "ranks 11..20, lexically close enough to retrieve but "
+         "outside the candidate head, the standard in-batch-negative "
+         "upgrade. Both stages are deterministic (rounded BM25 "
+         "score + id tiebreak; exact-IEEE F1 + id tiebreak), so the "
+         "full triple set is hash-checked against the oracle's CTE "
+         "chain. Same bounded shapes as anchor_retrieval: queries x "
+         "20 candidates, broadcast payload joins, one Arrow-batched "
+         "pandas UDF for the cross-scorer.")
+def anchor_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    anchors, qdf = _anchor_queries(spark, sf_dir, "spark_anchtri_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ranked = ranking.bm25_topk(docs, qdf, 20)
+    cand = ranked.select("query_id",
+                         F.col("doc_id").alias("neighbor_id"))
+    qtext = anchors.select(F.col("anchor").alias("query_id"),
+                           F.col("anchor").alias("qtext"))
+    pos = (rerank.rerank_topk(cand, qtext, docs, m=1,
+                              query_payload="qtext",
+                              corpus_payload="text",
+                              queries_id="query_id",
+                              corpus_id="doc_id",
+                              round_digits=None)
+           .select("query_id", F.col("neighbor_id").alias("pos_id"),
+                   F.col("score").alias("pos_score")))
+    neg = (ranked.filter(F.col("rank").between(11, 20))
+           .select("query_id", F.col("doc_id").alias("neg_id"),
+                   F.col("score").alias("neg_score"),
+                   F.col("rank").alias("neg_rank")))
+    return pos.join(neg, "query_id")
 
 
 @q("span_islands", """
@@ -5742,7 +5923,8 @@ def _deps_of(src: str, mods: dict[str, str]) -> set[str]:
 
 
 _REGISTRY_HELPERS = ("_spread", "_parse_bytes",
-                     "_host_fixture_records", "_host_edges")
+                     "_host_fixture_records", "_host_edges",
+                     "_anchor_queries")
 
 # Module sources are immutable within a process, and _ordered()/
 # _cert_round() fingerprint every query several times per listing —
