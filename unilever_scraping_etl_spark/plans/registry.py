@@ -5545,7 +5545,10 @@ FROM pos p JOIN neg n USING (query_id) WHERE p.pr = 1
 def anchor_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors, qdf = _anchor_queries(spark, sf_dir, "spark_anchtri_")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ranked = ranking.bm25_topk(docs, qdf, 20)
+    # bounded Q x 20 frame consumed by BOTH branches (rerank
+    # candidates and the negative band): checkpoint or the whole
+    # BM25 stage — corpus tokenization included — runs twice
+    ranked = ranking.bm25_topk(docs, qdf, 20).localCheckpoint()
     cand = ranked.select("query_id",
                          F.col("doc_id").alias("neighbor_id"))
     qtext = anchors.select(F.col("anchor").alias("query_id"),
