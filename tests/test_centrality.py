@@ -273,6 +273,34 @@ def test_centrality_profile_consistent_with_harmonic(spark):
             assert row[c] == pytest.approx(prof[v][c], abs=1e-9)
 
 
+def test_profile_sketch_tracks_exact_profile(spark):
+    """The sketch profile's four columns track the exact profile on
+    the 60-node authority graph within the p=8 envelope (totals;
+    per-ball HLL noise partially cancels in the sums), and its
+    harmonic column equals the harmonic sketch's (same lattice,
+    same fold)."""
+    pairs = [(i, (i * 7 + 1) % 60) for i in range(60)]
+    pairs += [(i, (i * 3 + 2) % 60) for i in range(60)]
+    pairs += [(i, 0) for i in range(1, 20)]
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    exact = {r["node"]: r for r in centrality.centrality_profile(
+        e, "src", "dst", radius=3).collect()}
+    prof = {r["node"]: r for r in centrality.centrality_profile_sketch(
+        e, "src", "dst", radius=3, p=8).collect()}
+    assert set(prof) == set(exact)
+    for col, ecol, rel in (("harmonic_est", "harmonic", 0.15),
+                           ("n_reached_est", "n_reached", 0.15)):
+        t_e = sum(exact[v][ecol] for v in exact)
+        t_p = sum(prof[v][col] for v in prof)
+        assert t_p == pytest.approx(t_e, rel=rel), col
+    harm = {r["node"]: r["harmonic_est"]
+            for r in centrality.harmonic_centrality_sketch(
+                e, "src", "dst", radius=3, p=8).collect()}
+    for v in harm:
+        assert prof[v]["harmonic_est"] == pytest.approx(harm[v],
+                                                        abs=1e-9)
+
+
 def test_sketch_is_deterministic(spark):
     pairs = [(i, (i + 1) % 9) for i in range(9)] + [(0, 5), (3, 7)]
     e = _edges(spark, pairs)

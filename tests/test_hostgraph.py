@@ -388,10 +388,11 @@ try:
             f"{pad}{scheme}://{user}{'.'.join(labels)}{dot}{port}"
             f"{path}{pad}"),
         scheme=st.sampled_from(["http", "HTTP", "https", "ftp"]),
-        user=st.sampled_from(["", "u@", "u:p@", "@", "a@b@"]),
+        user=st.sampled_from(["", "u@", "u:p@", "@", "a@b@",
+                              "u:p:q@", ":@", "@@"]),
         labels=st.lists(_label, min_size=0, max_size=3),
-        port=st.sampled_from(["", ":80", ":8080"]),
-        path=st.sampled_from(["", "/", "/a/b?q=1#f"]),
+        port=st.sampled_from(["", ":80", ":8080", ":"]),
+        path=st.sampled_from(["", "/", "/a/b?q=1#f", "?a@b", "#x@y"]),
         dot=st.sampled_from(["", ".", "\t."]),
         pad=st.sampled_from(["", " ", "\t", "\n", " \t"]))
 

@@ -297,14 +297,94 @@ def harmonic_centrality_sketch(edges: DataFrame, src: str, dst: str,
     the standard HLL ±1.04/√(2^p) per ball estimate (p=6 → ~13%), and
     the output is DETERMINISTIC (xxhash64 node hashing, no RNG).
     Returns ``(node, harmonic_est)``."""
+    require_free_columns("harmonic_centrality_sketch", edges.columns,
+                         ("node", "harmonic_est"), kind="output")
+
+    def init(nodes, est0):
+        return nodes.select("node", F.lit(0.0).alias("harmonic_est"))
+
+    def fold(acc, t, cur, prev):
+        gain = (F.greatest(F.lit(0.0), F.col("__est") - F.col("__p"))
+                / F.lit(float(t)))
+        return (acc.join(cur, "node")
+                .join(prev.withColumnRenamed("__est", "__p"), "node")
+                .select("node",
+                        (F.col("harmonic_est") + gain)
+                        .alias("harmonic_est")))
+
+    return _hyperball_scan("harmonic_centrality_sketch", edges, src,
+                           dst, radius, p, materialize, init, fold)
+
+
+def centrality_profile_sketch(edges: DataFrame, src: str, dst: str,
+                              radius: int = 3, p: int = 6,
+                              materialize: bool = True) -> DataFrame:
+    """HyperBall approximation of the full centrality profile — the
+    sketch twin of :func:`centrality_profile`, over the SAME register
+    lattice as ``harmonic_centrality_sketch`` (the rounds are the
+    cost; the three metrics are different folds of the per-round ball
+    estimates |B_t|): with Δ_t = max(0, |B_t| − |B_{t−1}|),
+
+    - ``harmonic_est``  = Σ Δ_t / t
+    - ``n_reached_est`` = |B_R| − 1 (the ball contains the node)
+    - ``closeness_est`` = n_reached / Σ t·Δ_t
+    - ``lin_est``       = n_reached² / Σ t·Δ_t
+
+    Deterministic (xxhash64, no RNG) but approximate — per-ball HLL
+    noise propagates into all four columns; zero
+    closeness/lin when the estimated distance mass is ~0 (the exact
+    twin's all-zero convention)."""
+    require_free_columns("centrality_profile_sketch", edges.columns,
+                         ("node", "harmonic_est", "n_reached_est",
+                          "closeness_est", "lin_est"), kind="output")
+
+    def init(nodes, est0):
+        return (nodes.join(est0, "node")
+                .select("node", F.lit(0.0).alias("harmonic_est"),
+                        F.lit(0.0).alias("__sd"),
+                        F.col("__est").alias("__last")))
+
+    def fold(acc, t, cur, prev):
+        g = F.greatest(F.lit(0.0), F.col("__est") - F.col("__p"))
+        return (acc.join(cur, "node")
+                .join(prev.withColumnRenamed("__est", "__p"), "node")
+                .select("node",
+                        (F.col("harmonic_est") + g / F.lit(float(t)))
+                        .alias("harmonic_est"),
+                        (F.col("__sd") + g * F.lit(float(t)))
+                        .alias("__sd"),
+                        F.col("__est").alias("__last")))
+
+    acc = _hyperball_scan("centrality_profile_sketch", edges, src,
+                          dst, radius, p, materialize, init, fold)
+    reached = F.greatest(F.lit(0.0), F.col("__last") - 1)
+    sd = F.col("__sd")
+    return acc.select(
+        "node", "harmonic_est",
+        reached.alias("n_reached_est"),
+        F.when(sd > 0, reached / sd).otherwise(F.lit(0.0))
+         .alias("closeness_est"),
+        F.when(sd > 0, (reached * reached) / sd).otherwise(F.lit(0.0))
+         .alias("lin_est"))
+
+
+def _hyperball_scan(op: str, edges: DataFrame, src: str, dst: str,
+                    radius: int, p: int, materialize: bool,
+                    init, fold) -> DataFrame:
+    """Shared HyperBall register lattice (Boldi, Rosa & Vigna 2011):
+    build one (node, __reg, __val) register row set, run ``radius``
+    ship-along-in-edges + elementwise-max rounds, and fold the
+    per-round ball estimates — ``acc = init(nodes, est0)`` then per
+    round ``acc = fold(acc, t, cur, prev)`` where cur/prev are
+    ``(node, __est)`` frames. ONE loop shared by the harmonic and
+    profile sketches (the r11 _ares_key lesson: near-identical
+    iteration code copy-pasted between operators is where drift
+    starts). Register state is O(nodes × 2^p) rows throughout."""
     if radius < 1:
         raise ValueError("radius must be >= 1")
     if not 4 <= p <= 12:
         raise ValueError("p must be in [4, 12]")
-    require_free_columns("harmonic_centrality_sketch", edges.columns,
-                         _WORKING)
-    require_free_columns("harmonic_centrality_sketch", edges.columns,
-                         ("node", "harmonic_est"), kind="output")
+    require_free_columns(op, edges.columns, _WORKING)
     m = 1 << p
     edges = edges.filter(F.col(src).isNotNull()
                          & F.col(dst).isNotNull())
@@ -318,7 +398,8 @@ def harmonic_centrality_sketch(edges: DataFrame, src: str, dst: str,
 
     h64 = F.xxhash64(F.col("node").cast("string"))
     # idx: low p bits (pmod — xxhash64 is signed); rho: leading zeros
-    # of the next 58 bits + 1 (shiftrightunsigned keeps them unsigned)
+    # of the remaining 64−p bits + 1 (shiftrightunsigned keeps them
+    # unsigned)
     idx = F.pmod(h64, F.lit(m))
     val = _rho(F.shiftrightunsigned(h64, p), p)
     regs = nodes.select("node", idx.cast("int").alias("__reg"),
@@ -326,8 +407,8 @@ def harmonic_centrality_sketch(edges: DataFrame, src: str, dst: str,
     if materialize:
         regs = regs.localCheckpoint()
 
-    acc = nodes.select("node", F.lit(0.0).alias("harmonic_est"))
     prev = hll_ball_estimate(regs, p)
+    acc = init(nodes, prev)
     for t in range(1, radius + 1):
         shipped = (regs.join(edges, regs["node"] == edges[src])
                    .select(F.col(dst).alias("node"), "__reg", "__val"))
@@ -337,13 +418,7 @@ def harmonic_centrality_sketch(edges: DataFrame, src: str, dst: str,
         if materialize:
             regs = regs.localCheckpoint()
         cur = hll_ball_estimate(regs, p)
-        gain = F.greatest(F.lit(0.0),
-                          F.col("__est") - F.col("__p")) / F.lit(float(t))
-        acc = (acc.join(cur, "node")
-               .join(prev.withColumnRenamed("__est", "__p"), "node")
-               .select("node",
-                       (F.col("harmonic_est") + gain)
-                       .alias("harmonic_est")))
+        acc = fold(acc, t, cur, prev)
         if materialize:
             acc = acc.localCheckpoint()
         prev = cur

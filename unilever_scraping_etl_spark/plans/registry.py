@@ -5073,6 +5073,26 @@ def host_centrality_profile(spark: SparkSession, sf_dir: str
     return centrality.centrality_profile(edges, "src", "dst", radius=3)
 
 
+@q("host_centrality_profile_sketch", None,
+   doc="HyperBall twin of host_centrality_profile "
+       "(centrality.centrality_profile_sketch): harmonic, reach, "
+       "closeness, and Lin estimates from DIFFERENT FOLDS of the "
+       "same register lattice the harmonic sketch runs — the rounds "
+       "are the cost, each extra metric is two more JVM expressions "
+       "per round (SURVEY 7.8). State O(nodes x 2^p) rows, the "
+       "page-scale path. Deterministic (xxhash64) but approximate "
+       "-> rows-only; accuracy vs the exact profile is property-"
+       "tested in tests/test_centrality.py.")
+def host_centrality_profile_sketch(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    from ..operators import centrality
+
+    edges = _host_edges(_host_fixture_records(spark, sf_dir,
+                                              "spark_hprofs_"))
+    return centrality.centrality_profile_sketch(edges, "src", "dst",
+                                                radius=3, p=6)
+
+
 def _authority_sample_oracle() -> str:
     chain, last = _pagerank_ctes(5, _HOST_EDGES_CTE)
     return f"""
