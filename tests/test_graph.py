@@ -189,6 +189,57 @@ def test_tol_cap_still_binds(spark):
     assert graph._LAST_PR_ITERATIONS == 3
 
 
+def test_warm_start_same_fixed_point_fewer_iterations(spark):
+    """The incremental re-rank drift bound (SURVEY 7.8): after a
+    small edge delta, warm-starting from the previous snapshot's
+    ranks converges to the SAME fixed point as a cold start (the
+    fixed point is independent of the start) in strictly fewer
+    iterations."""
+    base = [(i, (i * 7 + 1) % 40) for i in range(40)]
+    base += [(i, (i * 3 + 2) % 40) for i in range(40)]
+    base = [(a, b) for a, b in base if a != b]
+    prior = graph.pagerank(_edges(spark, base), "src", "dst",
+                           iterations=200, tol=1e-8)
+    # the delta: five fresh links plus one new node entering the graph
+    delta = [(0, 17), (5, 23), (11, 2), (40, 3), (8, 40)]
+    new = list(dict.fromkeys(base + delta))
+    cold = graph.pagerank(_edges(spark, new), "src", "dst",
+                          iterations=200, tol=1e-8)
+    i_cold = graph._LAST_PR_ITERATIONS
+    warm = graph.pagerank(_edges(spark, new), "src", "dst",
+                          iterations=200, tol=1e-8, warm_start=prior)
+    i_warm = graph._LAST_PR_ITERATIONS
+    c = {r["node"]: r["rank"] for r in cold.collect()}
+    w = {r["node"]: r["rank"] for r in warm.collect()}
+    assert set(w) == set(c)
+    # both stopped at max-delta <= 1e-8; the fixed points agree
+    # within tol / (1 - d) of each other
+    for v in c:
+        assert w[v] == pytest.approx(c[v], abs=1e-7)
+    assert i_warm < i_cold, (i_warm, i_cold)
+
+
+def test_warm_start_new_nodes_and_renormalization(spark):
+    """Warm frames that miss nodes (they enter at 1/N) or carry
+    unnormalized mass (renormalized to 1) still converge to the
+    plain result."""
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0)]
+    plain = {r["node"]: r["rank"]
+             for r in graph.pagerank(_edges(spark, pairs), "src",
+                                     "dst", iterations=300,
+                                     tol=1e-10).collect()}
+    # warm frame: only two nodes, scaled 100x, arbitrary column names
+    ws = spark.createDataFrame([(0, 40.0), (1, 25.0)],
+                               "vertex long, weight double")
+    warm = {r["node"]: r["rank"]
+            for r in graph.pagerank(_edges(spark, pairs), "src",
+                                    "dst", iterations=300, tol=1e-10,
+                                    warm_start=ws).collect()}
+    assert set(warm) == set(plain)
+    for v in plain:
+        assert warm[v] == pytest.approx(plain[v], abs=1e-8)
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st

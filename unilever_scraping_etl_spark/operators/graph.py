@@ -59,7 +59,8 @@ from unilever_scraping_etl_spark.operators._contracts import (
     require_free_columns,
 )
 
-_WORKING = ("__outdeg", "__contrib", "__rank", "__dmass", "__prev")
+_WORKING = ("__outdeg", "__contrib", "__rank", "__dmass", "__prev",
+            "__wr", "__wtot")
 
 # diagnostic: iterations the last pagerank() call actually ran (the
 # tol early-stop is otherwise invisible) — same pattern as connected
@@ -74,7 +75,8 @@ def pagerank(edges: DataFrame, src: str, dst: str,
              materialize: bool = True,
              tol: float | None = None,
              redistribute_dangling: bool = False,
-             broadcast_ranks: bool | None = None) -> DataFrame:
+             broadcast_ranks: bool | None = None,
+             warm_start: DataFrame | None = None) -> DataFrame:
     """Fixed-iteration PageRank over the directed edge list
     ``edges[src, dst]`` (parallel duplicate edges count once per
     occurrence — pre-DISTINCT the list if that is not intended).
@@ -98,7 +100,19 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     so this is only sane on node-bounded graphs (host graphs, entity
     graphs); default ``None`` auto-enables when the bounded node
     probe reads ≤ 1M — page-level graphs fall back to the shuffle
-    plan, where AQE may still convert at runtime."""
+    plan, where AQE may still convert at runtime.
+    ``warm_start``: a two-column ``(node, rank)`` frame (column
+    names are positional) seeding the iteration instead of the
+    uniform start — the INCREMENTAL re-rank path: when the graph is
+    a small delta away from a snapshot whose ranks are already
+    published, warm-starting from them reaches the same fixed point
+    in far fewer iterations (PageRank's fixed point is independent
+    of the start; only convergence speed changes — drift-bound
+    property-tested in tests/test_graph.py). Nodes absent from the
+    warm frame (new hosts in the delta) enter at 1/N; the seed is
+    renormalized to total mass 1 (one bounded 1-row broadcast). Pair
+    with ``tol`` so the saved iterations are realized, or with fixed
+    ``iterations`` for the oracle-checkable form."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if not 0.0 < damping < 1.0:
@@ -148,7 +162,22 @@ def pagerank(edges: DataFrame, src: str, dst: str,
             dangling = dangling.localCheckpoint()
     if broadcast_ranks is None:
         broadcast_ranks = n <= 1_000_000
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    if warm_start is not None:
+        ws = warm_start.select(
+            F.col(warm_start.columns[0]).alias("node"),
+            F.col(warm_start.columns[1]).cast("double").alias("__wr"))
+        init = (nodes.join(ws, "node", "left")
+                .select("node",
+                        F.coalesce(F.col("__wr"), F.lit(1.0 / n))
+                        .alias("rank")))
+        tot = init.agg(F.sum("rank").alias("__wtot"))
+        ranks = (init.crossJoin(F.broadcast(tot))
+                 .select("node", (F.col("rank") / F.col("__wtot"))
+                         .alias("rank")))
+        if materialize:
+            ranks = ranks.localCheckpoint()
+    else:
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         _LAST_PR_ITERATIONS = i + 1
         rside = F.broadcast(ranks) if broadcast_ranks else ranks

@@ -4925,6 +4925,92 @@ def _reach_ctes(radius: int) -> tuple[str, str]:
     return ",\n".join(reach), unions
 
 
+def _host_rank_incremental_oracle() -> str:
+    """Warm-start re-rank oracle: 5 unrolled iterations on the OLD
+    host graph (the published snapshot), the new segment's delta
+    edges folded in, the prior ranks renormalized over the new node
+    set (new hosts enter at 1/N), then 3 more unrolled iterations on
+    the NEW graph — the exact recurrence graph.pagerank(warm_start=)
+    runs with fixed K."""
+    chain, last = _pagerank_ctes(5, _HOST_EDGES_CTE)
+    steps = []
+    for i in range(1, 4):
+        steps.append(f""",
+d{i} AS (SELECT e.dst AS node, sum(p.rank / dg.outdeg) AS contrib
+         FROM edges2 e JOIN q{i - 1} p ON e.src = p.node
+         JOIN deg2 dg ON e.src = dg.src
+         GROUP BY e.dst),
+q{i} AS (SELECT nodes2.node,
+                0.15 / nn2.n + 0.85 * coalesce(d{i}.contrib, 0.0)
+                    AS rank
+         FROM nodes2 CROSS JOIN nn2
+         LEFT JOIN d{i} ON nodes2.node = d{i}.node)""")
+    return f"""
+WITH {chain},
+delta AS (SELECT DISTINCT
+              'h' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.corpus.local' AS src,
+              'h' || CAST((doc_id * 11 + 3) % 20 AS VARCHAR)
+                  || '.corpus.local' AS dst
+          FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0),
+edges2 AS (SELECT DISTINCT src, dst FROM (
+               SELECT src, dst FROM edges
+               UNION ALL SELECT src, dst FROM delta) u
+           WHERE src <> dst),
+nodes2 AS (SELECT src AS node FROM edges2
+           UNION SELECT dst FROM edges2),
+nn2 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes2),
+deg2 AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+         FROM edges2 GROUP BY src),
+winit AS (SELECT nodes2.node,
+                 coalesce({last}.rank, 1.0 / nn2.n) AS rank
+          FROM nodes2 CROSS JOIN nn2
+          LEFT JOIN {last} ON nodes2.node = {last}.node),
+wtot AS (SELECT sum(rank) AS t FROM winit),
+q0 AS (SELECT node, rank / wtot.t AS rank
+       FROM winit CROSS JOIN wtot){"".join(steps)}
+SELECT node, round(rank, 9) AS rank FROM q3
+"""
+
+
+@q("host_rank_incremental", _host_rank_incremental_oracle(),
+   doc="Incremental host re-rank (graph.pagerank(warm_start=...), "
+       "new r12 — SURVEY 7.8): a new crawl segment adds fresh "
+       "cross-host links (the delta derives from doc_id: pages with "
+       "doc_id%4==0 link their host to h{(11d+3)%20}), and instead "
+       "of re-ranking from the uniform start the iteration seeds "
+       "from the PUBLISHED snapshot ranks, renormalized over the new "
+       "node set with absent hosts entering at 1/N. PageRank's fixed "
+       "point is start-independent, so warm-starting changes only "
+       "convergence speed — the drift-bound property test "
+       "(tests/test_graph.py) pins same-fixed-point-fewer-iterations "
+       "with tol; the REGISTERED form runs fixed K=3 from the warm "
+       "seed so the oracle can unroll the exact recurrence: 5 "
+       "iterations on the old graph, renormalize, 3 on the new. At "
+       "100 TB this is the nightly path: the host graph moves a few "
+       "percent per segment, and warm-start + tol re-ranks in a "
+       "handful of one-shuffle iterations instead of a cold ~50.")
+def host_rank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = _host_fixture_records(spark, sf_dir, "spark_hrinc_")
+    old_edges = _host_edges(records)
+    prior = graph.pagerank(old_edges, "src", "dst", iterations=5)
+    ids = (_t(spark, sf_dir, "documents")
+           .filter(F.col("text").isNotNull()).select("doc_id"))
+
+    def host(e):
+        return F.concat(F.lit("h"), e.cast("string"),
+                        F.lit(".corpus.local"))
+
+    delta = (ids.filter(F.col("doc_id") % 4 == 0)
+             .select(host(F.col("doc_id") % 20).alias("src"),
+                     host((F.col("doc_id") * 11 + 3) % 20).alias("dst"))
+             .distinct())
+    new_edges = (old_edges.unionByName(delta)
+                 .filter(F.col("src") != F.col("dst")).distinct())
+    return graph.pagerank(new_edges, "src", "dst", iterations=3,
+                          warm_start=prior, rank_digits=9)
+
+
 def _harmonic_oracle(radius: int, edges_cte: str) -> str:
     """Unrolled truncated harmonic centrality: every graph node
     appears, 0.0 when nothing reaches it within the radius."""
