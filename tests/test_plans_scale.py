@@ -1849,6 +1849,26 @@ def test_tpch_q16_q20_semi_anti_shapes(spark):
     assert "CartesianProduct" not in p20
 
 
+def test_r12_host_family_plan_shapes(spark):
+    """Round-12 query plan pins: domain_fold's rule table must
+    BROADCAST against the candidate explode (never shuffle the ~9k
+    rules at web scale); host_rank_incremental's warm-start
+    renormalization enters as a 1-row broadcast (BroadcastNestedLoop
+    over the 1-row total — never a SinglePartition funnel of the
+    rank table); the anchor pipeline plans no cartesian product and
+    no row-at-a-time Python."""
+    pf = _plan(QUERIES["domain_fold"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in pf
+    assert "CartesianProduct" not in pf
+    assert "BatchEvalPython" not in pf
+    pr = _plan(QUERIES["host_rank_incremental"].spark(spark, SF_SMOKE))
+    assert "Exchange SinglePartition" not in pr
+    assert "CartesianProduct" not in pr
+    pa = _plan(QUERIES["anchor_triples"].spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in pa
+    assert "BatchEvalPython" not in pa
+
+
 def test_plan_linter_all_queries(spark):
     """Suite-wide physical-plan invariants over EVERY registered query
     at sf0.001 — the properties that decide 100 TB survival, enforced
