@@ -189,6 +189,84 @@ def test_tol_cap_still_binds(spark):
     assert graph._LAST_PR_ITERATIONS == 3
 
 
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, w double")
+
+
+def test_weighted_split_hand_computed(spark):
+    """Node 0 endorses node 1 three times as hard as node 2: after one
+    iteration from the uniform start, rank(1) − rank(2) =
+    d · (1/N) · (0.75 − 0.25)."""
+    e = _wedges(spark, [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 1.0),
+                        (2, 0, 1.0)])
+    out = {r["node"]: r["rank"]
+           for r in graph.pagerank(e, "src", "dst", iterations=1,
+                                   weight_col="w").collect()}
+    base = 0.15 / 3
+    assert out[1] == pytest.approx(base + 0.85 * (1 / 3) * 0.75,
+                                   abs=1e-12)
+    assert out[2] == pytest.approx(base + 0.85 * (1 / 3) * 0.25,
+                                   abs=1e-12)
+    assert out[0] == pytest.approx(base + 0.85 * (2 / 3), abs=1e-12)
+
+
+def test_equal_weights_reduce_to_unweighted(spark):
+    """Any constant weight is the uniform split — weighted must equal
+    the plain operator rank for rank."""
+    pairs = [(i, (i * 5 + 2) % 17) for i in range(17)]
+    pairs += [(i, (i * 3 + 1) % 17) for i in range(17)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    plain = {r["node"]: r["rank"]
+             for r in graph.pagerank(_edges(spark, pairs), "src",
+                                     "dst", iterations=4).collect()}
+    w = _wedges(spark, [(a, b, 7.5) for a, b in pairs])
+    weighted = {r["node"]: r["rank"]
+                for r in graph.pagerank(w, "src", "dst", iterations=4,
+                                        weight_col="w").collect()}
+    assert set(weighted) == set(plain)
+    for v in plain:
+        assert weighted[v] == pytest.approx(plain[v], abs=1e-12)
+
+
+def test_weighted_null_and_nonpositive_edges_drop(spark):
+    """NULL / zero / negative weights carry no mass: the edge (and any
+    node only it introduces) must vanish, not corrupt the out-sum."""
+    e = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, None), (0, 3, 0.0), (0, 4, -1.0),
+         (1, 0, 1.0)],
+        "src long, dst long, w double")
+    out = {r["node"]: r["rank"]
+           for r in graph.pagerank(e, "src", "dst", iterations=2,
+                                   weight_col="w").collect()}
+    assert set(out) == {0, 1}  # 2/3/4 only entered via dropped edges
+    # with the noise gone this is the 2-cycle: exact uniform 0.5
+    assert out[0] == pytest.approx(0.5, abs=1e-12)
+    assert out[1] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_weighted_composes_with_warm_start_and_tol(spark):
+    """The r13-runway composition: weighted + warm_start + tol reach
+    the same weighted fixed point as a cold weighted run."""
+    triples = [(i, (i * 5 + 2) % 19, float(1 + i % 3))
+               for i in range(19)]
+    triples += [(i, (i * 7 + 1) % 19, 1.0) for i in range(19)]
+    triples = [(a, b, w) for a, b, w in triples if a != b]
+    e = _wedges(spark, triples)
+    cold = {r["node"]: r["rank"]
+            for r in graph.pagerank(e, "src", "dst", iterations=200,
+                                    tol=1e-9,
+                                    weight_col="w").collect()}
+    seed = spark.createDataFrame([(k, v) for k, v in cold.items()],
+                                 "node long, rank double")
+    warm = {r["node"]: r["rank"]
+            for r in graph.pagerank(e, "src", "dst", iterations=200,
+                                    tol=1e-9, weight_col="w",
+                                    warm_start=seed).collect()}
+    assert graph._LAST_PR_ITERATIONS <= 2  # already at the fixed point
+    for v in cold:
+        assert warm[v] == pytest.approx(cold[v], abs=1e-8)
+
+
 def test_warm_start_same_fixed_point_fewer_iterations(spark):
     """The incremental re-rank drift bound (SURVEY 7.8): after a
     small edge delta, warm-starting from the previous snapshot's

@@ -76,7 +76,8 @@ def pagerank(edges: DataFrame, src: str, dst: str,
              tol: float | None = None,
              redistribute_dangling: bool = False,
              broadcast_ranks: bool | None = None,
-             warm_start: DataFrame | None = None) -> DataFrame:
+             warm_start: DataFrame | None = None,
+             weight_col: str | None = None) -> DataFrame:
     """Fixed-iteration PageRank over the directed edge list
     ``edges[src, dst]`` (parallel duplicate edges count once per
     occurrence — pre-DISTINCT the list if that is not intended).
@@ -112,7 +113,16 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     warm frame (new hosts in the delta) enter at 1/N; the seed is
     renormalized to total mass 1 (one bounded 1-row broadcast). Pair
     with ``tol`` so the saved iterations are realized, or with fixed
-    ``iterations`` for the oracle-checkable form."""
+    ``iterations`` for the oracle-checkable form.
+    ``weight_col``: WEIGHTED PageRank — rank mass flows out of each
+    node proportional to the edge weight instead of uniformly,
+    ``contrib(v) = Σ_{u→v} rank(u) · w(u,v) / Σ_out w(u,·)`` (the
+    anchor-corpus use: host edges weighted by link counts, so a host
+    that links somewhere 100 times endorses it 100× harder than a
+    single footer link). Edges with NULL or non-positive weight drop
+    (they carry no mass and a ≤0 weight would corrupt the out-sum);
+    equal weights reduce exactly to the unweighted form
+    (property-tested)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if not 0.0 < damping < 1.0:
@@ -129,6 +139,9 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     _LAST_PR_ITERATIONS = 0
     edges = edges.filter(F.col(src).isNotNull()
                          & F.col(dst).isNotNull())
+    if weight_col is not None:
+        edges = edges.filter(F.col(weight_col).isNotNull()
+                             & (F.col(weight_col) > 0))
     if materialize:
         # snapshot the RAW edges first, so nodes/degrees derive from
         # the SAME evaluation of a possibly-nondeterministic upstream
@@ -138,9 +151,15 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
              .distinct())
-    # the out-degree is a static per-src value: attach it to the edge
-    # list ONCE so each iteration runs a single join (ranks), not two
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
+    # the out-degree (or out-weight-sum) is a static per-src value:
+    # attach it to the edge list ONCE so each iteration runs a single
+    # join (ranks), not two
+    if weight_col is None:
+        deg = edges.groupBy(src).agg(F.count(F.lit(1))
+                                     .alias("__outdeg"))
+    else:
+        deg = edges.groupBy(src).agg(
+            F.sum(F.col(weight_col).cast("double")).alias("__outdeg"))
     edges = edges.join(deg, src)
     if materialize:
         edges = edges.localCheckpoint()
@@ -181,11 +200,14 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     for i in range(iterations):
         _LAST_PR_ITERATIONS = i + 1
         rside = F.broadcast(ranks) if broadcast_ranks else ranks
+        share = (F.col("rank") / F.col("__outdeg") if weight_col is None
+                 else F.col("rank")
+                 * F.col(weight_col).cast("double")
+                 / F.col("__outdeg"))
         contribs = (edges
                     .join(rside, edges[src] == rside["node"])
                     .select(F.col(dst).alias("node"),
-                            (F.col("rank") / F.col("__outdeg"))
-                            .alias("__contrib"))
+                            share.alias("__contrib"))
                     .groupBy("node")
                     .agg(F.sum("__contrib").alias("__contrib")))
         gain = F.coalesce(F.col("__contrib"), F.lit(0.0))
