@@ -318,6 +318,170 @@ def test_warm_start_new_nodes_and_renormalization(spark):
         assert warm[v] == pytest.approx(plain[v], abs=1e-8)
 
 
+def test_warm_start_duplicate_seed_rows_sum_not_fan_out(spark):
+    """r12 ADVICE: duplicate node rows in the seed must aggregate
+    (sum), not fan the node out through the init join — a fanned-out
+    node would carry multiplied rank rows every iteration."""
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    dup = spark.createDataFrame([(0, 0.3), (0, 0.3), (1, 0.2),
+                                 (2, 0.2)], "node long, rank double")
+    merged = spark.createDataFrame([(0, 0.6), (1, 0.2), (2, 0.2)],
+                                   "node long, rank double")
+    out_dup = graph.pagerank(_edges(spark, pairs), "src", "dst",
+                             iterations=2, warm_start=dup)
+    out_merged = graph.pagerank(_edges(spark, pairs), "src", "dst",
+                                iterations=2, warm_start=merged)
+    d = {r["node"]: r["rank"] for r in out_dup.collect()}
+    m = {r["node"]: r["rank"] for r in out_merged.collect()}
+    assert len(d) == 3  # exactly one rank row per node
+    for v in m:
+        assert d[v] == pytest.approx(m[v], abs=1e-12)
+
+
+def test_warm_start_nonpositive_total_mass_raises(spark):
+    """r12 ADVICE: a seed summing to zero (or negative) over the
+    graph's nodes has no valid renormalization — fail loudly instead
+    of minting NULL/inf ranks."""
+    pairs = [(0, 1), (1, 0)]
+    for ranks in ([(0, 0.0), (1, 0.0)], [(0, 1.0), (1, -3.0)]):
+        ws = spark.createDataFrame(ranks, "node long, rank double")
+        with pytest.raises(ValueError, match="warm_start"):
+            graph.pagerank(_edges(spark, pairs), "src", "dst",
+                           iterations=1, warm_start=ws)
+
+
+def _personalized_reference(pairs, sv, iterations, d=0.85,
+                            redistribute_dangling=False):
+    """Python twin of the personalized recurrence: base = (1−d)·s(v),
+    dangling mass re-enters per s(v)."""
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    outdeg = {}
+    for u, _ in pairs:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    tot = sum(sv.get(v, 0.0) for v in nodes)
+    s = {v: sv.get(v, 0.0) / tot for v in nodes}
+    rank = {v: 1.0 / len(nodes) for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for u, v in pairs:
+            contrib[v] += rank[u] / outdeg[u]
+        dmass = (sum(rank[v] for v in nodes if v not in outdeg)
+                 if redistribute_dangling else 0.0)
+        rank = {v: (1 - d) * s[v] + d * (contrib[v] + dmass * s[v])
+                for v in nodes}
+    return rank
+
+
+def _seed(spark, rows):
+    return spark.createDataFrame(rows, "node long, w double")
+
+
+def test_personalized_uniform_seed_matches_standard(spark):
+    """A seed uniform over all nodes IS the standard teleport — the
+    personalized run must equal plain PageRank exactly."""
+    pairs = [(i, (i * 5 + 2) % 13) for i in range(13)]
+    pairs += [(i, (i * 3 + 1) % 13) for i in range(13)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    plain = {r["node"]: r["rank"]
+             for r in graph.pagerank(_edges(spark, pairs), "src",
+                                     "dst", iterations=4).collect()}
+    seed = _seed(spark, [(v, 3.0) for v in plain])
+    pers = {r["node"]: r["rank"]
+            for r in graph.pagerank(_edges(spark, pairs), "src",
+                                    "dst", iterations=4,
+                                    personalize=seed).collect()}
+    for v in plain:
+        assert pers[v] == pytest.approx(plain[v], abs=1e-12)
+
+
+def test_personalized_matches_python_reference(spark):
+    """Skewed seed over a small graph, checked against the python
+    twin, with and without dangling redistribution."""
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0), (0, 4)]  # 4 dangles
+    sv = {0: 5.0, 2: 1.0}
+    for rd in (False, True):
+        ref = _personalized_reference(pairs, sv, 4,
+                                      redistribute_dangling=rd)
+        out = {r["node"]: r["rank"]
+               for r in graph.pagerank(
+                   _edges(spark, pairs), "src", "dst", iterations=4,
+                   personalize=_seed(spark, list(sv.items())),
+                   redistribute_dangling=rd).collect()}
+        assert set(out) == set(ref)
+        for v in ref:
+            assert out[v] == pytest.approx(ref[v], abs=1e-12), rd
+
+
+def test_personalized_dangling_redistribution_conserves_mass(spark):
+    """With redistribute_dangling the personalized run keeps total
+    mass at exactly 1 on a dangling-heavy graph."""
+    pairs = [(0, 1), (0, 2), (3, 2)]  # 1 and 2 dangle
+    out = graph.pagerank(_edges(spark, pairs), "src", "dst",
+                         iterations=6,
+                         personalize=_seed(spark, [(0, 1.0), (3, 1.0)]),
+                         redistribute_dangling=True)
+    total = out.agg(F.sum("rank")).first()[0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_seed_hygiene(spark):
+    """Duplicate seed rows sum; NULL/non-positive weights drop;
+    weights on nodes absent from the graph are ignored — the result
+    equals the clean in-graph seed."""
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    messy = spark.createDataFrame(
+        [(0, 2.0), (0, 1.0), (1, None), (2, -4.0), (99, 7.0)],
+        "node long, w double")
+    clean = _seed(spark, [(0, 3.0)])
+    a = {r["node"]: r["rank"]
+         for r in graph.pagerank(_edges(spark, pairs), "src", "dst",
+                                 iterations=3,
+                                 personalize=messy).collect()}
+    b = {r["node"]: r["rank"]
+         for r in graph.pagerank(_edges(spark, pairs), "src", "dst",
+                                 iterations=3,
+                                 personalize=clean).collect()}
+    assert len(a) == 3
+    for v in b:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_personalized_no_positive_in_graph_mass_raises(spark):
+    """A seed whose only positive weights sit on nodes outside the
+    graph leaves nothing to teleport to — loud failure."""
+    pairs = [(0, 1), (1, 0)]
+    with pytest.raises(ValueError, match="personalize"):
+        graph.pagerank(_edges(spark, pairs), "src", "dst",
+                       iterations=1,
+                       personalize=_seed(spark, [(99, 1.0)]))
+
+
+def test_personalized_composes_with_weight_warm_and_tol(spark):
+    """personalize + weight_col + warm_start + tol reach the same
+    personalized-weighted fixed point as the cold run, faster."""
+    triples = [(i, (i * 5 + 2) % 19, float(1 + i % 3))
+               for i in range(19)]
+    triples += [(i, (i * 7 + 1) % 19, 1.0) for i in range(19)]
+    triples = [(a, b, w) for a, b, w in triples if a != b]
+    e = _wedges(spark, triples)
+    seed = _seed(spark, [(0, 1.0), (7, 2.0)])
+    cold = {r["node"]: r["rank"]
+            for r in graph.pagerank(e, "src", "dst", iterations=200,
+                                    tol=1e-9, weight_col="w",
+                                    personalize=seed).collect()}
+    i_cold = graph._LAST_PR_ITERATIONS
+    ws = spark.createDataFrame(list(cold.items()),
+                               "node long, rank double")
+    warm = {r["node"]: r["rank"]
+            for r in graph.pagerank(e, "src", "dst", iterations=200,
+                                    tol=1e-9, weight_col="w",
+                                    personalize=seed,
+                                    warm_start=ws).collect()}
+    assert graph._LAST_PR_ITERATIONS < i_cold
+    for v in cold:
+        assert warm[v] == pytest.approx(cold[v], abs=1e-8)
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st

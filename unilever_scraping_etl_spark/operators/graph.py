@@ -13,6 +13,10 @@ step one join + one aggregation — no GraphX, no RDDs. Per iteration:
     contrib(v) = Σ_{u→v} rank(u) / outdeg(u)          (join + sum)
     rank'(v)   = (1−d)/N + d · contrib(v)             (map)
 
+(``personalize=`` swaps the uniform (1−d)/N teleport for a seed
+distribution s(v) — Brin & Page's non-uniform E vector — giving the
+topic-focused variant; see the parameter docs.)
+
 Nodes with no in-links keep the (1−d)/N floor; mass arriving at
 dangling nodes (no out-links) is dropped by default, matching the
 plain fixed-iteration formulation the oracle unrolls (symmetric edge
@@ -60,7 +64,7 @@ from unilever_scraping_etl_spark.operators._contracts import (
 )
 
 _WORKING = ("__outdeg", "__contrib", "__rank", "__dmass", "__prev",
-            "__wr", "__wtot")
+            "__wr", "__wtot", "__sv")
 
 # diagnostic: iterations the last pagerank() call actually ran (the
 # tol early-stop is otherwise invisible) — same pattern as connected
@@ -77,7 +81,8 @@ def pagerank(edges: DataFrame, src: str, dst: str,
              redistribute_dangling: bool = False,
              broadcast_ranks: bool | None = None,
              warm_start: DataFrame | None = None,
-             weight_col: str | None = None) -> DataFrame:
+             weight_col: str | None = None,
+             personalize: DataFrame | None = None) -> DataFrame:
     """Fixed-iteration PageRank over the directed edge list
     ``edges[src, dst]`` (parallel duplicate edges count once per
     occurrence — pre-DISTINCT the list if that is not intended).
@@ -122,7 +127,23 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     single footer link). Edges with NULL or non-positive weight drop
     (they carry no mass and a ≤0 weight would corrupt the out-sum);
     equal weights reduce exactly to the unweighted form
-    (property-tested)."""
+    (property-tested).
+    ``personalize``: PERSONALIZED PageRank (Brin & Page 1998 §2.1.2's
+    non-uniform E vector; the topic-focused curation tool — teleport
+    to a trusted seed set instead of everywhere) — a two-column
+    ``(node, weight)`` frame (positional, like ``warm_start``)
+    replacing the uniform teleport: ``rank'(v) = (1−d)·s(v) +
+    d·contrib(v)`` with ``s`` the seed distribution. Rows with NULL
+    or non-positive weight drop, duplicate node rows sum (same
+    defensive-seed discipline as ``warm_start``), weights on nodes
+    absent from the graph are ignored (teleporting to a node that
+    does not exist would leak rank mass), and the surviving weights
+    are renormalized to total 1 — raising if no graph node carries
+    positive weight. With ``redistribute_dangling`` the dangling mass
+    also re-enters per ``s`` (the textbook personalized correction),
+    so total mass stays exactly 1. A seed uniform over all nodes
+    reduces exactly to standard PageRank (property-tested). Composes
+    with ``warm_start``/``tol``/``weight_col``."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if not 0.0 < damping < 1.0:
@@ -169,7 +190,36 @@ def pagerank(edges: DataFrame, src: str, dst: str,
         # a fully-NULL or empty edge list has no nodes to rank —
         # return the empty (node, rank) frame, not a ZeroDivisionError
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    base = F.lit((1.0 - damping) / n)
+    if personalize is not None:
+        # seed distribution s(v): defensive per-node sum, NULL/<=0
+        # drop, restricted to GRAPH nodes before normalizing (mass on
+        # absent nodes must not dilute the teleport), 0.0 elsewhere
+        ps = (personalize.select(
+                  F.col(personalize.columns[0]).alias("node"),
+                  F.col(personalize.columns[1]).cast("double")
+                  .alias("__sv"))
+              .filter(F.col("__sv").isNotNull() & (F.col("__sv") > 0))
+              .groupBy("node").agg(F.sum("__sv").alias("__sv")))
+        nodes = (nodes.join(ps, "node", "left")
+                 .select("node", F.coalesce(F.col("__sv"), F.lit(0.0))
+                         .alias("__sv")))
+        if materialize:
+            nodes = nodes.localCheckpoint()
+        # bounded 1-row probe; `not stot > 0` is NaN-safe like the
+        # warm_start total check
+        stot = nodes.agg(F.sum("__sv")).first()[0]
+        if stot is None or not stot > 0.0:
+            raise ValueError(
+                f"personalize: no graph node carries positive teleport "
+                f"weight (total {stot}) — the seed distribution has "
+                f"nothing to normalize over")
+        nodes = nodes.select(
+            "node", (F.col("__sv") / F.lit(float(stot))).alias("__sv"))
+        if materialize:
+            nodes = nodes.localCheckpoint()
+        base = F.lit(1.0 - damping) * F.col("__sv")
+    else:
+        base = F.lit((1.0 - damping) / n)
     dangling = None
     if redistribute_dangling:
         # nodes with no out-edge, fixed for the whole run: their rank
@@ -182,17 +232,34 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     if broadcast_ranks is None:
         broadcast_ranks = n <= 1_000_000
     if warm_start is not None:
-        ws = warm_start.select(
-            F.col(warm_start.columns[0]).alias("node"),
-            F.col(warm_start.columns[1]).cast("double").alias("__wr"))
+        # defensive seed aggregation (r12 ADVICE): duplicate node rows
+        # in the seed would otherwise fan out through the left join and
+        # double-count that node's mass every iteration — summing per
+        # node keeps any published-snapshot union a valid seed
+        ws = (warm_start.select(
+                  F.col(warm_start.columns[0]).alias("node"),
+                  F.col(warm_start.columns[1]).cast("double")
+                  .alias("__wr"))
+              .groupBy("node").agg(F.sum("__wr").alias("__wr")))
         init = (nodes.join(ws, "node", "left")
                 .select("node",
                         F.coalesce(F.col("__wr"), F.lit(1.0 / n))
                         .alias("rank")))
-        tot = init.agg(F.sum("rank").alias("__wtot"))
-        ranks = (init.crossJoin(F.broadcast(tot))
-                 .select("node", (F.col("rank") / F.col("__wtot"))
-                         .alias("rank")))
+        if materialize:
+            init = init.localCheckpoint()
+        # bounded 1-row probe (same discipline as the node count): the
+        # renormalization divides by this total, so a zero/negative/NaN
+        # seed mass must fail loudly, not mint NULL/inf ranks silently
+        # (r12 ADVICE). `not tot > 0` is deliberately NaN-safe.
+        tot = init.agg(F.sum("rank")).first()[0]
+        if tot is None or not tot > 0.0:
+            raise ValueError(
+                f"warm_start ranks must sum to a positive total over "
+                f"the graph's nodes (got {tot}) — the seed is "
+                f"renormalized to mass 1, so a non-positive or NaN "
+                f"total has no valid scaling")
+        ranks = init.select(
+            "node", (F.col("rank") / F.lit(float(tot))).alias("rank"))
         if materialize:
             ranks = ranks.localCheckpoint()
     else:
@@ -217,7 +284,13 @@ def pagerank(edges: DataFrame, src: str, dst: str,
                      .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
                           .alias("__dmass")))
             new = new.crossJoin(F.broadcast(dmass))
-            gain = gain + F.col("__dmass") / F.lit(float(n))
+            # personalized runs re-enter dangling mass per the seed
+            # distribution (teleporting it uniformly would bleed
+            # topic-locality every iteration); total mass stays 1
+            # either way
+            gain = gain + (F.col("__dmass") * F.col("__sv")
+                           if personalize is not None
+                           else F.col("__dmass") / F.lit(float(n)))
         new = new.select(
             "node", (base + F.lit(damping) * gain).alias("rank"))
         if tol is not None:
