@@ -560,6 +560,155 @@ def test_streaming_host_graph_increments(spark, tmp_path):
     assert cdc_stream.latest_version(snap_root) >= 1
 
 
+def test_weighted_fixture_occurrence_counts(spark, tmp_path):
+    """fixture_weighted_archive round trip: per-(src,dst) link
+    OCCURRENCE counts from the engine extraction equal the analytic
+    formula — edge a carries sum(1 + d%3) over its docs, edge b one
+    per doc, self-loops and mailto: never counted."""
+    from unilever_scraping_etl_spark.sources import warc
+
+    n_docs, n_hosts = 24, 4
+    docs = spark.createDataFrame([(d,) for d in range(n_docs)],
+                                 "doc_id long")
+    hostgraph.fixture_weighted_archive(docs, "doc_id", str(tmp_path),
+                                       n_hosts=n_hosts, n_files=2)
+    recs = warc.read_warc(spark, str(tmp_path)).filter(F.col("parse_ok"))
+    links = hostgraph.extract_link_hosts(recs)
+    got = {(r["src_host"], r["dst_host"]): r["n"]
+           for r in links.filter(
+               F.col("src_host").isNotNull()
+               & F.col("dst_host").isNotNull()
+               & (F.col("src_host") != F.col("dst_host")))
+           .groupBy("src_host", "dst_host")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    exp: dict[tuple[str, str], int] = {}
+    for d in range(n_docs):
+        s = f"h{d % n_hosts}.corpus.local"
+        a = f"h{(7 * d + 1) % n_hosts}.corpus.local"
+        b = f"h{(3 * d + 2) % n_hosts}.corpus.local"
+        if a != s:
+            exp[(s, a)] = exp.get((s, a), 0) + 1 + d % 3
+        if b != s:
+            exp[(s, b)] = exp.get((s, b), 0) + 1
+    assert got == exp
+
+
+def test_subhost_fixture_folds_to_domain_graph(spark, tmp_path):
+    """fixture_subhost_archive → host graph → PSL fold: every
+    w*.h{k}.corpus.local host registers as h{k}.corpus.local under
+    the 'corpus.local' rule, and the domain edge set (domain
+    self-loops dropped — the d%5==4 cross-subdomain edges must die
+    here) equals the analytic formula."""
+    from unilever_scraping_etl_spark.sources import warc
+
+    n_docs, nd, ns = 30, 5, 3
+    docs = spark.createDataFrame([(d,) for d in range(n_docs)],
+                                 "doc_id long")
+    hostgraph.fixture_subhost_archive(docs, "doc_id", str(tmp_path),
+                                      n_domains=nd, n_subs=ns,
+                                      n_files=2)
+    recs = warc.read_warc(spark, str(tmp_path)).filter(F.col("parse_ok"))
+    hedges = hostgraph.host_link_graph(recs)
+    hosts = (hedges.select(F.col("src_host").alias("host"))
+             .union(hedges.select(F.col("dst_host").alias("host")))
+             .distinct())
+    sfx = spark.createDataFrame([("corpus.local",)], "suffix string")
+    fold = {r["host"]: r["registered_domain"]
+            for r in hostgraph.registered_domains(
+                hosts, "host", sfx).collect()}
+    for host, dom in fold.items():
+        assert dom == ".".join(host.split(".")[-3:]), host
+    got = sorted(set(
+        (fold[r["src_host"]], fold[r["dst_host"]])
+        for r in hedges.collect()
+        if fold[r["src_host"]] != fold[r["dst_host"]]))
+    exp = sorted(set(
+        (f"h{d % nd}.corpus.local", f"h{t % nd}.corpus.local")
+        for d in range(n_docs)
+        for t in ((7 * d + 1), (3 * d + 2))
+        if d % nd != t % nd))
+    assert got == exp
+    # the domain-self-loop case is actually present in this fixture
+    assert any(d % 5 == 4 for d in range(n_docs))
+
+
+def test_streaming_incremental_rerank_composition(spark, tmp_path):
+    """The operational nightly loop, end to end (r12 verdict item 5):
+    WARC segments fold into versioned host-graph snapshots through
+    the streaming CDC apply, and each committed version is re-ranked
+    with pagerank(warm_start=<previous version's published ranks>,
+    tol=...). Certifies what host_rank_incremental and warm_start
+    exist for: at every snapshot version, the warm-started ranks
+    equal a cold run on that version's graph (the fixed point is
+    start-independent), and the warm runs never need more iterations
+    than the cold ones."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from unilever_scraping_etl_spark.sources import warc
+    from unilever_scraping_etl_spark.streaming import cdc_stream
+
+    segs = []
+    for i, ids in enumerate([range(0, 12), range(12, 24),
+                             range(24, 36)]):
+        d = tmp_path / f"seg{i}"
+        d.mkdir()
+        docs = spark.createDataFrame([(x,) for x in ids],
+                                     "doc_id long")
+        hostgraph.fixture_linked_archive(docs, "doc_id", str(d),
+                                         n_hosts=6, n_files=2)
+        segs.append(str(d))
+
+    feed = str(tmp_path / "feed")
+    schema = "src_host string, dst_host string, version long, op string"
+    for v, seg in enumerate(segs):
+        recs = warc.read_warc(spark, seg).filter(F2.col("parse_ok"))
+        edges = (hostgraph.host_link_graph(recs)
+                 .withColumn("version", F2.lit(v))
+                 .withColumn("op", F2.lit("U")))
+        edges.coalesce(1).write.mode("append").parquet(feed)
+    for root, _, files in os.walk(feed):
+        for f in files:
+            os.utime(os.path.join(root, f), (1_000_000, 1_000_000))
+
+    snap_root = str(tmp_path / "graph_snapshot")
+    cdc_stream.init_snapshot(spark.createDataFrame([], schema),
+                             snap_root)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    q = cdc_stream.apply_cdc_stream(
+        stream, snap_root, ["src_host", "dst_host"], "version",
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    last = cdc_stream.latest_version(snap_root)
+    assert last is not None and last >= 1
+    published = None  # the previous version's ranks, as a consumer has them
+    for v in range(1, last + 1):
+        snap_edges = (cdc_stream.read_snapshot(spark, snap_root, v)
+                      .withColumnRenamed("src_host", "src")
+                      .withColumnRenamed("dst_host", "dst")
+                      .select("src", "dst"))
+        cold = graph.pagerank(snap_edges, "src", "dst",
+                              iterations=200, tol=1e-9)
+        i_cold = graph._LAST_PR_ITERATIONS
+        if published is None:
+            ranks, i_warm = cold, i_cold
+        else:
+            ranks = graph.pagerank(snap_edges, "src", "dst",
+                                   iterations=200, tol=1e-9,
+                                   warm_start=published)
+            i_warm = graph._LAST_PR_ITERATIONS
+            c = {r["node"]: r["rank"] for r in cold.collect()}
+            w = {r["node"]: r["rank"] for r in ranks.collect()}
+            assert set(w) == set(c)
+            for node in c:
+                assert w[node] == pytest.approx(c[node], abs=1e-7), v
+            assert i_warm <= i_cold, (v, i_warm, i_cold)
+        published = ranks.localCheckpoint()
+
+
 def test_host_pagerank_end_to_end_small(spark, tmp_path):
     """Tiny end-to-end: archive -> host graph -> pagerank returns one
     rank per host and conserves plausibility (all ranks positive,

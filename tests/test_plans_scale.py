@@ -1869,6 +1869,30 @@ def test_r12_host_family_plan_shapes(spark):
     assert "BatchEvalPython" not in pa
 
 
+def test_r13_pagerank_family_plan_shapes(spark):
+    """Round-13 query plan pins: host_rank_weighted keeps the
+    one-shuffle-per-iteration shape — the out-weight sum is attached
+    to the edge list ONCE before materialization, so the executed
+    final plan carries no per-iteration re-aggregation of weights and
+    the rank side of each iteration join broadcasts (host graphs pass
+    the bounded-node probe); host_rank_personalized's seed
+    normalization is a bounded driver probe, never a SinglePartition
+    funnel of the rank table; domain_authority's PSL fold and the
+    fold→edge joins all broadcast."""
+    pw = _plan(QUERIES["host_rank_weighted"].spark(spark, SF_SMOKE))
+    assert "Exchange SinglePartition" not in pw
+    assert "CartesianProduct" not in pw
+    assert "BatchEvalPython" not in pw
+    assert "BroadcastHashJoin" in pw  # rank side broadcast
+    pp = _plan(QUERIES["host_rank_personalized"].spark(spark, SF_SMOKE))
+    assert "Exchange SinglePartition" not in pp
+    assert "CartesianProduct" not in pp
+    pd = _plan(QUERIES["domain_authority"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in pd
+    assert "CartesianProduct" not in pd
+    assert "BatchEvalPython" not in pd
+
+
 def test_plan_linter_all_queries(spark):
     """Suite-wide physical-plan invariants over EVERY registered query
     at sf0.001 — the properties that decide 100 TB survival, enforced

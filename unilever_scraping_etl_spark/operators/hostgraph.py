@@ -362,6 +362,105 @@ def fixture_anchor_archive(docs: DataFrame, id_col: str, out_dir: str,
             warc.build_warc(recs, compress=True))
 
 
+def fixture_weighted_archive(docs: DataFrame, id_col: str,
+                             out_dir: str, n_hosts: int = 20,
+                             n_files: int = 8) -> None:
+    """Fixture half of the WEIGHTED host-rank oracle
+    (``host_rank_weighted``): like :func:`fixture_linked_archive`,
+    but the first cross-host link is REPEATED ``1 + d % 3`` times, so
+    the per-(src,dst) link-occurrence counts — the anchor-corpus
+    weights a weighted PageRank consumes — are asymmetric and
+    analytic in doc_id. Doc ``d`` (served from ``h{d % H}``) emits:
+
+    - ``1 + d % 3`` copies of an absolute link to ``h{(7d+1) % H}``
+      (uppercase scheme/host + default port — canonicalization noise),
+    - one protocol-relative link to ``h{(3d+2) % H}`` with a trailing
+      DNS dot,
+    - a path-relative self link and a ``mailto:`` (both must vanish
+      from the weighted edge list like they do from the distinct one).
+
+    Without the repetition every host's out-weights would normalize
+    back to the uniform split (each doc contributes one occurrence to
+    each of its host's two out-edges), making weighted ≡ unweighted —
+    the repetition is what the oracle actually certifies. Driver-side
+    toPandas BY DESIGN: bounded fixture synthesis."""
+    import pathlib
+
+    from unilever_scraping_etl_spark.sources import warc
+
+    pdf = docs.select(id_col).toPandas()
+    groups: dict[int, list[dict]] = {}
+    for did in pdf[id_col]:
+        d = int(did)
+        a, b = (7 * d + 1) % n_hosts, (3 * d + 2) % n_hosts
+        rep = "\n".join(
+            f'<a href="HTTP://H{a}.Corpus.Local:80/p/{d}-{k}">one</a>'
+            for k in range(1 + d % 3))
+        body = (f'<html><body>\n'
+                f'<a href="/local/page/{d}">self</a>\n'
+                f'{rep}\n'
+                f'<a href="//h{b}.corpus.local./q/{d}">two</a>\n'
+                f'<a href="mailto:ops@corpus.local">noise</a>\n'
+                f'</body></html>').encode("ascii")
+        groups.setdefault(d % n_files, []).append(
+            {"uri": f"http://h{d % n_hosts}.corpus.local/doc/{d}",
+             "body": body})
+    for k, recs in groups.items():
+        (pathlib.Path(out_dir) / f"part{k}.warc.gz").write_bytes(
+            warc.build_warc(recs, compress=True))
+
+
+def fixture_subhost_archive(docs: DataFrame, id_col: str, out_dir: str,
+                            n_domains: int = 10, n_subs: int = 3,
+                            n_files: int = 8) -> None:
+    """Fixture half of the registered-domain authority oracle
+    (``domain_authority``): pages are served from SUBDOMAIN hosts
+    ``w{d % S}.h{d % D}.corpus.local`` so the host graph only becomes
+    the domain graph after a real PSL fold (``registered_domains``
+    with the rule ``corpus.local`` registers ``h{k}.corpus.local``
+    and folds the ``w*`` sub-hosts into it). Doc ``d`` links to:
+
+    - ``w{(d+1) % S}.h{(7d+1) % D}.corpus.local`` via an absolute URL
+      with case/port noise,
+    - ``w{(d+2) % S}.h{(3d+2) % D}.corpus.local`` protocol-relative
+      with a trailing DNS dot,
+    - a path-relative self link and a ``mailto:`` (noise).
+
+    With the default S = 3 both link subdomains differ from the
+    page's own (offsets 1 and 2 are nonzero mod 3), so no HOST-level
+    self-loop hides a DOMAIN-level one: docs with
+    ``d ≡ 4 (mod 5)`` produce a cross-subdomain edge inside one
+    domain, which must survive the host graph and then drop as a
+    domain self-loop after the fold — the case the query certifies.
+    Domain edge list is analytic in doc_id:
+    ``{(d%D, (7d+1)%D), (d%D, (3d+2)%D)}`` minus same-domain pairs.
+    Driver-side toPandas BY DESIGN: bounded fixture synthesis."""
+    import pathlib
+
+    from unilever_scraping_etl_spark.sources import warc
+
+    pdf = docs.select(id_col).toPandas()
+    groups: dict[int, list[dict]] = {}
+    for did in pdf[id_col]:
+        d = int(did)
+        a, b = (7 * d + 1) % n_domains, (3 * d + 2) % n_domains
+        sa, sb = (d + 1) % n_subs, (d + 2) % n_subs
+        body = (f'<html><body>\n'
+                f'<a href="/local/page/{d}">self</a>\n'
+                f'<a href="HTTP://W{sa}.H{a}.Corpus.Local:80/p/{d}">'
+                f'one</a>\n'
+                f'<a href="//w{sb}.h{b}.corpus.local./q/{d}">two</a>\n'
+                f'<a href="mailto:ops@corpus.local">noise</a>\n'
+                f'</body></html>').encode("ascii")
+        groups.setdefault(d % n_files, []).append(
+            {"uri": f"http://w{d % n_subs}.h{d % n_domains}"
+                    f".corpus.local/doc/{d}",
+             "body": body})
+    for k, recs in groups.items():
+        (pathlib.Path(out_dir) / f"part{k}.warc.gz").write_bytes(
+            warc.build_warc(recs, compress=True))
+
+
 def fixture_linked_archive(docs: DataFrame, id_col: str, out_dir: str,
                            n_hosts: int = 20, n_files: int = 8) -> None:
     """Fixture half of the host-rank oracle round trip: serialize the

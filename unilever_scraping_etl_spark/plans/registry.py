@@ -5939,6 +5939,251 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_stream.read_snapshot(spark, root)
 
 
+def _pagerank_ctes_weighted(iterations: int,
+                            edges_cte: str) -> tuple[str, str]:
+    """Weighted twin of ``_pagerank_ctes``: ``edges_cte`` ends by
+    defining ``edges(src, dst, w)`` and each unrolled iteration ships
+    ``rank · w / Σ_out w`` instead of ``rank / outdeg`` — the exact
+    recurrence ``graph.pagerank(weight_col=)`` runs."""
+    head = f"""{edges_cte},
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY src),
+p0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+c{i} AS (SELECT e.dst AS node,
+                sum(p.rank * e.w / dg.outdeg) AS contrib
+         FROM edges e JOIN p{i - 1} p ON e.src = p.node
+         JOIN deg dg ON e.src = dg.src
+         GROUP BY e.dst),
+p{i} AS (SELECT nodes.node,
+                0.15 / nn.n + 0.85 * coalesce(c{i}.contrib, 0.0) AS rank
+         FROM nodes CROSS JOIN nn
+         LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
+    return head + "".join(steps), f"p{iterations}"
+
+
+def _pagerank_ctes_personalized(iterations: int, edges_cte: str,
+                                seed_values: str) -> tuple[str, str]:
+    """Personalized twin of ``_pagerank_ctes``: teleport goes to the
+    seed distribution instead of everywhere. ``seed_values`` is a SQL
+    VALUES list of ``(node, weight)`` rows; weights are restricted to
+    GRAPH nodes before normalizing and nodes outside the seed get
+    s(v) = 0 — exactly ``graph.pagerank(personalize=)``'s hygiene.
+    Iteration: rank'(v) = 0.15·s(v) + 0.85·contrib(v), uniform
+    start."""
+    head = f"""{edges_cte},
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+        FROM edges GROUP BY src),
+seeds AS (SELECT * FROM (VALUES {seed_values}) t(node, w)),
+sin AS (SELECT s.node, s.w FROM seeds s
+        JOIN nodes nd ON s.node = nd.node),
+stot AS (SELECT sum(w) AS t FROM sin),
+sv AS (SELECT nodes.node, coalesce(sin.w, 0.0) / stot.t AS s
+       FROM nodes CROSS JOIN stot
+       LEFT JOIN sin ON nodes.node = sin.node),
+p0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+c{i} AS (SELECT e.dst AS node, sum(p.rank / dg.outdeg) AS contrib
+         FROM edges e JOIN p{i - 1} p ON e.src = p.node
+         JOIN deg dg ON e.src = dg.src
+         GROUP BY e.dst),
+p{i} AS (SELECT sv.node,
+                0.15 * sv.s + 0.85 * coalesce(c{i}.contrib, 0.0) AS rank
+         FROM sv LEFT JOIN c{i} ON sv.node = c{i}.node)""")
+    return head + "".join(steps), f"p{iterations}"
+
+
+_WEIGHTED_HOST_EDGES_CTE = """docs AS (
+    SELECT doc_id FROM documents WHERE text IS NOT NULL),
+occ AS (
+    SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.corpus.local' AS src,
+           'h' || CAST((doc_id * 7 + 1) % 20 AS VARCHAR)
+               || '.corpus.local' AS dst,
+           CAST(1 + doc_id % 3 AS DOUBLE) AS w
+    FROM docs
+    UNION ALL
+    SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.corpus.local',
+           'h' || CAST((doc_id * 3 + 2) % 20 AS VARCHAR)
+               || '.corpus.local',
+           1.0
+    FROM docs),
+edges AS (SELECT src, dst, sum(w) AS w FROM occ
+          WHERE src <> dst GROUP BY src, dst)"""
+
+
+def _host_rank_weighted_oracle() -> str:
+    chain, last = _pagerank_ctes_weighted(5, _WEIGHTED_HOST_EDGES_CTE)
+    return (f"\nWITH {chain}\n"
+            f"SELECT node, round(rank, 9) AS rank FROM {last}")
+
+
+@q("host_rank_weighted", _host_rank_weighted_oracle(),
+   doc="WEIGHTED host authority (graph.pagerank(weight_col=), the "
+       "r12-runway registration the r12 verdict holds this round to): "
+       "the host edges are weighted by the anchor corpus's per-edge "
+       "LINK OCCURRENCE counts — a host that links somewhere 100 "
+       "times endorses it 100× harder than a single footer link, the "
+       "standard webgraph-authority refinement over the distinct edge "
+       "list. The fixture repeats each page's first cross-host link "
+       "1 + d%3 times (hostgraph.fixture_weighted_archive), so the "
+       "per-(src,dst) counts are asymmetric and analytic in doc_id — "
+       "without the repetition every host's two out-edges would "
+       "normalize back to the uniform split and weighted would "
+       "degenerate to unweighted. Engine path: archive → per-"
+       "OCCURRENCE link extraction (extract_link_hosts keeps "
+       "duplicates) → groupBy(src,dst).count as the weight → 5 "
+       "iterations shipping rank·w/Σ_out w. Oracle: the same counts "
+       "rebuilt from doc_id and the weighted recurrence unrolled "
+       "(_pagerank_ctes_weighted). One swallowed duplicate href, "
+       "wrong out-weight sum, or surviving self-loop shifts ranks "
+       "and fails the hash. Same one-shuffle-per-iteration plan as "
+       "unweighted — the out-weight sum is attached to the edge list "
+       "ONCE up front.")
+def host_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import hostgraph
+    from ..sources import warc
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()).select("doc_id"))
+    tmp = tempfile.mkdtemp(prefix="spark_hrw_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    hostgraph.fixture_weighted_archive(docs, "doc_id", tmp)
+    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
+    links = hostgraph.extract_link_hosts(records)
+    wedges = (links
+              .filter(F.col("src_host").isNotNull()
+                      & F.col("dst_host").isNotNull()
+                      & (F.col("src_host") != F.col("dst_host")))
+              .groupBy("src_host", "dst_host")
+              .agg(F.count(F.lit(1)).cast("double").alias("w"))
+              .withColumnRenamed("src_host", "src")
+              .withColumnRenamed("dst_host", "dst"))
+    return graph.pagerank(wedges, "src", "dst", iterations=5,
+                          weight_col="w", rank_digits=9)
+
+
+_PERSONALIZE_SEED_HOSTS = ((3, 1.0), (7, 2.0), (12, 3.0))
+
+
+def _host_rank_personalized_oracle() -> str:
+    seed_values = ", ".join(
+        f"('h{k}.corpus.local', {w})" for k, w in _PERSONALIZE_SEED_HOSTS)
+    chain, last = _pagerank_ctes_personalized(5, _HOST_EDGES_CTE,
+                                              seed_values)
+    return (f"\nWITH {chain}\n"
+            f"SELECT node, round(rank, 9) AS rank FROM {last}")
+
+
+@q("host_rank_personalized", _host_rank_personalized_oracle(),
+   doc="PERSONALIZED host authority (graph.pagerank(personalize=), "
+       "SURVEY 7.8 — the topic-focused curation tool): instead of "
+       "teleporting uniformly, the random surfer restarts at a "
+       "TRUSTED SEED SET (here hosts h3/h7/h12 with weights 1/2/3 — "
+       "unequal so the oracle certifies the normalization, not just "
+       "membership), rank'(v) = 0.15·s(v) + 0.85·contrib(v) — Brin & "
+       "Page's non-uniform E vector, the TrustRank/topic-crawl "
+       "weighting a focused corpus build uses to pull authority "
+       "toward curated hosts. Seed hygiene is part of the contract: "
+       "weights restrict to graph nodes before normalizing, non-seed "
+       "hosts teleport nothing. Same host-graph fixture and distinct "
+       "edge list as host_rank; the oracle unrolls the personalized "
+       "recurrence (_pagerank_ctes_personalized) with the seed "
+       "distribution as a VALUES table. Uniform-seed-equals-standard "
+       "is property-tested engine-side (tests/test_graph.py); this "
+       "query pins the skewed-seed fixed-K trajectory cross-engine.")
+def host_rank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _host_edges(_host_fixture_records(spark, sf_dir,
+                                              "spark_hrpers_"))
+    seed = spark.createDataFrame(
+        [(f"h{k}.corpus.local", w) for k, w in _PERSONALIZE_SEED_HOSTS],
+        "node string, w double")
+    return graph.pagerank(edges, "src", "dst", iterations=5,
+                          personalize=seed, rank_digits=9)
+
+
+_DOMAIN_EDGES_CTE = """docs AS (
+    SELECT doc_id FROM documents WHERE text IS NOT NULL),
+raw AS (
+    SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) || '.corpus.local' AS src,
+           'h' || CAST((doc_id * 7 + 1) % 10 AS VARCHAR)
+               || '.corpus.local' AS dst
+    FROM docs
+    UNION ALL
+    SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) || '.corpus.local',
+           'h' || CAST((doc_id * 3 + 2) % 10 AS VARCHAR)
+               || '.corpus.local'
+    FROM docs),
+edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)"""
+
+
+@q("domain_authority", _pagerank_oracle(5, _DOMAIN_EDGES_CTE),
+   doc="Registered-domain (eTLD+1) authority rollup — the Common "
+       "Crawl domain-level webgraph artifact, and a pure composition "
+       "of shipped pieces (SURVEY 7.8): pages served from SUBDOMAIN "
+       "hosts w{d%3}.h{d%10}.corpus.local (hostgraph."
+       "fixture_subhost_archive) build the host graph, every distinct "
+       "host folds through the full-PSL registered_domains operator "
+       "(rule 'corpus.local' — broadcast rules join, the ~30-host "
+       "mapping then broadcasts back onto the edge list), edges "
+       "collapse to domain pairs, DOMAIN-level self-loops drop (docs "
+       "with d%5==4 produce a cross-subdomain edge inside one domain "
+       "— it must survive the host graph and die at the fold, the "
+       "case a naive host-level dedup misses), and 5 PageRank "
+       "iterations rank the 10 domains. Oracle rebuilds the domain "
+       "edge list analytically from doc_id and unrolls the standard "
+       "recurrence — a wrong PSL fold, a leaked subdomain node, or a "
+       "surviving intra-domain edge all shift ranks and fail the "
+       "hash. At 100 TB the fold is a ~90M-row mapping against a "
+       "~9k-rule broadcast, then the rank iterations run over eTLD+1 "
+       "nodes — strictly smaller than the host graph.")
+def domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import hostgraph
+    from ..sources import warc
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()).select("doc_id"))
+    tmp = tempfile.mkdtemp(prefix="spark_domauth_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    hostgraph.fixture_subhost_archive(docs, "doc_id", tmp)
+    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
+    hedges = hostgraph.host_link_graph(records)
+    hosts = (hedges.select(F.col("src_host").alias("host"))
+             .union(hedges.select(F.col("dst_host").alias("host")))
+             .distinct())
+    suffixes = spark.createDataFrame([("corpus.local",)],
+                                     "suffix string")
+    fold = F.broadcast(
+        hostgraph.registered_domains(hosts, "host", suffixes))
+    dedges = (hedges
+              .join(fold.withColumnRenamed("host", "src_host")
+                        .withColumnRenamed("registered_domain", "src"),
+                    "src_host")
+              .join(fold.withColumnRenamed("host", "dst_host")
+                        .withColumnRenamed("registered_domain", "dst"),
+                    "dst_host")
+              .filter(F.col("src").isNotNull()
+                      & F.col("dst").isNotNull()
+                      & (F.col("src") != F.col("dst")))
+              .select("src", "dst").distinct())
+    return graph.pagerank(dedges, "src", "dst", iterations=5,
+                          rank_digits=9)
+
+
 # Convenience exports ---------------------------------------------------------
 
 # ===========================================================================
