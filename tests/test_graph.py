@@ -482,6 +482,78 @@ def test_personalized_composes_with_weight_warm_and_tol(spark):
         assert warm[v] == pytest.approx(cold[v], abs=1e-8)
 
 
+def _hits_reference(pairs, iterations):
+    """Python twin of Kleinberg's recurrence with L2 normalization
+    after each half-step."""
+    import math
+
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    h = {v: 1.0 for v in nodes}
+    a = {v: 0.0 for v in nodes}
+    for _ in range(iterations):
+        a = {v: 0.0 for v in nodes}
+        for u, v in pairs:
+            a[v] += h[u]
+        z = math.sqrt(sum(x * x for x in a.values()))
+        a = {v: x / z for v, x in a.items()}
+        h = {v: 0.0 for v in nodes}
+        for u, v in pairs:
+            h[u] += a[v]
+        z = math.sqrt(sum(x * x for x in h.values()))
+        h = {v: x / z for v, x in h.items()}
+    return h, a
+
+
+def test_hits_directory_and_popular_page(spark):
+    """0 links to 1/2/3 (a directory page), 4 also links to 1: node 0
+    must be the top hub, node 1 the top authority; python-reference
+    checked exactly."""
+    pairs = [(0, 1), (0, 2), (0, 3), (4, 1)]
+    out = {r["node"]: (r["hub"], r["authority"])
+           for r in graph.hits(_edges(spark, pairs), "src", "dst",
+                               iterations=3).collect()}
+    h, a = _hits_reference(pairs, 3)
+    assert set(out) == set(h)
+    for v in h:
+        assert out[v][0] == pytest.approx(h[v], abs=1e-12)
+        assert out[v][1] == pytest.approx(a[v], abs=1e-12)
+    assert max(out, key=lambda v: out[v][0]) == 0   # best hub
+    assert max(out, key=lambda v: out[v][1]) == 1   # best authority
+
+
+def test_hits_matches_python_reference_on_denser_graph(spark):
+    pairs = [(i, (i * 5 + 2) % 11) for i in range(11)]
+    pairs += [(i, (i * 3 + 1) % 11) for i in range(11)]
+    pairs = [(a_, b) for a_, b in pairs if a_ != b]
+    out = {r["node"]: (r["hub"], r["authority"])
+           for r in graph.hits(_edges(spark, pairs), "src", "dst",
+                               iterations=4).collect()}
+    h, a = _hits_reference(pairs, 4)
+    for v in h:
+        assert out[v][0] == pytest.approx(h[v], abs=1e-10)
+        assert out[v][1] == pytest.approx(a[v], abs=1e-10)
+
+
+def test_hits_scores_are_l2_normalized(spark):
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 1)]
+    out = graph.hits(_edges(spark, pairs), "src", "dst", iterations=5)
+    row = out.agg(F.sum(F.col("hub") * F.col("hub")).alias("h2"),
+                  F.sum(F.col("authority") * F.col("authority"))
+                  .alias("a2")).first()
+    assert row["h2"] == pytest.approx(1.0, abs=1e-9)
+    assert row["a2"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_null_edges_and_empty_graph(spark):
+    e = spark.createDataFrame([(0, 1), (None, 2), (1, None)],
+                              "src long, dst long")
+    out = {r["node"] for r in graph.hits(e, "src", "dst",
+                                         iterations=2).collect()}
+    assert out == {0, 1}  # NULL-sided edges mint no phantom nodes
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert graph.hits(empty, "src", "dst", iterations=1).count() == 0
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st

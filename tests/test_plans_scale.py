@@ -1891,6 +1891,20 @@ def test_r13_pagerank_family_plan_shapes(spark):
     assert "BroadcastHashJoin" in pd
     assert "CartesianProduct" not in pd
     assert "BatchEvalPython" not in pd
+    # hits: both score frames are checkpointed per iteration, so the
+    # final plan is one join of two node-bounded scans — the L2 norms
+    # (1-row SinglePartition aggregates, bounded by construction) all
+    # sit behind checkpoint boundaries
+    ph = _plan(QUERIES["host_hits"].spark(spark, SF_SMOKE))
+    assert "Exchange SinglePartition" not in ph
+    assert "CartesianProduct" not in ph
+    assert "BatchEvalPython" not in ph
+    # crawl_schedule: the politeness window is KEYED by host (never a
+    # global sort of the frontier) and the rank join broadcasts
+    pc = _plan(QUERIES["crawl_schedule"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in pc
+    assert "Exchange SinglePartition" not in pc
+    assert "CartesianProduct" not in pc
 
 
 def test_plan_linter_all_queries(spark):

@@ -312,3 +312,99 @@ def pagerank(edges: DataFrame, src: str, dst: str,
         ranks = ranks.select("node", F.round("rank", rank_digits)
                              .alias("rank"))
     return ranks
+
+
+def hits(edges: DataFrame, src: str, dst: str,
+         iterations: int = 5,
+         hub_digits: int | None = None,
+         materialize: bool = True) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, public algorithm)
+    over the directed edge list ``edges[src, dst]`` — the classic
+    complement to PageRank for link-graph curation: an AUTHORITY is a
+    page many good hubs point at, a HUB is a page pointing at many
+    good authorities (directory/index pages). PageRank's single score
+    conflates the two; corpus weighting wants authorities, link-
+    frontier expansion wants hubs.
+
+    Returns ``(node, hub, authority)`` for every node in the graph.
+    The standard mutual recursion, run for fixed ``iterations``:
+
+        a_t(v) = Σ_{u→v} h_{t−1}(u),   then a_t /= ‖a_t‖₂
+        h_t(u) = Σ_{u→v} a_t(v),       then h_t /= ‖h_t‖₂
+
+    starting from h₀ ≡ 1. Nodes with no in-links have authority 0,
+    nodes with no out-links have hub 0; the L2 norms are never 0 on a
+    non-empty edge list (some node always receives mass), and the
+    empty graph returns an empty frame. NULL-endpoint edges drop;
+    parallel duplicate edges count once per occurrence (pre-DISTINCT
+    if unintended), matching the adjacency-matrix formulation.
+    ``hub_digits`` rounds both scores (cross-engine float-sum order,
+    the pagerank rule).
+
+    Scale posture: identical to ``pagerank`` — the edge list and node
+    set are materialized once; each half-iteration is ONE join of the
+    (node-bounded) score table against the cached edges plus a
+    partial-aggregated sum, and each normalization is a 1-row L2
+    aggregate entering the plan as a broadcast (never a driver
+    collect, never a SinglePartition funnel of the score table). The
+    score side of each join is one row per node, so on host-level
+    graphs it broadcasts; iterations are O(K) shuffles total.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    require_free_columns("hits", edges.columns, _WORKING)
+    require_free_columns("hits", edges.columns,
+                         ("node", "hub", "authority"), kind="output")
+    edges = edges.filter(F.col(src).isNotNull()
+                         & F.col(dst).isNotNull())
+    if materialize:
+        edges = edges.localCheckpoint()
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    if materialize:
+        nodes = nodes.localCheckpoint()
+    if nodes.isEmpty():  # bounded probe, mirrors pagerank's n == 0
+        return nodes.select("node", F.lit(0.0).alias("hub"),
+                            F.lit(0.0).alias("authority"))
+
+    def _normalized(scores: DataFrame, col: str) -> DataFrame:
+        norm = scores.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__z"))
+        return (scores.crossJoin(F.broadcast(norm))
+                .select("node",
+                        (F.col(col) / F.col("__z")).alias(col)))
+
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for i in range(iterations):
+        hside = F.broadcast(hub)
+        araw = (edges.join(hside, edges[src] == hside["node"])
+                .select(F.col(dst).alias("node"), F.col("hub"))
+                .groupBy("node").agg(F.sum("hub").alias("authority")))
+        auth = _normalized(
+            nodes.join(araw, "node", "left")
+            .select("node", F.coalesce(F.col("authority"), F.lit(0.0))
+                    .alias("authority")),
+            "authority")
+        aside = F.broadcast(auth)
+        hraw = (edges.join(aside, edges[dst] == aside["node"])
+                .select(F.col(src).alias("node"), F.col("authority"))
+                .groupBy("node").agg(F.sum("authority").alias("hub")))
+        hub = _normalized(
+            nodes.join(hraw, "node", "left")
+            .select("node", F.coalesce(F.col("hub"), F.lit(0.0))
+                    .alias("hub")),
+            "hub")
+        if materialize:
+            # truncate both lineages once per iteration — the plan
+            # tree otherwise doubles per half-step (each norm is a
+            # self-referencing aggregate of the score frame)
+            hub = hub.localCheckpoint()
+            auth = auth.localCheckpoint()
+    out = hub.join(auth, "node")
+    if hub_digits is not None:
+        out = out.select("node", F.round("hub", hub_digits).alias("hub"),
+                         F.round("authority", hub_digits)
+                         .alias("authority"))
+    return out.select("node", "hub", "authority")

@@ -6184,6 +6184,129 @@ def domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
                           rank_digits=9)
 
 
+def _hits_ctes(iterations: int, edges_cte: str) -> tuple[str, str, str]:
+    """Unrolled HITS (Kleinberg 1999): each iteration is four CTEs per
+    half-step — raw sum, full outer alignment to the node set, L2
+    norm (1-row), normalized scores. Returns (chain, hub_cte,
+    auth_cte). The aligned-score CTEs are MATERIALIZED: each is
+    referenced twice (by its own norm and by the normalized select),
+    and DuckDB's default CTE inlining would otherwise DOUBLE the
+    expression tree per half-step — 2^(2K) base-table scans by K=5,
+    which exhausts file descriptors before it exhausts patience."""
+    head = f"""{edges_cte},
+nodes AS MATERIALIZED (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, 1.0 AS s FROM nodes)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+a{i}r AS (SELECT e.dst AS node, sum(p.s) AS s
+          FROM edges e JOIN h{i - 1} p ON e.src = p.node
+          GROUP BY e.dst),
+a{i}f AS MATERIALIZED (
+    SELECT nodes.node, coalesce(a{i}r.s, 0.0) AS s
+    FROM nodes LEFT JOIN a{i}r ON nodes.node = a{i}r.node),
+a{i}n AS (SELECT sqrt(sum(s * s)) AS z FROM a{i}f),
+a{i} AS MATERIALIZED (
+    SELECT node, s / a{i}n.z AS s FROM a{i}f CROSS JOIN a{i}n),
+h{i}r AS (SELECT e.src AS node, sum(p.s) AS s
+          FROM edges e JOIN a{i} p ON e.dst = p.node
+          GROUP BY e.src),
+h{i}f AS MATERIALIZED (
+    SELECT nodes.node, coalesce(h{i}r.s, 0.0) AS s
+    FROM nodes LEFT JOIN h{i}r ON nodes.node = h{i}r.node),
+h{i}n AS (SELECT sqrt(sum(s * s)) AS z FROM h{i}f),
+h{i} AS MATERIALIZED (
+    SELECT node, s / h{i}n.z AS s FROM h{i}f CROSS JOIN h{i}n)""")
+    return (head + "".join(steps), f"h{iterations}", f"a{iterations}")
+
+
+def _host_hits_oracle() -> str:
+    chain, hub, auth = _hits_ctes(5, _HOST_EDGES_CTE)
+    return (f"\nWITH {chain}\n"
+            f"SELECT h.node, round(h.s, 9) AS hub,"
+            f" round(a.s, 9) AS authority\n"
+            f"FROM {hub} h JOIN {auth} a ON h.node = a.node")
+
+
+@q("host_hits", _host_hits_oracle(),
+   doc="HITS hubs-and-authorities (graph.hits — Kleinberg 1999) over "
+       "the archive's host graph: the classic complement to PageRank "
+       "for link-graph curation — an AUTHORITY is a host many good "
+       "hubs point at (what corpus weighting wants), a HUB is a host "
+       "pointing at many good authorities (what link-frontier "
+       "expansion wants); PageRank's single score conflates the two. "
+       "Five iterations of the mutual recurrence a = AᵀH then L2-"
+       "normalize, h = Aa then L2-normalize, from h0 ≡ 1; the oracle "
+       "unrolls all ten half-steps with their norms as 1-row CTEs "
+       "(_hits_ctes), round-9 both sides. Engine plan mirrors "
+       "pagerank's: node-bounded score table broadcast into each "
+       "join, partial-agg sums, each L2 norm a 1-row aggregate "
+       "entering as a broadcast — never a driver collect or a "
+       "SinglePartition funnel; per-iteration localCheckpoint keeps "
+       "the plan tree linear in K (the self-referencing norm would "
+       "otherwise double it per half-step).")
+def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _host_edges(_host_fixture_records(spark, sf_dir,
+                                              "spark_hhits_"))
+    return graph.hits(edges, "src", "dst", iterations=5, hub_digits=9)
+
+
+def _crawl_schedule_oracle() -> str:
+    chain, last = _pagerank_ctes(5, _HOST_EDGES_CTE)
+    return f"""
+WITH {chain},
+pages AS (SELECT 'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.corpus.local/doc/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                 'h' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.corpus.local' AS host
+          FROM documents WHERE text IS NOT NULL)
+SELECT p.url, p.host,
+       CAST(row_number() OVER (PARTITION BY p.host ORDER BY p.url)
+            AS INTEGER) AS wave,
+       round(coalesce(r.rank, 0.0), 9) AS host_rank
+FROM pages p LEFT JOIN {last} r ON p.host = r.node
+"""
+
+
+@q("crawl_schedule", _crawl_schedule_oracle(),
+   doc="Politeness-bucketed crawl frontier — the scheduling artifact "
+       "a large-scale fetch fleet consumes, composed from shipped "
+       "pieces: every page URL in the archive gets (wave, host_rank) "
+       "where wave = its position within its HOST's queue (a polite "
+       "crawler fetches at most one URL per host per wave — "
+       "row_number over a host-partitioned window, KEYED so the "
+       "window shuffles by host and never funnels the frontier "
+       "through one partition) and host_rank = the host's PageRank "
+       "authority (broadcast joined — the rank table is one row per "
+       "host), so the fleet drains each wave in authority order. "
+       "The reference's rate limiting is a per-process sleep "
+       "(SCRAPER:60-106 walks one shop's pages serially); at 100 TB "
+       "politeness is a PARTITIONING property — this plan's "
+       "frontier-sized work stays keyed by host end to end. Oracle: "
+       "the same window over the analytic page list joined to the "
+       "unrolled rank CTEs; URL ordering is plain byte order in both "
+       "engines (ASCII fixture URLs).")
+def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import hostgraph
+
+    records = _host_fixture_records(spark, sf_dir, "spark_crawl_")
+    ranks = graph.pagerank(_host_edges(records), "src", "dst",
+                           iterations=5)
+    pages = records.select(
+        F.col("target_uri").alias("url"),
+        hostgraph.canonical_host(F.col("target_uri")).alias("host"))
+    w = Window.partitionBy("host").orderBy("url")
+    return (pages
+            .join(F.broadcast(ranks.withColumnRenamed("node", "host")),
+                  "host", "left")
+            .select("url", "host",
+                    F.row_number().over(w).alias("wave"),
+                    F.round(F.coalesce(F.col("rank"), F.lit(0.0)), 9)
+                    .alias("host_rank")))
+
+
 # Convenience exports ---------------------------------------------------------
 
 # ===========================================================================
