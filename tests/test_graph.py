@@ -599,3 +599,163 @@ try:
 
 except ImportError:
     pass
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+
+def _lpa_reference(pairs, iterations):
+    """Python reference: synchronous LPA, undirected distinct
+    neighbors, min-label tie-break."""
+    nbr: dict = {}
+    for u, v in pairs:
+        if u is None or v is None or u == v:
+            continue
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    label = {v: v for v in nbr}
+    for _ in range(iterations):
+        nxt = {}
+        for v, ns in nbr.items():
+            counts: dict = {}
+            for u in ns:
+                counts[label[u]] = counts.get(label[u], 0) + 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+        label = nxt
+    return label
+
+
+def test_lpa_two_cliques_converge_to_two_communities(spark):
+    """Two 4-cliques joined by one bridge edge: LPA finds both
+    communities, each labeled by its minimum member."""
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14)
+               if a < b]
+    pairs = clique1 + clique2 + [(3, 10)]
+    out = {r["node"]: r["community"]
+           for r in graph.label_propagation(
+               _edges(spark, pairs), "src", "dst",
+               iterations=5).collect()}
+    assert out == _lpa_reference(pairs, 5)
+    assert {out[v] for v in range(4)} == {0}
+    assert {out[v] for v in range(10, 14)} == {10}
+
+
+def test_lpa_matches_python_reference_on_functional_graph(spark):
+    """The host-fixture-shaped deterministic graph, several K."""
+    pairs = [(d % 20, (d * 7 + 1) % 20) for d in range(200)] + \
+            [(d % 20, (d * 3 + 2) % 20) for d in range(200)]
+    for k in (1, 2, 5):
+        out = {r["node"]: r["community"]
+               for r in graph.label_propagation(
+                   _edges(spark, pairs), "src", "dst",
+                   iterations=k).collect()}
+        assert out == _lpa_reference(pairs, k), f"k={k}"
+
+
+def test_lpa_drops_nulls_self_loops_and_parallel_edges(spark):
+    """NULL endpoints and self-loops vanish; a parallel duplicate
+    edge must not double-count its neighbor's label vote."""
+    pairs = [(1, 2), (1, 2), (2, 1), (1, 1), (2, 3), (3, 4)]
+    df = spark.createDataFrame(
+        [(None, 2), (2, None)], "src long, dst long").union(
+        _edges(spark, pairs))
+    out = {r["node"]: r["community"]
+           for r in graph.label_propagation(df, "src", "dst",
+                                            iterations=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out == _lpa_reference(pairs, 3)
+
+
+def test_lpa_invalid_iterations(spark):
+    with pytest.raises(ValueError, match="iterations"):
+        graph.label_propagation(_edges(spark, [(1, 2)]), "src", "dst",
+                                iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# cocitation / bibliographic coupling
+# ---------------------------------------------------------------------------
+
+
+def _cocite_reference(pairs, mode="cocitation", min_common=1,
+                      cap=None):
+    ins: dict = {}
+    for u, v in pairs:
+        if u is None or v is None or u == v:
+            continue
+        lk, it = (u, v) if mode == "cocitation" else (v, u)
+        ins.setdefault(lk, set()).add(it)
+    deg: dict = {}
+    for its in ins.values():
+        for it in its:
+            deg[it] = deg.get(it, 0) + 1
+    out = {}
+    for lk, its in ins.items():
+        if cap is not None and len(its) > cap:
+            continue
+        its = sorted(its)
+        for i in range(len(its)):
+            for j in range(i + 1, len(its)):
+                k = (its[i], its[j])
+                out[k] = out.get(k, 0) + 1
+    return {k: (c, c / (deg[k[0]] + deg[k[1]] - c))
+            for k, c in out.items() if c >= min_common}
+
+
+def test_cocitation_hand_example(spark):
+    """Linkers 100,101 both cite 1 and 2; 102 cites 2 and 3."""
+    pairs = [(100, 1), (100, 2), (101, 1), (101, 2), (102, 2), (102, 3)]
+    rows = graph.cocitation(_edges(spark, pairs), "src", "dst").collect()
+    got = {(r["node_a"], r["node_b"]): (r["common"], r["jaccard"])
+           for r in rows}
+    # deg: 1->2, 2->3, 3->1
+    assert got == {(1, 2): (2, 2 / (2 + 3 - 2)),
+                   (2, 3): (1, 1 / (3 + 1 - 1))}
+
+
+def test_cocitation_matches_reference_and_coupling_transpose(spark):
+    pairs = [(d % 20, (d * 7 + 1) % 20) for d in range(200)] + \
+            [(d % 20, (d * 3 + 2) % 20) for d in range(200)]
+    for mode in ("cocitation", "coupling"):
+        rows = graph.cocitation(_edges(spark, pairs), "src", "dst",
+                                mode=mode, min_common=2).collect()
+        got = {(r["node_a"], r["node_b"]): (r["common"], r["jaccard"])
+               for r in rows}
+        ref = _cocite_reference(pairs, mode=mode, min_common=2)
+        assert set(got) == set(ref)
+        for k in ref:
+            assert got[k][0] == ref[k][0]
+            assert abs(got[k][1] - ref[k][1]) < 1e-12
+
+
+def test_cocitation_linker_degree_cap_excludes_hub(spark):
+    """A hub citing everything is cut from pair generation, but the
+    TRUE degrees (pre-cap) still feed the Jaccard."""
+    hub = [(999, v) for v in range(1, 8)]
+    rest = [(100, 1), (100, 2), (101, 1), (101, 2)]
+    pairs = hub + rest
+    rows = graph.cocitation(_edges(spark, pairs), "src", "dst",
+                            max_linker_degree=5).collect()
+    got = {(r["node_a"], r["node_b"]): (r["common"], r["jaccard"])
+           for r in rows}
+    assert got == _cocite_reference(pairs, cap=5)
+    # only the 100/101 pair survives; degrees include the hub's cites
+    assert got == {(1, 2): (2, 2 / (3 + 3 - 2))}
+
+
+def test_cocitation_parallel_edges_and_self_loops_ignored(spark):
+    pairs = [(100, 1), (100, 1), (100, 2), (1, 1)]
+    rows = graph.cocitation(_edges(spark, pairs), "src", "dst").collect()
+    assert {(r["node_a"], r["node_b"], r["common"]) for r in rows} \
+        == {(1, 2, 1)}
+
+
+def test_cocitation_invalid_args(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="mode"):
+        graph.cocitation(e, "src", "dst", mode="nope")
+    with pytest.raises(ValueError, match="min_common"):
+        graph.cocitation(e, "src", "dst", min_common=0)

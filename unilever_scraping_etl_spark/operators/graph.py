@@ -408,3 +408,149 @@ def hits(edges: DataFrame, src: str, dst: str,
                          F.round("authority", hub_digits)
                          .alias("authority"))
     return out.select("node", "hub", "authority")
+
+
+def label_propagation(edges: DataFrame, src: str, dst: str,
+                      iterations: int = 5,
+                      materialize: bool = True) -> DataFrame:
+    """Synchronous label propagation (Raghavan-Albert-Kumara 2007,
+    public algorithm) over the edge list treated as UNDIRECTED — the
+    community-detection pass a corpus-curation pipeline runs on the
+    host graph to group mutually-linking site families (mirror
+    clusters, link farms, forum networks) before per-community
+    sampling caps or quality decisions.
+
+    Returns ``(node, community)`` where ``community`` is the label the
+    node converged to. Deterministic semantics (the published
+    algorithm breaks ties randomly, which no oracle can check):
+
+    - neighbors(v) = the DISTINCT undirected neighbor set from the
+      edge list (direction erased, self-loops and NULL endpoints
+      dropped, parallel edges collapse);
+    - label₀(v) = v;
+    - label_t(v) = the most frequent label among neighbors' t−1
+      labels, ties broken by the SMALLEST label (min-label tie-break
+      — every engine and the SQL oracle agree on it);
+    - all nodes update simultaneously from the t−1 snapshot
+      (synchronous — the asynchronous variant is order-dependent).
+
+    Fixed ``iterations`` (the oracle-checkable form); synchronous LPA
+    on bipartite-ish structures can oscillate rather than converge,
+    which fixed-K sidesteps — callers wanting convergence iterate on
+    the returned frame's label-change count (bounded probe), the
+    pagerank ``tol`` discipline.
+
+    Scale posture: the symmetric neighbor list is materialized once;
+    each iteration is the (node-bounded, broadcastable) label table
+    joined to the cached neighbor list, a partial-aggregated
+    (node, label) count, then a per-node arg-min — ``min_by`` over
+    ``struct(-count, label)``, an ordinary partial-aggregatable
+    aggregate, NOT a global window. O(K) shuffles total; per-node
+    state is one row, so a 90M-host graph carries 90M label rows per
+    iteration."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    require_free_columns("label_propagation", edges.columns, _WORKING)
+    require_free_columns("label_propagation", edges.columns,
+                         ("node", "community"), kind="output")
+    nbr = (edges
+           .filter(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                   & (F.col(src) != F.col(dst)))
+           .select(F.col(src).alias("__a"), F.col(dst).alias("__b")))
+    nbr = nbr.union(nbr.select(F.col("__b").alias("__a"),
+                               F.col("__a").alias("__b"))).distinct()
+    if materialize:
+        nbr = nbr.localCheckpoint()
+    labels = (nbr.select(F.col("__a").alias("node"))
+              .distinct()
+              .select("node", F.col("node").alias("community")))
+    for _ in range(iterations):
+        lbl = F.broadcast(labels)
+        counts = (nbr.join(lbl, nbr["__b"] == lbl["node"])
+                  .groupBy(F.col("__a").alias("node"),
+                           F.col("community"))
+                  .agg(F.count(F.lit(1)).alias("__c")))
+        labels = counts.groupBy("node").agg(
+            F.min_by("community",
+                     F.struct((-F.col("__c")).alias("nc"),
+                              F.col("community").alias("l")))
+            .alias("community"))
+        if materialize:
+            labels = labels.localCheckpoint()
+    return labels.select("node", "community")
+
+
+def cocitation(edges: DataFrame, src: str, dst: str,
+               mode: str = "cocitation",
+               min_common: int = 1,
+               max_linker_degree: int | None = None,
+               jaccard_digits: int | None = None) -> DataFrame:
+    """Co-citation / bibliographic-coupling similarity (Small 1973 /
+    Kessler 1963, public measures) over a directed edge list — the
+    related-host discovery pass: two hosts are CO-CITED when the same
+    third host links to both (similar by endorsement), and COUPLED
+    when they link to the same third host (similar by behavior).
+    Corpus curation uses co-citation to expand a trusted seed set and
+    coupling to spot coordinated link networks.
+
+    Returns ``(node_a, node_b, common, jaccard)`` for every unordered
+    pair with at least ``min_common`` shared in-neighbors
+    (``mode="cocitation"``) or shared out-neighbors
+    (``mode="coupling"``), with ``node_a < node_b``, ``common`` the
+    shared-neighbor count and ``jaccard`` = common / (deg_a + deg_b −
+    common) over the corresponding DISTINCT neighbor sets. The edge
+    list is de-duplicated and self-loop/NULL-filtered first, so
+    parallel edges never inflate the counts.
+
+    Scale posture: the pair generation is the classic self-join on
+    the shared linker — per linker of degree D it emits D·(D−1)/2
+    pairs, so one mega-hub (a directory page linking half the web)
+    quadratically floods the shuffle. ``max_linker_degree`` caps it:
+    linkers with more than that many distinct targets are EXCLUDED
+    from pair generation (the standard frequent-linker cut — a hub
+    that links everywhere carries no similarity signal; its
+    endorsement is vacuous). Degrees for the Jaccard are computed
+    BEFORE the cap (the true set sizes) and join back as a
+    node-bounded broadcast; the pair aggregation is one
+    partial-aggregated shuffle keyed by the pair."""
+    if mode not in ("cocitation", "coupling"):
+        raise ValueError("mode must be 'cocitation' or 'coupling'")
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    require_free_columns("cocitation", edges.columns, _WORKING)
+    require_free_columns("cocitation", edges.columns,
+                         ("node_a", "node_b", "common", "jaccard"),
+                         kind="output")
+    # orient so "linker" is the shared endpoint and "item" the ranked one
+    linker, item = (src, dst) if mode == "cocitation" else (dst, src)
+    el = (edges
+          .filter(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                  & (F.col(src) != F.col(dst)))
+          .select(F.col(linker).alias("__lk"), F.col(item).alias("__it"))
+          .distinct())
+    deg = el.groupBy(F.col("__it").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg"))
+    gen = el
+    if max_linker_degree is not None:
+        keep = (el.groupBy("__lk")
+                .agg(F.count(F.lit(1)).alias("__d"))
+                .filter(F.col("__d") <= max_linker_degree)
+                .select("__lk"))
+        gen = el.join(F.broadcast(keep), "__lk", "left_semi")
+    a, b = gen.alias("__l"), gen.alias("__r")
+    pairs = (a.join(b, (F.col("__l.__lk") == F.col("__r.__lk"))
+                    & (F.col("__l.__it") < F.col("__r.__it")))
+             .groupBy(F.col("__l.__it").alias("node_a"),
+                      F.col("__r.__it").alias("node_b"))
+             .agg(F.count(F.lit(1)).alias("common"))
+             .filter(F.col("common") >= min_common))
+    da = F.broadcast(deg.withColumnRenamed("node", "node_a")
+                     .withColumnRenamed("__deg", "__da"))
+    db = F.broadcast(deg.withColumnRenamed("node", "node_b")
+                     .withColumnRenamed("__deg", "__db"))
+    jac = (F.col("common")
+           / (F.col("__da") + F.col("__db") - F.col("common")))
+    if jaccard_digits is not None:
+        jac = F.round(jac, jaccard_digits)
+    return (pairs.join(da, "node_a").join(db, "node_b")
+            .select("node_a", "node_b", "common", jac.alias("jaccard")))

@@ -6498,3 +6498,112 @@ def spark_queries() -> dict[str, SparkQuery]:
 def oracle_queries() -> dict[str, str]:
     return {name: spec.oracle for name, spec in _ordered().items()
             if spec.oracle is not None}
+
+
+def _lpa_ctes(iterations: int, edges_cte: str) -> tuple[str, str]:
+    """Unrolled synchronous label propagation: the symmetric distinct
+    neighbor list once, then per iteration a (node, label) count and
+    a row_number arg-min (count DESC, label ASC — the engine's
+    min_by(struct(-c, label)) tie-break, stated once in
+    graph.label_propagation's contract). Returns (chain, last_cte).
+    Label CTEs are MATERIALIZED for the same reason _hits_ctes': each
+    is referenced by the next iteration's join; default inlining
+    would re-expand the whole chain per reference."""
+    head = f"""{edges_cte},
+nbr AS MATERIALIZED (
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst, src FROM edges),
+l0 AS MATERIALIZED (
+    SELECT DISTINCT a AS node, a AS label FROM nbr)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+c{i} AS (SELECT n.a AS node, p.label AS label, count(*) AS c
+         FROM nbr n JOIN l{i - 1} p ON n.b = p.node
+         GROUP BY n.a, p.label),
+l{i} AS MATERIALIZED (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c{i}) t WHERE rn = 1)""")
+    return head + "".join(steps), f"l{iterations}"
+
+
+def _host_communities_oracle() -> str:
+    chain, last = _lpa_ctes(5, _HOST_EDGES_CTE)
+    return (f"\nWITH {chain}\n"
+            f"SELECT node, label AS community FROM {last}")
+
+
+@q("host_communities", _host_communities_oracle(),
+   doc="Host-graph community detection — synchronous label "
+       "propagation (Raghavan-Albert-Kumara 2007) with the "
+       "DETERMINISTIC min-label tie-break (graph.label_propagation), "
+       "over the same archive-derived host graph as host_rank: the "
+       "pass a corpus build runs to group mutually-linking site "
+       "families (mirror clusters, link farms) before per-community "
+       "sampling caps. Direction is erased to the distinct undirected "
+       "neighbor list, labels start as the host names themselves, and "
+       "5 synchronous rounds vote each host into the most frequent "
+       "neighbor label (ties to the LEXICOGRAPHICALLY smallest — the "
+       "published algorithm breaks ties randomly, which no oracle "
+       "could check). Oracle unrolls the five rounds as (node, label) "
+       "count CTEs with a row_number arg-min (_lpa_ctes) — one "
+       "missed symmetric edge, a double-counted parallel edge, or a "
+       "divergent tie-break relabels hosts and fails the hash. "
+       "Engine plan: the label table is node-bounded and broadcast "
+       "into each round's join against the once-materialized "
+       "neighbor list; the arg-min is min_by over struct(-count, "
+       "label) — a partial-aggregatable aggregate, never a global "
+       "window — so a 90M-host graph carries one label row per host "
+       "per round.")
+def host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _host_edges(_host_fixture_records(spark, sf_dir,
+                                              "spark_hcomm_"))
+    return graph.label_propagation(edges, "src", "dst", iterations=5)
+
+
+def _host_cocitation_oracle() -> str:
+    return f"""
+WITH {_HOST_EDGES_CTE},
+el AS (SELECT DISTINCT src AS lk, dst AS it FROM edges),
+deg AS (SELECT it AS node, CAST(count(*) AS BIGINT) AS d
+        FROM el GROUP BY it),
+pr AS (SELECT l.it AS node_a, r.it AS node_b,
+              CAST(count(*) AS BIGINT) AS common
+       FROM el l JOIN el r ON l.lk = r.lk AND l.it < r.it
+       GROUP BY l.it, r.it)
+SELECT p.node_a, p.node_b, p.common,
+       round(CAST(p.common AS DOUBLE) / (da.d + db.d - p.common), 9)
+           AS jaccard
+FROM pr p
+JOIN deg da ON p.node_a = da.node
+JOIN deg db ON p.node_b = db.node
+"""
+
+
+@q("host_cocitation", _host_cocitation_oracle(),
+   doc="Related-host discovery by CO-CITATION (Small 1973 — "
+       "graph.cocitation): two hosts are similar when the same third "
+       "hosts link to BOTH, the endorsement-side signal a curation "
+       "pipeline uses to expand a trusted seed set (its transpose, "
+       "bibliographic coupling, spots coordinated link networks; "
+       "same operator, mode='coupling', property-tested). Every "
+       "unordered host pair sharing at least one in-linker gets "
+       "(common, jaccard) with jaccard = common/(deg_a+deg_b−common) "
+       "over the distinct in-neighbor sets. Oracle: the self-join on "
+       "the shared linker in plain SQL over the analytic edge list. "
+       "Engine plan: the pair generation self-joins the distinct "
+       "edge list on the linker key (co-partitioned equi-join), "
+       "aggregates once keyed by the pair, and joins the node-"
+       "bounded degree table back as a broadcast; at web scale the "
+       "max_linker_degree cap (tested) cuts the directory-hub "
+       "quadratic blowup — a linker citing half the web carries no "
+       "similarity signal. The fixture's 20-host graph needs no cap, "
+       "so the registered run is the uncapped exact form.")
+def host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _host_edges(_host_fixture_records(spark, sf_dir,
+                                              "spark_hcocit_"))
+    return graph.cocitation(edges, "src", "dst", jaccard_digits=9)
