@@ -727,3 +727,104 @@ def test_host_pagerank_end_to_end_small(spark, tmp_path):
     nodes = {r["node"] for r in out}
     assert nodes == {f"h{k}.corpus.local" for k in range(4)}
     assert all(r["rank"] > 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# canonical_url (RFC 3986 §6 normalization for frontier dedup)
+# ---------------------------------------------------------------------------
+
+
+def _canon(spark, urls):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(hostgraph.canonical_url(F.col("u")).alias("c")) \
+             .collect()
+    return [r["c"] for r in rows]
+
+
+def test_canonical_url_case_port_fragment_and_sort(spark):
+    got = _canon(spark, [
+        "HTTP://Shop.Example.COM:80/item/5?b=2&a=1#frag",
+        "https://shop.example.com:443/a",
+        "https://shop.example.com:8443/a",
+        "http://shop.example.com:/a",
+        "http://shop.example.com",
+        "http://u:p@shop.example.com./x",
+    ])
+    assert got == [
+        "http://shop.example.com/item/5?a=1&b=2",
+        "https://shop.example.com/a",
+        "https://shop.example.com:8443/a",
+        "http://shop.example.com/a",
+        "http://shop.example.com/",
+        "http://u:p@shop.example.com/x",
+    ]
+
+
+def test_canonical_url_dot_segments(spark):
+    got = _canon(spark, [
+        "http://h/a/b/../c",
+        "http://h/a/./b",
+        "http://h/../a",
+        "http://h/a/b/..",
+        "http://h/a/b/.",
+        "http://h/a//b",
+        "http://h/a/..",
+        "http://h/a/b/../../../c",
+    ])
+    assert got == [
+        "http://h/a/c",
+        "http://h/a/b",
+        "http://h/a",
+        "http://h/a/",
+        "http://h/a/b/",
+        "http://h/a//b",
+        "http://h/",
+        "http://h/c",
+    ]
+
+
+def test_canonical_url_query_params(spark):
+    got = _canon(spark, [
+        "http://h/p?utm_source=feed&a=1&b=2",
+        "http://h/p?gclid=xyz",
+        "http://h/p?",
+        "http://h/p?&&a=1",
+        "http://h/p?z=1&y=2&utm_campaign=x&fbclid=1",
+        "http://h/p?a=utm_source",
+    ])
+    assert got == [
+        "http://h/p?a=1&b=2",
+        "http://h/p",
+        "http://h/p",
+        "http://h/p?a=1",
+        "http://h/p?y=2&z=1",
+        "http://h/p?a=utm_source",
+    ]
+
+
+def test_canonical_url_rejects_non_http_and_relative(spark):
+    got = _canon(spark, [
+        "ftp://h/file",
+        "mailto:x@y",
+        "/relative/path",
+        "//proto.relative/x",
+        "http:///nohost",
+        "",
+        "  http://h/pad\t ",
+    ])
+    assert got == [None, None, None, None, None, None, "http://h/pad"]
+
+
+def test_canonical_url_ipv6_and_merge_equivalents(spark):
+    """The frontier property: every spelling of one logical URL maps
+    to ONE canonical string."""
+    variants = [
+        "http://h20.corpus.local/item/7?b=2&a=1",
+        "HTTP://H20.corpus.local:80/item/7?a=1&b=2#x",
+        "http://h20.corpus.local./x/../item/7?utm_source=f&a=1&b=2",
+    ]
+    got = set(_canon(spark, variants))
+    assert got == {"http://h20.corpus.local/item/7?a=1&b=2"}
+    v6 = _canon(spark, ["http://[2001:DB8::1]:8080/a"])
+    assert v6 == ["http://[2001:db8::1]:8080/a"]

@@ -237,6 +237,90 @@ def is_noindex(body: Column) -> Column:
                       | s.rlike(_NOINDEX_META_REV), F.lit(False))
 
 
+_URL_PARTS = (r'^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)'
+              r'(?:\?([^#]*))?')
+
+# the frontier-pollution query parameters every large crawl strips:
+# click/campaign trackers that fragment one logical URL into dozens
+_TRACKING_PARAMS = (r'^(?:utm_[^=&]*|gclid|fbclid|msclkid|yclid)'
+                    r'(?:=.*)?$')
+
+
+def canonical_url(url: Column,
+                  drop_params: str = _TRACKING_PARAMS) -> Column:
+    """Full-URL canonicalization for crawl-frontier deduplication —
+    RFC 3986 §6 syntax-based normalization plus the tracking-param
+    strip every large crawl applies (the reference walks paginated
+    shop URLs it constructs itself, SCRAPER:60-75; a general frontier
+    receives the same logical URL spelled dozens of ways and must not
+    fetch it dozens of times). NULL for anything that is not an
+    absolute http(s) URL with a parseable host — a frontier only
+    fetches those. JVM-only column expressions end to end (regexp
+    parts + a higher-order fold), no Python row path.
+
+    Normalizations applied, in RFC terms:
+    - pre-parse whitespace (``_clean_ref`` — WHATWG §4.1, shared with
+      ``canonical_host``/``resolve_link_host``);
+    - case: scheme and host lowercase (§6.2.2.1); trailing DNS dot
+      dropped from the host;
+    - default port elided (``:80`` http / ``:443`` https / empty
+      ``:``), non-default ports kept (§6.2.3);
+    - path: ``remove_dot_segments`` (§5.2.4) as an ``aggregate`` fold
+      over the ``/``-split segments — ``.`` dropped, ``..`` pops,
+      ``..`` at root removed, trailing ``/.``/``/..`` keep the
+      directory slash; empty path becomes ``/`` (§6.2.3); empty
+      segments (``//``) are PRESERVED — they are distinct URIs;
+    - fragment dropped (it never reaches the server);
+    - query: params matching ``drop_params`` removed (default: the
+      utm_*/gclid/fbclid/msclkid/yclid trackers), empty params
+      collapsed, the rest byte-sorted (param ORDER is almost never
+      semantic; sorting merges permutations — callers with
+      order-sensitive endpoints pass a narrower pipeline), a
+      now-empty query drops its ``?``.
+
+    Out of scope, documented: percent-encoding renormalization (the
+    input is assumed consistently encoded — cross-variant decoding
+    needs a policy, §6.2.2.2), IDN/punycode folding, and userinfo
+    removal (preserved verbatim; frontier URLs should not carry
+    credentials, and silently dropping them would change the fetch)."""
+    t = _clean_ref(url)
+    scheme = F.lower(F.regexp_extract(t, _URL_PARTS, 1))
+    auth = F.regexp_extract(t, _URL_PARTS, 2)
+    path = F.regexp_extract(t, _URL_PARTS, 3)
+    query = F.regexp_extract(t, _URL_PARTS, 4)
+    userinfo = F.regexp_extract(auth, r'^(.*@)', 1)
+    hostport = F.regexp_replace(auth, r'^.*@', '')
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r'^(\[[^\]]*\]|[^:]+)', 1)),
+        r'\.$', '')
+    port = F.regexp_extract(hostport, r':(\d+)$', 1)
+    port = F.when((port == '')
+                  | ((scheme == 'http') & (port == '80'))
+                  | ((scheme == 'https') & (port == '443')), F.lit(''))\
+        .otherwise(F.concat(F.lit(':'), port))
+    segs = F.split(path, '/')
+    folded = F.aggregate(
+        F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0))),
+        F.array().cast("array<string>"),
+        lambda acc, x: (
+            F.when(x == '.', acc)
+            .when(x == '..',
+                  F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))))
+            .otherwise(F.concat(acc, F.array(x)))))
+    npath = F.concat(F.lit('/'), F.array_join(folded, '/'))
+    # a plain trailing '/' survives the fold as an empty last segment;
+    # only the '/.' and '/..' endings lose their directory slash
+    npath = F.when(path.rlike(r'/\.\.?$') & (npath != '/'),
+                   F.concat(npath, F.lit('/'))).otherwise(npath)
+    params = F.filter(F.split(query, '&'),
+                      lambda p: (p != '') & ~p.rlike(drop_params))
+    qs = F.array_join(F.array_sort(params), '&')
+    rebuilt = F.concat(
+        scheme, F.lit('://'), userinfo, host, port, npath,
+        F.when(qs != '', F.concat(F.lit('?'), qs)).otherwise(F.lit('')))
+    return F.when(scheme.isin('http', 'https') & (host != ''), rebuilt)
+
+
 def registered_domains(hosts: DataFrame, host_col: str,
                        suffixes: DataFrame,
                        suffix_col: str = "suffix") -> DataFrame:

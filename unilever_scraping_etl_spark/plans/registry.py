@@ -6607,3 +6607,72 @@ def host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _host_edges(_host_fixture_records(spark, sf_dir,
                                               "spark_hcocit_"))
     return graph.cocitation(edges, "src", "dst", jaccard_digits=9)
+
+
+_URL_FRONTIER_ORACLE = """
+WITH docs AS (SELECT doc_id AS d FROM documents WHERE text IS NOT NULL),
+item AS (
+    SELECT 'http://h' || CAST(d % 20 AS VARCHAR)
+           || '.corpus.local/item/' || CAST(d AS VARCHAR)
+           || '?a=1&b=2' AS url,
+           CAST(2 + CASE WHEN d % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_urls
+    FROM docs),
+list AS (
+    SELECT 'https://h' || CAST(d % 20 AS VARCHAR)
+           || '.corpus.local/list/p' || CAST(d % 5 AS VARCHAR)
+           || '/' AS url,
+           CAST(count(*) AS BIGINT) AS n_urls
+    FROM docs GROUP BY d % 20, d % 5)
+SELECT url, n_urls FROM item
+UNION ALL
+SELECT url, n_urls FROM list
+"""
+
+
+@q("url_frontier", _URL_FRONTIER_ORACLE,
+   doc="Crawl-frontier URL deduplication — hostgraph.canonical_url "
+       "(RFC 3986 §6 syntax normalization + tracking-param strip) "
+       "collapsing every spelling of a logical URL to one fetch "
+       "entry. The fixture builds the MESSY side analytically from "
+       "doc_id: each doc emits its item URL three ways — plain with "
+       "permuted params, UPPERCASE scheme/host with explicit :80 and "
+       "a fragment, and (even docs only, so counts vary) a trailing-"
+       "DNS-dot host with a /x/../ dot-segment detour and a "
+       "utm_source tracker — plus a shared per-host listing URL "
+       "spelled with :443, /./ and a trailing slash, which multiple "
+       "docs collapse ONTO (the cross-doc dedup case). The engine "
+       "must normalize case, elide default ports, fold dot segments "
+       "(the §5.2.4 remove_dot_segments higher-order fold), drop "
+       "fragments/trackers, and byte-sort the surviving params; the "
+       "oracle states the expected canonical strings and counts "
+       "directly from the doc_id formulas — any normalization drift "
+       "(a kept :80, an unfolded .., a surviving utm param, a wrong "
+       "sort) changes a URL or a count and fails the hash. All "
+       "JVM-side column expressions — the canonicalizer adds no "
+       "Python row path, no shuffle beyond the final dedup "
+       "aggregation, which partial-aggregates and scales with the "
+       "DISTINCT frontier size.")
+def url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import hostgraph
+
+    d = F.col("doc_id")
+    k = (d % 20).cast("string")
+    item = F.concat(F.lit("/item/"), d.cast("string"))
+    raws = F.array(
+        F.concat(F.lit("http://h"), k, F.lit(".corpus.local"), item,
+                 F.lit("?b=2&a=1")),
+        F.concat(F.lit("HTTP://H"), k, F.lit(".corpus.local:80"), item,
+                 F.lit("?a=1&b=2#frag")),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("http://h"), k, F.lit(".corpus.local./x/.."),
+                        item, F.lit("?utm_source=feed&a=1&b=2"))),
+        F.concat(F.lit("https://h"), k, F.lit(".corpus.local:443/list/./p"),
+                 (d % 5).cast("string"), F.lit("/")))
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(F.explode(raws).alias("raw"))
+            .filter(F.col("raw").isNotNull())
+            .select(hostgraph.canonical_url(F.col("raw")).alias("url"))
+            .groupBy("url")
+            .agg(F.count(F.lit(1)).alias("n_urls")))
