@@ -828,3 +828,117 @@ def test_canonical_url_ipv6_and_merge_equivalents(spark):
     assert got == {"http://h20.corpus.local/item/7?a=1&b=2"}
     v6 = _canon(spark, ["http://[2001:DB8::1]:8080/a"])
     assert v6 == ["http://[2001:db8::1]:8080/a"]
+
+
+# ---------------------------------------------------------------------------
+# parse_robots / robots_decisions (RFC 9309 REP)
+# ---------------------------------------------------------------------------
+
+_ROBOTS_BODY = """# crawl policy
+User-agent: GPTBot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Allow: /private/pub/
+Disallow: /*.tmp$
+Disallow: /a*b
+Crawl-delay: 5
+Allow:
+Allow: /tie
+Disallow: /tie
+
+User-agent: SparkBot
+User-agent: OtherBot
+Disallow: /only/
+"""
+
+
+def _robots_rules(spark, body=_ROBOTS_BODY, host="h"):
+    df = spark.createDataFrame([(host, body)], "host string, body string")
+    return hostgraph.parse_robots(df)
+
+
+def test_parse_robots_groups_agents_and_rules(spark):
+    rows = _robots_rules(spark).collect()
+    got = {(r["group_id"], r["agent"], r["rule"], r["path"])
+           for r in rows}
+    assert got == {
+        (1, "gptbot", "disallow", "/"),
+        (2, "*", "disallow", "/private/"),
+        (2, "*", "allow", "/private/pub/"),
+        (2, "*", "disallow", "/*.tmp$"),
+        (2, "*", "disallow", "/a*b"),
+        (2, "*", "allow", "/tie"),
+        (2, "*", "disallow", "/tie"),
+        (3, "sparkbot", "disallow", "/only/"),
+        (3, "otherbot", "disallow", "/only/"),
+    }
+
+
+def _decide(spark, agent, paths, body=_ROBOTS_BODY):
+    rules = _robots_rules(spark, body)
+    urls = spark.createDataFrame(
+        [(f"http://h{p}",) for p in paths], "url string")
+    rows = hostgraph.robots_decisions(rules, urls, agent).collect()
+    return {r["url"].removeprefix("http://h"): r["allowed"]
+            for r in rows}
+
+
+def test_robots_star_group_semantics(spark):
+    got = _decide(spark, "CrawlerX", [
+        "/item", "/private/x", "/private/pub/f", "/tmp/f.tmp",
+        "/tmp/f.tmpx", "/axxb", "/ab", "/axx", "/tie", "/tiebreak",
+    ])
+    assert got == {
+        "/item": True,            # no matching rule
+        "/private/x": False,      # Disallow /private/
+        "/private/pub/f": True,   # longer Allow wins
+        "/tmp/f.tmp": False,      # /*.tmp$ end anchor
+        "/tmp/f.tmpx": True,      # $ anchor must not match
+        "/axxb": False,           # mid-pattern wildcard
+        "/ab": False,             # * matches empty
+        "/axx": True,             # pattern needs the trailing b
+        "/tie": True,             # equal-length tie: allow wins
+        "/tiebreak": True,        # both prefixes match; same tie
+    }
+
+
+def test_robots_tie_allow_wins(spark):
+    body = "User-agent: *\nAllow: /p\nDisallow: /p\n"
+    got = _decide(spark, "anybot", ["/p", "/px"], body)
+    assert got == {"/p": True, "/px": True}
+
+
+def test_robots_exact_agent_group_overrides_star(spark):
+    got = _decide(spark, "sparkbot", ["/private/x", "/only/p", "/item"])
+    assert got == {"/private/x": True, "/only/p": False, "/item": True}
+    # case-insensitive product token
+    got2 = _decide(spark, "SPARKBOT", ["/only/p"])
+    assert got2 == {"/only/p": False}
+
+
+def test_robots_no_rules_host_and_query_matching(spark):
+    rules = _robots_rules(spark)
+    urls = spark.createDataFrame(
+        [("http://other/anything",), ("http://h/private/pub/?a=1",),
+         ("http://h",), ("http://h?x=1",)], "url string")
+    rows = hostgraph.robots_decisions(rules, urls, "crawlerx").collect()
+    got = {r["url"]: r["allowed"] for r in rows}
+    assert got == {
+        "http://other/anything": True,   # no robots.txt for that host
+        "http://h/private/pub/?a=1": True,
+        "http://h": True,                # empty path -> '/'
+        "http://h?x=1": True,
+    }
+
+
+def test_robots_bare_disallow_allows_everything(spark):
+    body = "User-agent: *\nDisallow:\n"
+    got = _decide(spark, "anybot", ["/x", "/"], body)
+    assert got == {"/x": True, "/": True}
+
+
+def test_robots_root_disallow_for_exactly_matched_agent(spark):
+    got = _decide(spark, "gptbot", ["/", "/anything"])
+    assert got == {"/": False, "/anything": False}

@@ -237,6 +237,146 @@ def is_noindex(body: Column) -> Column:
                       | s.rlike(_NOINDEX_META_REV), F.lit(False))
 
 
+def parse_robots(bodies: DataFrame, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """Parse robots.txt bodies into per-agent access rules — the
+    Robots Exclusion Protocol's group grammar (RFC 9309 §2.2, public
+    spec; the crawl-side gate complementing ``is_noindex``'s
+    index-side gate). Input: one row per fetched robots.txt,
+    ``(host, body)``. Output: one row per (agent × rule) —
+    ``(host, group_id, agent, rule, path)`` with ``rule`` in
+    {'allow', 'disallow'} and ``path`` the raw pattern (may contain
+    the REP wildcards ``*`` and trailing ``$``).
+
+    Grammar, per the RFC: lines split on CR/LF, ``#`` starts a
+    comment, directive names are case-insensitive; CONSECUTIVE
+    user-agent lines open one group that all subsequent allow/
+    disallow lines join, and the next user-agent line AFTER a rule
+    line starts a new group; unknown directives (crawl-delay,
+    sitemap) do not break a group; agents lowercase (matching is
+    case-insensitive); rules with an EMPTY pattern are dropped (an
+    empty pattern matches nothing — the classic bare ``Disallow:``
+    = allow-everything); groups sharing an agent merge downstream.
+
+    Scale posture: one posexplode of the line list, a JVM regexp per
+    line, and two windows KEYED BY HOST (lag + running sum build the
+    group ids — a robots.txt is a few hundred lines, so the per-host
+    partition is trivially bounded), then the agents×rules equi-join
+    inside each (host, group). No Python row path."""
+    require_free_columns("parse_robots", (host_col, body_col),
+                         ("__line", "__pos", "__key", "__val",
+                          "__new", "group_id"))
+    from pyspark.sql import Window
+
+    lines = (bodies
+             .select(F.col(host_col).alias("host"),
+                     F.posexplode(F.split(F.col(body_col), r"\r\n|\r|\n"))
+                     .alias("__pos", "__line"))
+             .select("host", "__pos",
+                     F.trim(F.regexp_replace("__line", r"#.*$", ""))
+                     .alias("__line"))
+             .filter(F.col("__line") != ""))
+    directive = (r"(?i)^(user-agent|allow|disallow)\s*:\s*(.*)$")
+    parsed = (lines
+              .select("host", "__pos",
+                      F.lower(F.regexp_extract("__line", directive, 1))
+                      .alias("__key"),
+                      F.trim(F.regexp_extract("__line", directive, 2))
+                      .alias("__val"))
+              .filter(F.col("__key") != ""))
+    w = Window.partitionBy("host").orderBy("__pos")
+    grouped = (parsed
+               .withColumn("__new",
+                           ((F.col("__key") == "user-agent")
+                            & (F.coalesce(F.lag("__key").over(w),
+                                          F.lit("")) != "user-agent"))
+                           .cast("int"))
+               .withColumn("group_id", F.sum("__new").over(w))
+               .filter(F.col("group_id") > 0))  # rules before any UA line
+    agents = (grouped.filter(F.col("__key") == "user-agent")
+              .select("host", "group_id",
+                      F.lower(F.col("__val")).alias("agent"))
+              .distinct())
+    rules = (grouped
+             .filter(F.col("__key").isin("allow", "disallow")
+                     & (F.col("__val") != ""))
+             .select("host", "group_id", F.col("__key").alias("rule"),
+                     F.col("__val").alias("path")))
+    return agents.join(rules, ["host", "group_id"])
+
+
+def _rep_like(path: Column) -> Column:
+    """REP pattern -> SQL LIKE pattern (escape ``\\ % _``, ``*`` to
+    ``%``, trailing ``$`` anchors the end, otherwise prefix match)."""
+    esc = F.regexp_replace(path, r"([\\%_])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", "%")
+    return (F.when(esc.endswith("$"),
+                   F.substring(esc, 1, F.length(esc) - 1))
+            .otherwise(F.concat(esc, F.lit("%"))))
+
+
+def robots_decisions(rules: DataFrame, urls: DataFrame, agent: str,
+                     url_col: str = "url") -> DataFrame:
+    """Evaluate ``parse_robots`` output against a URL frontier for one
+    crawler product token — RFC 9309 §2.2.1/§2.2.2 semantics:
+
+    - group selection per host: groups whose agent equals ``agent``
+      (case-insensitive, exact product token) if any exist, else the
+      ``*`` groups; matching groups MERGE;
+    - a rule matches when its pattern (``*`` = any run, trailing
+      ``$`` = end anchor, else prefix) matches the URL's path-and-
+      query (everything after the authority, fragment dropped, empty
+      path taken as ``/``);
+    - the MOST SPECIFIC match wins — longest pattern in octets — and
+      ALLOW wins length ties; no matching rule means allowed (and a
+      host with no rules at all is allowed).
+
+    Returns ``urls`` with ``host`` and boolean ``allowed``.
+
+    Scale posture: the active rule set is host-bounded (a few rules
+    per host) and enters the frontier join as a BROADCAST; matching
+    is one JVM ``like`` per (url, rule) candidate within the host;
+    the winner is a partial-aggregatable ``min_by`` over
+    ``struct(-pattern_length, rule)`` — 'allow' < 'disallow'
+    byte-wise, so the struct min IS the spec's tie-break — never a
+    window over the frontier."""
+    require_free_columns("robots_decisions", urls.columns,
+                         ("__target", "__like", "__len", "__pick",
+                          "host", "allowed"), kind="output")
+    t = agent.lower()
+    gids = (rules.select("host", "group_id", "agent").distinct())
+    exact = (gids.filter(F.col("agent") == t)
+             .select("host", "group_id").distinct())
+    star = (gids.filter(F.col("agent") == "*")
+            .select("host", "group_id").distinct())
+    chosen = exact.union(
+        star.join(exact.select("host").distinct(), "host", "left_anti"))
+    active = (rules.join(F.broadcast(chosen), ["host", "group_id"])
+              .select("host", "rule", "path").distinct())
+    u = urls.select(
+        F.col(url_col),
+        canonical_host(F.col(url_col)).alias("host"),
+        F.regexp_replace(
+            F.coalesce(
+                F.nullif(F.regexp_extract(_clean_ref(F.col(url_col)),
+                                          r"^[^:/?#]+://[^/?#]*([^#]*)",
+                                          1), F.lit("")),
+                F.lit("/")),
+            r"^(\?)", r"/$1").alias("__target"))
+    cand = (u.join(F.broadcast(active), "host")
+            .filter(F.like(F.col("__target"), _rep_like(F.col("path")),
+                           F.lit("\\"))))
+    picked = (cand.groupBy(url_col)
+              .agg(F.min_by("rule",
+                            F.struct((-F.length("path")).alias("nl"),
+                                     F.col("rule").alias("r")))
+                   .alias("__pick")))
+    return (u.join(picked, url_col, "left")
+            .select(url_col, "host",
+                    F.coalesce(F.col("__pick") == "allow", F.lit(True))
+                    .alias("allowed")))
+
+
 _URL_PARTS = (r'^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)'
               r'(?:\?([^#]*))?')
 

@@ -6676,3 +6676,93 @@ def url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(hostgraph.canonical_url(F.col("raw")).alias("url"))
             .groupBy("url")
             .agg(F.count(F.lit(1)).alias("n_urls")))
+
+
+_ROBOTS_GATE_ORACLE = """
+WITH docs AS (
+    SELECT doc_id AS d, doc_id % 20 AS k
+    FROM documents WHERE text IS NOT NULL),
+u AS (
+    SELECT '/item/' || CAST(d AS VARCHAR) AS pth, TRUE AS allowed,
+           k, d FROM docs
+    UNION ALL
+    SELECT '/private/f' || CAST(d AS VARCHAR), k % 5 = 0, k, d FROM docs
+    UNION ALL
+    SELECT '/private/pub' || CAST(k % 3 AS VARCHAR) || '/f'
+           || CAST(d AS VARCHAR), TRUE, k, d FROM docs
+    UNION ALL
+    SELECT '/private/pub' || CAST((k + 1) % 3 AS VARCHAR) || '/f'
+           || CAST(d AS VARCHAR), k % 5 = 0, k, d FROM docs
+    UNION ALL
+    SELECT '/data/f' || CAST(d AS VARCHAR) || '.tmp', k % 5 = 0, k, d
+    FROM docs
+    UNION ALL
+    SELECT '/only' || CAST(k AS VARCHAR) || '/p' || CAST(d AS VARCHAR),
+           k % 5 <> 0, k, d FROM docs)
+SELECT 'http://h' || CAST(k AS VARCHAR) || '.corpus.local' || pth AS url,
+       'h' || CAST(k AS VARCHAR) || '.corpus.local' AS host,
+       allowed
+FROM u
+"""
+
+
+@q("robots_gate", _ROBOTS_GATE_ORACLE,
+   doc="Crawl-side REP gate — hostgraph.parse_robots + "
+       "robots_decisions (RFC 9309) deciding a URL frontier against "
+       "per-host robots.txt bodies, the fetch-permission complement "
+       "of noindex_audit's index-side gate. Each host serves a star "
+       "group (Disallow /private/, a HOST-VARYING Allow "
+       "/private/pub{k%3}/ carve-out, and the wildcard-anchored "
+       "Disallow /*.tmp$); every fifth host ALSO opens a "
+       "SparkBot-specific group (Disallow /only{k}/), which per the "
+       "RFC makes the crawler IGNORE the star group there — so the "
+       "same path string decides differently by host, and six URL "
+       "shapes per doc cover: no-match default-allow, plain prefix "
+       "disallow, longest-match allow override, the WRONG pub index "
+       "(matches the disallow but not the carve-out), the $-anchored "
+       "wildcard, and the exact-group-only rule. The engine parses "
+       "the grammar (comment strip, consecutive-UA group building "
+       "via host-keyed lag + running sum, unknown directives "
+       "ignored), selects groups per the product-token precedence, "
+       "LIKE-translates the REP wildcards, and picks winners with a "
+       "partial-agg min_by over struct(-pattern_len, rule) — allow "
+       "beats disallow on length ties byte-wise. The oracle states "
+       "every decision analytically from (d, k) — one wrong group "
+       "boundary, a star rule leaking into an exact-group host, or "
+       "a broken $ anchor flips booleans and fails the hash. Rules "
+       "are host-bounded broadcasts into the frontier join; nothing "
+       "shuffles at frontier size except the final min_by "
+       "aggregation.")
+def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import hostgraph
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(F.col("doc_id").alias("d"),
+                    (F.col("doc_id") % 20).alias("k")))
+    d, k = F.col("d").cast("string"), F.col("k").cast("string")
+    host = F.concat(F.lit("h"), k, F.lit(".corpus.local"))
+    star = F.concat(
+        F.lit("# star policy\nUser-agent: *\nDisallow: /private/\n"
+              "Allow: /private/pub"),
+        (F.col("k") % 3).cast("string"),
+        F.lit("/\nDisallow: /*.tmp$\nCrawl-delay: 5\n"))
+    body = F.when(
+        F.col("k") % 5 == 0,
+        F.concat(F.lit("User-agent: SparkBot\nDisallow: /only"), k,
+                 F.lit("/\n\n"), star)).otherwise(star)
+    bodies = (docs.select(host.alias("host"), body.alias("body"))
+              .distinct())
+    base = F.concat(F.lit("http://"), host)
+    urls = docs.select(F.explode(F.array(
+        F.concat(base, F.lit("/item/"), d),
+        F.concat(base, F.lit("/private/f"), d),
+        F.concat(base, F.lit("/private/pub"),
+                 (F.col("k") % 3).cast("string"), F.lit("/f"), d),
+        F.concat(base, F.lit("/private/pub"),
+                 ((F.col("k") + 1) % 3).cast("string"), F.lit("/f"), d),
+        F.concat(base, F.lit("/data/f"), d, F.lit(".tmp")),
+        F.concat(base, F.lit("/only"), k, F.lit("/p"), d),
+    )).alias("url"))
+    rules = hostgraph.parse_robots(bodies)
+    return hostgraph.robots_decisions(rules, urls, "sparkbot")
