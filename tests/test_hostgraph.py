@@ -942,3 +942,60 @@ def test_robots_bare_disallow_allows_everything(spark):
 def test_robots_root_disallow_for_exactly_matched_agent(spark):
     got = _decide(spark, "gptbot", ["/", "/anything"])
     assert got == {"/": False, "/anything": False}
+
+
+# ---------------------------------------------------------------------------
+# parse_sitemaps (sitemaps.org protocol)
+# ---------------------------------------------------------------------------
+
+_SITEMAP_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>http://h/item?a=1&amp;b=2</loc>
+    <lastmod>2026-08-01</lastmod>
+    <changefreq>DAILY</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc> http://h/plain </loc></url>
+  <url><lastmod>2026-01-01</lastmod></url>
+  <URL><LOC>http://h/upper</LOC></URL>
+</urlset>
+"""
+
+_SITEMAP_INDEX = """<sitemapindex>
+  <sitemap><loc>http://h/sitemap-1.xml</loc>
+           <lastmod>2026-08-15T10:00:00Z</lastmod></sitemap>
+  <sitemap><loc>http://h/sitemap-2.xml</loc></sitemap>
+</sitemapindex>
+"""
+
+
+def test_parse_sitemaps_urlset_fields_and_entities(spark):
+    df = spark.createDataFrame([("h", _SITEMAP_XML)],
+                               "host string, body string")
+    rows = hostgraph.parse_sitemaps(df).collect()
+    got = {(r["kind"], r["loc"], r["lastmod"], r["changefreq"],
+            r["priority"]) for r in rows}
+    assert got == {
+        ("url", "http://h/item?a=1&b=2", "2026-08-01", "daily", 0.8),
+        ("url", "http://h/plain", None, None, None),
+        ("url", "http://h/upper", None, None, None),
+    }
+
+
+def test_parse_sitemaps_index_kind(spark):
+    df = spark.createDataFrame([("h", _SITEMAP_INDEX)],
+                               "host string, body string")
+    rows = hostgraph.parse_sitemaps(df).collect()
+    got = {(r["kind"], r["loc"], r["lastmod"]) for r in rows}
+    assert got == {
+        ("sitemap", "http://h/sitemap-1.xml", "2026-08-15T10:00:00Z"),
+        ("sitemap", "http://h/sitemap-2.xml", None),
+    }
+
+
+def test_parse_sitemaps_amp_double_escape(spark):
+    body = "<urlset><url><loc>http://h/x?q=&amp;lt;tag&amp;gt;</loc></url></urlset>"
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    rows = hostgraph.parse_sitemaps(df).collect()
+    assert rows[0]["loc"] == "http://h/x?q=&lt;tag&gt;"

@@ -377,6 +377,69 @@ def robots_decisions(rules: DataFrame, urls: DataFrame, agent: str,
                     .alias("allowed")))
 
 
+_XML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&apos;", "'"), ("&amp;", "&"))  # &amp; LAST
+
+
+def _xml_unescape(col: Column) -> Column:
+    """The five predefined XML entities, ``&amp;`` decoded last so
+    ``&amp;lt;`` correctly yields the literal ``&lt;``."""
+    for ent, ch in _XML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def parse_sitemaps(bodies: DataFrame, host_col: str = "host",
+                   body_col: str = "body") -> DataFrame:
+    """Parse sitemap XML (sitemaps.org protocol, public spec) into
+    frontier entries — the third crawl-side input next to link
+    extraction and robots.txt: sites publish their OWN url lists with
+    freshness hints, and a large crawl seeds/refreshes its frontier
+    from them. Handles both document kinds in one pass: a URLSET's
+    ``<url>`` entries (kind='url') and a SITEMAPINDEX's ``<sitemap>``
+    entries pointing at child sitemaps (kind='sitemap' — the caller
+    fetches those and feeds them back through this parser; the
+    protocol caps nesting, so the driver-side fetch loop is bounded).
+
+    Output: ``(host, kind, loc, lastmod, changefreq, priority)`` —
+    ``loc`` XML-unescaped (the spec REQUIRES entity-escaped URLs; a
+    parser that forgets ``&amp;`` corrupts every query-carrying URL),
+    ``lastmod`` the raw W3C datetime string (cast downstream —
+    date-only and full-datetime forms both appear in the wild),
+    ``changefreq``/``priority`` NULL when absent, ``priority``
+    DOUBLE. Entries missing ``<loc>`` are dropped (nothing to fetch).
+
+    Scale posture: one ``regexp_extract_all`` over the body pulls the
+    entry blocks, one explode, then per-field regexps — all JVM
+    expressions, linear in body size, embarrassingly parallel across
+    sitemap files; no Python row path, no shuffle at all."""
+    require_free_columns("parse_sitemaps", (host_col, body_col),
+                         ("__block", "kind", "loc", "lastmod",
+                          "changefreq", "priority"))
+    block = F.explode(F.regexp_extract_all(
+        F.col(body_col),
+        F.lit(r"(?is)<(?:url|sitemap)\b[^>]*>.*?</(?:url|sitemap)\s*>"),
+        0)).alias("__block")
+
+    def field(name: str) -> Column:
+        pat = rf"(?is)<{name}\b[^>]*>\s*(.*?)\s*</{name}\s*>"
+        v = F.regexp_extract("__block", pat, 1)
+        return F.when(v != "", v)
+
+    return (bodies
+            .select(F.col(host_col).alias("host"), block)
+            .select(
+                "host",
+                F.when(F.lower(F.col("__block")).startswith("<sitemap"),
+                       F.lit("sitemap")).otherwise(F.lit("url"))
+                .alias("kind"),
+                _xml_unescape(field("loc")).alias("loc"),
+                field("lastmod").alias("lastmod"),
+                F.lower(field("changefreq")).alias("changefreq"),
+                field("priority").cast("double").alias("priority"))
+            .filter(F.col("loc").isNotNull()))
+
+
 _URL_PARTS = (r'^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)'
               r'(?:\?([^#]*))?')
 

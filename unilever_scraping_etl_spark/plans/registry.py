@@ -6766,3 +6766,83 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )).alias("url"))
     rules = hostgraph.parse_robots(bodies)
     return hostgraph.robots_decisions(rules, urls, "sparkbot")
+
+
+_SITEMAP_INGEST_ORACLE = """
+WITH docs AS (
+    SELECT doc_id AS d, doc_id % 20 AS k
+    FROM documents WHERE text IS NOT NULL),
+base AS (
+    SELECT d, 'h' || CAST(k AS VARCHAR) || '.corpus.local' AS host,
+           'http://h' || CAST(k AS VARCHAR) || '.corpus.local' AS root
+    FROM docs)
+SELECT host, 'url' AS kind,
+       root || '/item/' || CAST(d AS VARCHAR) || '?a=1&b='
+            || CAST(d % 7 AS VARCHAR) AS loc,
+       '2026-' || lpad(CAST(d % 12 + 1 AS VARCHAR), 2, '0') || '-01'
+           AS lastmod,
+       CAST('0.' || CAST(d % 10 AS VARCHAR) AS DOUBLE) AS priority
+FROM base
+UNION ALL
+SELECT host, 'url', root || '/static/' || CAST(d AS VARCHAR),
+       NULL, NULL FROM base
+UNION ALL
+SELECT host, 'sitemap',
+       root || '/sitemap-' || CAST(d AS VARCHAR) || '.xml',
+       NULL, NULL
+FROM base WHERE d % 10 = 0
+"""
+
+
+@q("sitemap_ingest", _SITEMAP_INGEST_ORACLE,
+   doc="Sitemap ingestion (hostgraph.parse_sitemaps — sitemaps.org "
+       "protocol): the third crawl-side frontier input next to link "
+       "extraction and robots.txt. The fixture renders one real XML "
+       "document per doc: a urlset with an ENTITY-ESCAPED "
+       "query-carrying loc (&amp; must decode or every parameterized "
+       "URL corrupts), a W3C date lastmod, a priority, and a bare "
+       "second entry with neither — plus, for every tenth doc, a "
+       "SITEMAPINDEX pointing at a child sitemap (kind='sitemap', "
+       "the recursion handle). Tag-case noise and attribute noise "
+       "ride along. The oracle states every (kind, loc, lastmod, "
+       "priority) row analytically from doc_id — a missed entity, a "
+       "swallowed bare entry, or an index block misread as a urlset "
+       "changes rows and fails the hash. One regexp_extract_all + "
+       "explode per body, per-field JVM regexps, zero shuffles — "
+       "linear in archive bytes and embarrassingly parallel.")
+def sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import hostgraph
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(F.col("doc_id").alias("d"),
+                    (F.col("doc_id") % 20).alias("k")))
+    d = F.col("d").cast("string")
+    host = F.concat(F.lit("h"), F.col("k").cast("string"),
+                    F.lit(".corpus.local"))
+    root = F.concat(F.lit("http://"), host)
+    month = F.lpad((F.col("d") % 12 + 1).cast("string"), 2, "0")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9">\n  <url>\n    <loc>'),
+        root, F.lit("/item/"), d, F.lit("?a=1&amp;b="),
+        (F.col("d") % 7).cast("string"),
+        F.lit("</loc>\n    <lastmod>2026-"), month,
+        F.lit("-01</lastmod>\n    <priority>0."),
+        (F.col("d") % 10).cast("string"),
+        F.lit("</priority>\n  </url>\n  <URL><LOC>"),
+        root, F.lit("/static/"), d,
+        F.lit("</LOC></URL>\n</urlset>"))
+    index = F.when(
+        F.col("d") % 10 == 0,
+        F.concat(F.lit("<sitemapindex>\n  <sitemap attr=\"x\">"
+                       "<loc>"),
+                 root, F.lit("/sitemap-"), d,
+                 F.lit(".xml</loc></sitemap>\n</sitemapindex>")))
+    bodies = (docs
+              .select(host.alias("host"),
+                      F.explode(F.array(urlset, index)).alias("body"))
+              .filter(F.col("body").isNotNull()))
+    return (hostgraph.parse_sitemaps(bodies)
+            .select("host", "kind", "loc", "lastmod", "priority"))
