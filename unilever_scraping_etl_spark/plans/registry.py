@@ -6846,3 +6846,102 @@ def sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("body").isNotNull()))
     return (hostgraph.parse_sitemaps(bodies)
             .select("host", "kind", "loc", "lastmod", "priority"))
+
+
+def _frontier_plan_oracle() -> str:
+    chain, last = _pagerank_ctes(5, _HOST_EDGES_CTE)
+    return f"""
+WITH {chain},
+frontier AS (
+    SELECT DISTINCT
+           'http://h' || CAST(doc_id % 20 AS VARCHAR)
+           || '.corpus.local/item/' || CAST(doc_id AS VARCHAR)
+           || '?a=2&b=1' AS url,
+           'h' || CAST(doc_id % 20 AS VARCHAR) || '.corpus.local' AS host
+    FROM documents WHERE text IS NOT NULL)
+SELECT f.url, f.host,
+       CAST(row_number() OVER (PARTITION BY f.host ORDER BY f.url)
+            AS INTEGER) AS wave,
+       round(coalesce(r.rank, 0.0), 9) AS host_rank
+FROM frontier f LEFT JOIN {last} r ON f.host = r.node
+"""
+
+
+@q("frontier_plan", _frontier_plan_oracle(),
+   doc="The FULL crawl-frontier pipeline in one plan — the flagship "
+       "composition of this round's crawl surface: sitemap ingestion "
+       "(parse_sitemaps over per-doc urlsets whose entries spell the "
+       "same item URL two messy ways — :80 + /./ dot segment + "
+       "utm tracker + permuted params vs UPPERCASE scheme/host + "
+       "fragment — plus a /private/ URL), RFC 3986 canonicalization "
+       "collapsing the spellings (canonical_url), frontier dedup "
+       "(distinct), the RFC 9309 robots gate dropping /private/ "
+       "(parse_robots + robots_decisions, star group), PageRank host "
+       "authority over the analytic host graph, and the politeness "
+       "wave schedule (host-keyed row_number, rank broadcast-joined) "
+       "— sitemap bytes in, fetch schedule out. The oracle re-states "
+       "the surviving frontier analytically (one canonical URL per "
+       "doc; the private entries die at the gate; the two spellings "
+       "collapse to ONE wave slot per doc) joined to the unrolled "
+       "rank CTEs — a leaked tracker param, a surviving duplicate "
+       "spelling, a mis-parsed entity, or a robots leak changes "
+       "rows, waves, or ranks and fails the hash. Every stage is "
+       "JVM-side; the only frontier-sized shuffles are the dedup "
+       "and the host-keyed wave window; rules and ranks enter as "
+       "broadcasts.")
+def frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import hostgraph
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(F.col("doc_id").alias("d"),
+                    (F.col("doc_id") % 20).alias("k")))
+    d = F.col("d").cast("string")
+    host = F.concat(F.lit("h"), F.col("k").cast("string"),
+                    F.lit(".corpus.local"))
+    root = F.concat(F.lit("http://"), host)
+    body = F.concat(
+        F.lit("<urlset>\n  <url><loc>"),
+        root, F.lit(":80/item/./"), d,
+        F.lit("?utm_source=sm&amp;b=1&amp;a=2</loc></url>\n  <url><loc>"),
+        F.concat(F.lit("HTTP://H"), F.col("k").cast("string"),
+                 F.lit(".corpus.local")),
+        F.lit("/item/"), d, F.lit("?a=2&amp;b=1#x</loc></url>\n"
+                                  "  <url><loc>"),
+        root, F.lit("/private/f"), d,
+        F.lit("</loc></url>\n</urlset>"))
+    sm = hostgraph.parse_sitemaps(
+        docs.select(host.alias("host"), body.alias("body")))
+    frontier = (sm.filter(F.col("kind") == "url")
+                .select(hostgraph.canonical_url(F.col("loc"))
+                        .alias("url"))
+                .filter(F.col("url").isNotNull())
+                .distinct())
+    robots = (docs.select(host.alias("host")).distinct()
+              .select("host",
+                      F.lit("User-agent: *\nDisallow: /private/\n")
+                      .alias("body")))
+    gated = (hostgraph.robots_decisions(
+                 hostgraph.parse_robots(robots), frontier, "sparkbot")
+             .filter(F.col("allowed"))
+             .select("url", "host"))
+    def h_of(expr):
+        return F.concat(F.lit("h"), expr.cast("string"),
+                        F.lit(".corpus.local"))
+
+    e1 = docs.select(h_of(F.col("d") % 20).alias("src"),
+                     h_of((F.col("d") * 7 + 1) % 20).alias("dst"))
+    e2 = docs.select(h_of(F.col("d") % 20).alias("src"),
+                     h_of((F.col("d") * 3 + 2) % 20).alias("dst"))
+    edges = (e1.union(e2).filter(F.col("src") != F.col("dst"))
+             .distinct())
+    ranks = graph.pagerank(edges, "src", "dst", iterations=5,
+                           rank_digits=9)
+    w = Window.partitionBy("host").orderBy("url")
+    return (gated
+            .join(F.broadcast(ranks.withColumnRenamed("node", "host")),
+                  "host", "left")
+            .select("url", "host",
+                    F.row_number().over(w).alias("wave"),
+                    F.round(F.coalesce(F.col("rank"), F.lit(0.0)), 9)
+                    .alias("host_rank")))
