@@ -759,3 +759,92 @@ def test_cocitation_invalid_args(spark):
         graph.cocitation(e, "src", "dst", mode="nope")
     with pytest.raises(ValueError, match="min_common"):
         graph.cocitation(e, "src", "dst", min_common=0)
+
+
+# ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+
+def _kcore_reference(pairs, k, rounds=None):
+    nbr: dict = {}
+    for u, v in pairs:
+        if u is None or v is None or u == v:
+            continue
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    alive = set(nbr)
+    r = 0
+    while rounds is None or r < rounds:
+        nxt = {v for v in alive
+               if sum(1 for u in nbr[v] if u in alive) >= k}
+        r += 1
+        if nxt == alive:
+            break
+        alive = nxt
+    return {v: sum(1 for u in nbr[v] if u in alive) for v in alive}
+
+
+def test_kcore_clique_plus_tail(spark):
+    """A 4-clique with a pendant path: k=3 keeps exactly the clique
+    (degree 3 each); the path peels away over several rounds."""
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tail = [(3, 10), (10, 11), (11, 12)]
+    pairs = clique + tail
+    got = {r["node"]: r["degree"]
+           for r in graph.k_core(_edges(spark, pairs), "src", "dst",
+                                 k=3, rounds=8).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # k=2: the open path still peels (12 then 11 then 10), clique stays
+    got2 = {r["node"]: r["degree"]
+            for r in graph.k_core(_edges(spark, pairs), "src", "dst",
+                                  k=2, rounds=8).collect()}
+    assert got2 == _kcore_reference(pairs, 2)
+    assert set(got2) == {0, 1, 2, 3}
+
+
+def test_kcore_matches_reference_on_functional_graph(spark):
+    pairs = [(d % 20, (d * 7 + 1) % 20) for d in range(200)] + \
+            [(d % 20, (d * 3 + 2) % 20) for d in range(200)]
+    for k in (2, 4, 6):
+        got = {r["node"]: r["degree"]
+               for r in graph.k_core(_edges(spark, pairs), "src", "dst",
+                                     k=k, rounds=8).collect()}
+        assert got == _kcore_reference(pairs, k), f"k={k}"
+
+
+def test_kcore_fixed_rounds_truncation_semantics(spark):
+    """A long path at k=2 peels one node per END per round; after 2
+    rounds exactly the middle survives — the fixed-rounds contract
+    the oracle checks."""
+    path = [(i, i + 1) for i in range(9)]  # nodes 0..9
+    got = {r["node"] for r in
+           graph.k_core(_edges(spark, path), "src", "dst",
+                        k=2, rounds=2).collect()}
+    assert got == set(_kcore_reference(path, 2, rounds=2))
+    assert got == set(range(2, 8))
+    # until_stable reaches the empty true 2-core within the cap
+    stable = graph.k_core(_edges(spark, path), "src", "dst",
+                          k=2, rounds=50, until_stable=True).collect()
+    assert stable == []
+
+
+def test_kcore_drops_nulls_self_loops_parallel(spark):
+    pairs = [(1, 2), (2, 1), (1, 1), (2, 3), (1, 3)]
+    df = spark.createDataFrame([(None, 1)], "src long, dst long") \
+        .union(_edges(spark, pairs))
+    got = {r["node"]: r["degree"]
+           for r in graph.k_core(df, "src", "dst", k=2,
+                                 rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_invalid_args(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="k must"):
+        graph.k_core(e, "src", "dst", k=0)
+    with pytest.raises(ValueError, match="rounds"):
+        graph.k_core(e, "src", "dst", k=2, rounds=0)
+    with pytest.raises(ValueError, match="until_stable"):
+        graph.k_core(e, "src", "dst", k=2, materialize=False,
+                     until_stable=True)

@@ -6945,3 +6945,64 @@ def frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("wave"),
                     F.round(F.coalesce(F.col("rank"), F.lit(0.0)), 9)
                     .alias("host_rank")))
+
+
+def _kcore_ctes(k: int, rounds: int, edges_cte: str) -> tuple[str, str]:
+    """Unrolled synchronous k-core peeling: symmetric distinct
+    neighbor list once, then per round a survivor-restricted degree
+    count and the >= k filter. Returns (chain, final_survivor_cte).
+    Survivor CTEs are MATERIALIZED (the _hits_ctes/_lpa_ctes rule)."""
+    head = f"""{edges_cte},
+nbr AS MATERIALIZED (
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst, src FROM edges),
+s0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM nbr)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+d{i} AS (SELECT n.a AS node, count(*) AS deg
+         FROM nbr n
+         JOIN s{i - 1} x ON n.a = x.node
+         JOIN s{i - 1} y ON n.b = y.node
+         GROUP BY n.a),
+s{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})""")
+    return head + "".join(steps), f"s{rounds}"
+
+
+def _host_kcore_oracle() -> str:
+    chain, last = _kcore_ctes(3, 6, _HOST_EDGES_CTE)
+    return f"""
+WITH {chain}
+SELECT n.a AS node, CAST(count(*) AS BIGINT) AS degree
+FROM nbr n
+JOIN {last} x ON n.a = x.node
+JOIN {last} y ON n.b = y.node
+GROUP BY n.a
+"""
+
+
+@q("host_kcore", _host_kcore_oracle(),
+   doc="Host-graph 3-core (graph.k_core — Seidman 1983 peeling): the "
+       "density complement to PageRank and label propagation for "
+       "link-quality curation — link farms and tightly-coupled site "
+       "families concentrate in high cores (mutual density), while "
+       "merely-popular independent hosts peel out (endorsement "
+       "without reciprocity). Six synchronous peel rounds at k=3 "
+       "over the undirected distinct host graph, surviving nodes "
+       "reported with their degree AMONG SURVIVORS; peeling is "
+       "monotone, so rounds past the fixpoint are no-ops and the "
+       "fixed-rounds form (the oracle-checkable one) equals the true "
+       "3-core once the peel depth fits — the until_stable fixpoint "
+       "variant is pytest-pinned. Oracle unrolls the six rounds as "
+       "survivor-restricted degree CTEs (_kcore_ctes) — one degree "
+       "counted over dropped neighbors, a missed symmetric edge, or "
+       "an off-by-one round boundary changes survivors/degrees and "
+       "fails the hash. Engine rounds are two semi-joins of the "
+       "once-materialized neighbor list against the broadcast "
+       "survivor set plus a partial-agg count — O(rounds) shuffles, "
+       "one row per surviving node.")
+def host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _host_edges(_host_fixture_records(spark, sf_dir,
+                                              "spark_hkcore_"))
+    return graph.k_core(edges, "src", "dst", k=3, rounds=6)
