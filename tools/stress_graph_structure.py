@@ -1,0 +1,66 @@
+"""Round-13 stress: the structural graph operators added this round —
+label propagation, co-citation, k-core — at the r12/r13 ranking-stress
+scale (200k nodes / ~1M edges on local[32]), so BASELINE.md records
+measured walls for the structural family next to the iterative-ranking
+one.
+
+Graph: the same deterministic xxhash64 edge list with the web-shaped
+preferential low-id destination skew as tools/stress_pagerank_variants
+(dst ∝ u² — heavy authority head, long flat tail). That skew is the
+hard case for all three: LPA floods toward the head labels, the head
+nodes dominate co-citation pair generation (exactly what
+max_linker_degree caps), and the head forms the deep cores.
+
+Usage: python tools/stress_graph_structure.py [nodes] [edges]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from unilever_scraping_etl_spark.operators import graph  # noqa: E402
+from unilever_scraping_etl_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    m = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    spark = get_session()
+    u = F.pmod(F.xxhash64(F.col("id") + m), 1_000_000) / 1_000_000.0
+    edges = (spark.range(m).select(
+        F.pmod(F.xxhash64(F.col("id")), n).alias("src"),
+        F.floor(F.pow(u, 2.0) * n).cast("long").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint())
+    print(f"graph: {edges.count()} edges, target {n} nodes")
+
+    t = time.perf_counter()
+    lpa = graph.label_propagation(edges, "src", "dst", iterations=5)
+    comms = lpa.select("community").distinct().count()
+    print(f"label_propagation K=5 : {time.perf_counter() - t:.1f} s, "
+          f"{comms} communities", flush=True)
+
+    t = time.perf_counter()
+    cc = graph.cocitation(edges, "src", "dst", min_common=3,
+                          max_linker_degree=64)
+    pairs = cc.count()
+    print(f"cocitation cap=64     : {time.perf_counter() - t:.1f} s, "
+          f"{pairs} pairs (min_common=3)", flush=True)
+
+    for k in (4, 16):
+        t = time.perf_counter()
+        core = graph.k_core(edges, "src", "dst", k=k, rounds=64,
+                            until_stable=True)
+        nodes = core.count()
+        print(f"k_core k={k:<2} stable   : "
+              f"{time.perf_counter() - t:.1f} s, "
+              f"{nodes} nodes in core", flush=True)
+
+
+if __name__ == "__main__":
+    main()
