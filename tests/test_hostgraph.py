@@ -999,3 +999,22 @@ def test_parse_sitemaps_amp_double_escape(spark):
     df = spark.createDataFrame([("h", body)], "host string, body string")
     rows = hostgraph.parse_sitemaps(df).collect()
     assert rows[0]["loc"] == "http://h/x?q=&lt;tag&gt;"
+
+
+def test_robots_sitemaps_directive_extraction(spark):
+    """Sitemap: lines are group-independent — found above, inside,
+    and below UA groups; comments stripped; case-insensitive; and
+    they never leak into parse_robots' rule output."""
+    body = ("Sitemap: http://h/sitemap-0.xml\n"
+            "User-agent: *\n"
+            "Disallow: /private/\n"
+            "SITEMAP: http://h/sitemap-1.xml  # primary\n"
+            "sitemap:http://h/sitemap-1.xml\n"
+            "# sitemap: http://h/commented-out.xml\n")
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    got = {(r["host"], r["sitemap"])
+           for r in hostgraph.robots_sitemaps(df).collect()}
+    assert got == {("h", "http://h/sitemap-0.xml"),
+                   ("h", "http://h/sitemap-1.xml")}
+    rules = {r["path"] for r in hostgraph.parse_robots(df).collect()}
+    assert rules == {"/private/"}

@@ -305,6 +305,30 @@ def parse_robots(bodies: DataFrame, host_col: str = "host",
     return agents.join(rules, ["host", "group_id"])
 
 
+def robots_sitemaps(bodies: DataFrame, host_col: str = "host",
+                    body_col: str = "body") -> DataFrame:
+    """Extract ``Sitemap:`` directives from robots.txt bodies —
+    RFC 9309 §2.3's group-INDEPENDENT lines (they apply regardless of
+    user-agent, so they never enter ``parse_robots``' group grammar).
+    This is how a crawl DISCOVERS the sitemaps ``parse_sitemaps``
+    then ingests: robots.txt → sitemap URLs → frontier entries.
+    Output: ``(host, sitemap)`` distinct, comment-stripped, one JVM
+    regexp per line, no shuffle beyond the final distinct."""
+    require_free_columns("robots_sitemaps", (host_col, body_col),
+                         ("__line", "sitemap"))
+    pat = r"(?i)^sitemap\s*:\s*(\S+)\s*$"
+    return (bodies
+            .select(F.col(host_col).alias("host"),
+                    F.explode(F.split(F.col(body_col), r"\r\n|\r|\n"))
+                    .alias("__line"))
+            .select("host",
+                    F.regexp_extract(
+                        F.trim(F.regexp_replace("__line", r"#.*$", "")),
+                        pat, 1).alias("sitemap"))
+            .filter(F.col("sitemap") != "")
+            .distinct())
+
+
 def _rep_like(path: Column) -> Column:
     """REP pattern -> SQL LIKE pattern (escape ``\\ % _``, ``*`` to
     ``%``, trailing ``$`` anchors the end, otherwise prefix match)."""
