@@ -1018,3 +1018,117 @@ def test_robots_sitemaps_directive_extraction(spark):
                    ("h", "http://h/sitemap-1.xml")}
     rules = {r["path"] for r in hostgraph.parse_robots(df).collect()}
     assert rules == {"/private/"}
+
+
+def test_robots_like_metacharacters_are_literal(spark):
+    """REP patterns may contain % and _ — SQL LIKE metacharacters.
+    The LIKE translation must escape them so they match literally,
+    while * and trailing $ keep their REP meaning."""
+    body = ("User-agent: *\n"
+            "Disallow: /sale/100%_off\n"
+            "Disallow: /w*z$\n")
+    got = _decide(spark, "anybot", [
+        "/sale/100%_off", "/sale/100%_off/x", "/sale/100Xoff",
+        "/sale/100%Xoff", "/wz", "/weez", "/weezy",
+    ], body)
+    assert got == {
+        "/sale/100%_off": False,      # literal % and _ match
+        "/sale/100%_off/x": False,    # prefix rule
+        "/sale/100Xoff": True,        # % must NOT act as wildcard
+        "/sale/100%Xoff": True,       # _ must NOT act as wildcard
+        "/wz": False,                 # * matches empty, $ anchors
+        "/weez": False,
+        "/weezy": True,               # $ anchor rejects the suffix
+    }
+
+
+# ---------------------------------------------------------------------------
+# canonical_url hypothesis fuzz vs a spec-mirroring python reference
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def _canonical_url_reference(url):
+        """Python mirror of hostgraph.canonical_url, step for step
+        (same regexes, same fold, same tie rules) — documents the
+        semantics and catches engine-side drift."""
+        import re
+        t = re.sub(r"[\t\n\r]", "", url).strip(" ")
+        m = re.match(r'^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)'
+                     r'([^?#]*)(?:\?([^#]*))?', t)
+        if not m:
+            return None
+        scheme = m.group(1).lower()
+        if scheme not in ("http", "https"):
+            return None
+        auth, path = m.group(2), m.group(3)
+        query = m.group(4) or ""
+        um = re.match(r'^(.*@)', auth)
+        userinfo = um.group(1) if um else ""
+        hostport = re.sub(r'^.*@', '', auth)
+        hm = re.match(r'^(\[[^\]]*\]|[^:]+)', hostport)
+        host = re.sub(r'\.$', '', hm.group(1).lower()) if hm else ""
+        if host == "":
+            return None
+        pm = re.search(r':(\d+)$', hostport)
+        port = pm.group(1) if pm else ""
+        if (port == "" or (scheme == "http" and port == "80")
+                or (scheme == "https" and port == "443")):
+            port = ""
+        else:
+            port = ":" + port
+        folded = []
+        for x in path.split("/")[1:]:
+            if x == ".":
+                continue
+            if x == "..":
+                if folded:
+                    folded.pop()
+                continue
+            folded.append(x)
+        npath = "/" + "/".join(folded)
+        if re.search(r'/\.\.?$', path) and npath != "/":
+            npath += "/"
+        drop = r'^(?:utm_[^=&]*|gclid|fbclid|msclkid|yclid)(?:=.*)?$'
+        params = [p for p in query.split("&")
+                  if p != "" and not re.match(drop, p)]
+        qs = "&".join(sorted(params))
+        return (f"{scheme}://{userinfo}{host}{port}{npath}"
+                + (f"?{qs}" if qs else ""))
+
+    _seg = st.sampled_from(["a", "b", "x.tmp", ".", "..", "", "A9-"])
+    _prm = st.sampled_from(["a=1", "b=2", "z", "", "utm_source=x",
+                            "utm_campaign", "gclid=1", "gclid",
+                            "a=utm_source", "B=%20"])
+    _curls = st.builds(
+        lambda pad, scheme, user, hostl, dot, port, segs, q, qps, frag:
+            (f"{pad}{scheme}://{user}{'.'.join(hostl)}{dot}{port}"
+             f"{'/' + '/'.join(segs) if segs else ''}"
+             f"{'?' + '&'.join(qps) if q else ''}{frag}{pad}"),
+        pad=st.sampled_from(["", " ", "\t", " \t"]),
+        scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS",
+                                "ftp", "m-a.i+l"]),
+        user=st.sampled_from(["", "u@", "u:p@", "U:P@x@"]),
+        hostl=st.lists(st.sampled_from(["Shop", "h7", "EX-9",
+                                        "[2001:DB8::1]"]),
+                       min_size=0, max_size=3),
+        dot=st.sampled_from(["", "."]),
+        port=st.sampled_from(["", ":80", ":443", ":8080", ":"]),
+        segs=st.lists(_seg, min_size=0, max_size=5),
+        q=st.booleans(),
+        qps=st.lists(_prm, min_size=0, max_size=4),
+        frag=st.sampled_from(["", "#f", "#a?b=c"]))
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(_curls, min_size=1, max_size=20))
+    def test_canonical_url_matches_python_reference(urls):
+        spark = _hyp_spark[0]
+        got = _canon(spark, urls)
+        exp = [_canonical_url_reference(u) for u in urls]
+        assert got == exp, [
+            (u, g, e) for u, g, e in zip(urls, got, exp) if g != e]
+
+except ImportError:
+    pass

@@ -1907,6 +1907,48 @@ def test_r13_pagerank_family_plan_shapes(spark):
     assert "CartesianProduct" not in pc
 
 
+def test_r13_crawl_family_plan_shapes(spark):
+    """Round-13 crawl-pipeline plan pins. sitemap_ingest must be a
+    pure narrow map — ZERO exchanges (the parse is regexp projection
+    + explode; nothing shuffles until a consumer aggregates).
+    url_frontier's only exchange is the final dedup aggregation —
+    never a SinglePartition funnel. robots_gate joins the
+    (host-bounded) rule set as a BROADCAST into the frontier and its
+    only window is the parse's host-KEYED group builder.
+    frontier_plan (the full composition) carries broadcast rank/rule
+    joins, keyed windows, and no cartesian/row-Python anywhere.
+    host_cocitation's degree tables broadcast back onto the pair
+    aggregation; host_kcore's survivor semi-joins broadcast. The
+    final label_propagation/k_core frames sit behind localCheckpoint
+    boundaries, so their executed plans are checkpoint scans — the
+    per-round shapes are asserted by the operator-level tests."""
+    ps = _plan(QUERIES["sitemap_ingest"].spark(spark, SF_SMOKE))
+    assert "Exchange" not in ps
+    assert "BatchEvalPython" not in ps
+    pu = _plan(QUERIES["url_frontier"].spark(spark, SF_SMOKE))
+    assert "Exchange SinglePartition" not in pu
+    assert "CartesianProduct" not in pu
+    assert "BatchEvalPython" not in pu
+    pr = _plan(QUERIES["robots_gate"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in pr
+    assert "Exchange SinglePartition" not in pr
+    assert "CartesianProduct" not in pr
+    assert "BatchEvalPython" not in pr
+    pf = _plan(QUERIES["frontier_plan"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in pf
+    assert "Exchange SinglePartition" not in pf
+    assert "CartesianProduct" not in pf
+    assert "BatchEvalPython" not in pf
+    pc = _plan(QUERIES["host_cocitation"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in pc
+    assert "Exchange SinglePartition" not in pc
+    assert "CartesianProduct" not in pc
+    pk = _plan(QUERIES["host_kcore"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in pk
+    assert "Exchange SinglePartition" not in pk
+    assert "CartesianProduct" not in pk
+
+
 def test_plan_linter_all_queries(spark):
     """Suite-wide physical-plan invariants over EVERY registered query
     at sf0.001 — the properties that decide 100 TB survival, enforced
