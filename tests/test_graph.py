@@ -848,3 +848,18 @@ def test_kcore_invalid_args(spark):
     with pytest.raises(ValueError, match="until_stable"):
         graph.k_core(e, "src", "dst", k=2, materialize=False,
                      until_stable=True)
+
+
+def test_kcore_isolated_survivor_reports_degree_zero(spark):
+    """Self-review regression pin: a hub kept at round 1 (its count
+    over the PRE-round survivors cleared k) whose leaves all died
+    must appear with recounted degree 0 — not vanish."""
+    pairs = [(100, i) for i in range(1, 4)]  # hub + 3 degree-1 leaves
+    got = {r["node"]: r["degree"]
+           for r in graph.k_core(_edges(spark, pairs), "src", "dst",
+                                 k=2, rounds=1).collect()}
+    assert got == {100: 0}
+    assert got == _kcore_reference(pairs, 2, rounds=1)
+    # one more round peels the now-isolated hub
+    assert graph.k_core(_edges(spark, pairs), "src", "dst",
+                        k=2, rounds=2).collect() == []

@@ -748,6 +748,8 @@ def test_canonical_url_case_port_fragment_and_sort(spark):
         "https://shop.example.com:443/a",
         "https://shop.example.com:8443/a",
         "http://shop.example.com:/a",
+        "http://shop.example.com:080/a",
+        "https://shop.example.com:08080/a",
         "http://shop.example.com",
         "http://u:p@shop.example.com./x",
     ])
@@ -756,6 +758,8 @@ def test_canonical_url_case_port_fragment_and_sort(spark):
         "https://shop.example.com/a",
         "https://shop.example.com:8443/a",
         "http://shop.example.com/a",
+        "http://shop.example.com/a",
+        "https://shop.example.com:8080/a",
         "http://shop.example.com/",
         "http://u:p@shop.example.com/x",
     ]
@@ -1073,7 +1077,7 @@ try:
         if host == "":
             return None
         pm = re.search(r':(\d+)$', hostport)
-        port = pm.group(1) if pm else ""
+        port = re.sub(r'^0+(?=\d)', '', pm.group(1)) if pm else ""
         if (port == "" or (scheme == "http" and port == "80")
                 or (scheme == "https" and port == "443")):
             port = ""
@@ -1115,7 +1119,8 @@ try:
                                         "[2001:DB8::1]"]),
                        min_size=0, max_size=3),
         dot=st.sampled_from(["", "."]),
-        port=st.sampled_from(["", ":80", ":443", ":8080", ":"]),
+        port=st.sampled_from(["", ":80", ":443", ":8080", ":",
+                              ":080", ":0443", ":00", ":0"]),
         segs=st.lists(_seg, min_size=0, max_size=5),
         q=st.booleans(),
         qps=st.lists(_prm, min_size=0, max_size=4),

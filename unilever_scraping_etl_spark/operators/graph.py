@@ -627,4 +627,15 @@ def k_core(edges: DataFrame, src: str, dst: str, k: int,
             if n_now == n_prev:
                 break
             n_prev = n_now
-    return _alive_degrees(survivors)
+    # LEFT join from the survivor set: under fixed rounds a survivor
+    # can lose its last surviving neighbor in the final round (kept
+    # at round R because its count over survivors_{R-1} cleared k,
+    # recounted over survivors_R). It must REPORT degree 0, not
+    # silently vanish — at the true fixpoint the two forms coincide
+    # (every degree >= k), but the fixed-rounds contract promises one
+    # row per survivor. Caught by this round's self-review; pinned by
+    # the hub-and-leaves test.
+    return (survivors.join(_alive_degrees(survivors), "node", "left")
+            .select("node",
+                    F.coalesce(F.col("degree"), F.lit(0).cast("long"))
+                    .alias("degree")))

@@ -520,7 +520,10 @@ def canonical_url(url: Column,
     host = F.regexp_replace(
         F.lower(F.regexp_extract(hostport, r'^(\[[^\]]*\]|[^:]+)', 1)),
         r'\.$', '')
-    port = F.regexp_extract(hostport, r':(\d+)$', 1)
+    # leading zeros drop before the default-port compare (':080' IS
+    # port 80 — r13 self-review); the kept form is the minimal one
+    port = F.regexp_replace(
+        F.regexp_extract(hostport, r':(\d+)$', 1), r'^0+(?=\d)', '')
     port = F.when((port == '')
                   | ((scheme == 'http') & (port == '80'))
                   | ((scheme == 'https') & (port == '443')), F.lit(''))\

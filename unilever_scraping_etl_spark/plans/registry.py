@@ -6972,13 +6972,19 @@ s{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})""")
 
 def _host_kcore_oracle() -> str:
     chain, last = _kcore_ctes(3, 6, _HOST_EDGES_CTE)
+    # LEFT join from the survivor set (the operator's fixed-rounds
+    # contract: one row per survivor, degree 0 if the last surviving
+    # neighbor died in the final round; coincides with the inner form
+    # at the fixpoint this fixture reaches)
     return f"""
 WITH {chain}
-SELECT n.a AS node, CAST(count(*) AS BIGINT) AS degree
-FROM nbr n
-JOIN {last} x ON n.a = x.node
-JOIN {last} y ON n.b = y.node
-GROUP BY n.a
+SELECT s.node, CAST(coalesce(d.deg, 0) AS BIGINT) AS degree
+FROM {last} s
+LEFT JOIN (SELECT n.a AS node, count(*) AS deg
+           FROM nbr n
+           JOIN {last} x ON n.a = x.node
+           JOIN {last} y ON n.b = y.node
+           GROUP BY n.a) d ON s.node = d.node
 """
 
 
