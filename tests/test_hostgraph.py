@@ -1137,3 +1137,29 @@ try:
 
 except ImportError:
     pass
+
+
+def test_parse_robots_skips_utf8_bom(spark):
+    """A BOM'd first User-agent line must still open group 1 — a
+    dropped opener shifts every group id and misattributes rules."""
+    body = "﻿User-agent: *\nDisallow: /private/\n"
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    got = {(r["group_id"], r["agent"], r["rule"], r["path"])
+           for r in hostgraph.parse_robots(df).collect()}
+    assert got == {(1, "*", "disallow", "/private/")}
+
+
+def test_parse_sitemaps_comments_and_cdata(spark):
+    """Commented-out entries must not parse; CDATA locs unwrap
+    verbatim (no entity decode inside CDATA)."""
+    body = ("<urlset>"
+            "<!-- <url><loc>http://h/ghost</loc></url> -->"
+            "<url><loc><![CDATA[http://h/x?a=1&b=2]]></loc></url>"
+            "<url><loc>http://h/plain</loc>"
+            "<!-- lastmod pending --></url>"
+            "</urlset>")
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    got = {(r["loc"], r["lastmod"])
+           for r in hostgraph.parse_sitemaps(df).collect()}
+    assert got == {("http://h/x?a=1&b=2", None),
+                   ("http://h/plain", None)}

@@ -450,7 +450,8 @@ def label_propagation(edges: DataFrame, src: str, dst: str,
     iteration."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    require_free_columns("label_propagation", edges.columns, _WORKING)
+    require_free_columns("label_propagation", edges.columns,
+                         _WORKING + ("__a", "__b", "__c"))
     require_free_columns("label_propagation", edges.columns,
                          ("node", "community"), kind="output")
     nbr = (edges
@@ -517,7 +518,9 @@ def cocitation(edges: DataFrame, src: str, dst: str,
         raise ValueError("mode must be 'cocitation' or 'coupling'")
     if min_common < 1:
         raise ValueError("min_common must be >= 1")
-    require_free_columns("cocitation", edges.columns, _WORKING)
+    require_free_columns("cocitation", edges.columns,
+                         _WORKING + ("__lk", "__it", "__d",
+                                     "__da", "__db"))
     require_free_columns("cocitation", edges.columns,
                          ("node_a", "node_b", "common", "jaccard"),
                          kind="output")
@@ -595,7 +598,8 @@ def k_core(edges: DataFrame, src: str, dst: str, k: int,
     if until_stable and not materialize:
         raise ValueError("until_stable requires materialize=True "
                          "(each stability probe evaluates the plan)")
-    require_free_columns("k_core", edges.columns, _WORKING)
+    require_free_columns("k_core", edges.columns,
+                         _WORKING + ("__a", "__b"))
     require_free_columns("k_core", edges.columns, ("node", "degree"),
                          kind="output")
     nbr = (edges

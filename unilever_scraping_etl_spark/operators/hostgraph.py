@@ -270,7 +270,13 @@ def parse_robots(bodies: DataFrame, host_col: str = "host",
 
     lines = (bodies
              .select(F.col(host_col).alias("host"),
-                     F.posexplode(F.split(F.col(body_col), r"\r\n|\r|\n"))
+                     F.posexplode(F.split(
+                         # UTF-8 BOM guard: a BOM'd first line would
+                         # fail the directive regex and silently drop
+                         # the opening User-agent line (group shift)
+                         F.regexp_replace(F.col(body_col),
+                                          "^\ufeff", ""),
+                         r"\r\n|\r|\n"))
                      .alias("__pos", "__line"))
              .select("host", "__pos",
                      F.trim(F.regexp_replace("__line", r"#.*$", ""))
@@ -440,14 +446,20 @@ def parse_sitemaps(bodies: DataFrame, host_col: str = "host",
     require_free_columns("parse_sitemaps", (host_col, body_col),
                          ("__block", "kind", "loc", "lastmod",
                           "changefreq", "priority"))
-    block = F.explode(F.regexp_extract_all(
-        F.col(body_col),
+    body = F.regexp_replace(  # XML comments die before extraction:
+        F.col(body_col), r"(?s)<!--.*?-->", "")  # commented-out
+    block = F.explode(F.regexp_extract_all(  # entries must not parse
+        body,
         F.lit(r"(?is)<(?:url|sitemap)\b[^>]*>.*?</(?:url|sitemap)\s*>"),
         0)).alias("__block")
 
     def field(name: str) -> Column:
         pat = rf"(?is)<{name}\b[^>]*>\s*(.*?)\s*</{name}\s*>"
         v = F.regexp_extract("__block", pat, 1)
+        # CDATA wrapper unwraps (verbatim content, no entity decode
+        # needed inside — the caller's _xml_unescape is a no-op on
+        # well-formed CDATA payloads, which cannot contain ']]>')
+        v = F.regexp_replace(v, r"(?s)^<!\[CDATA\[(.*)\]\]>$", "$1")
         return F.when(v != "", v)
 
     return (bodies
