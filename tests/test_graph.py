@@ -863,3 +863,65 @@ def test_kcore_isolated_survivor_reports_degree_zero(spark):
     # one more round peels the now-isolated hub
     assert graph.k_core(_edges(spark, pairs), "src", "dst",
                         k=2, rounds=2).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# hypothesis random-graph sweeps: structural ops vs python references
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _hyp_spark = [None]
+
+    @pytest.fixture(autouse=True)
+    def _capture_spark(spark):
+        _hyp_spark[0] = spark
+        yield
+
+    _edge = st.tuples(st.integers(0, 12), st.integers(0, 12))
+    _graphs = st.lists(_edge, min_size=1, max_size=60)
+
+    @settings(max_examples=10, deadline=None)
+    @given(_graphs)
+    def test_lpa_random_graphs_match_reference(pairs):
+        spark = _hyp_spark[0]
+        for k in (1, 3):
+            got = {r["node"]: r["community"]
+                   for r in graph.label_propagation(
+                       _edges(spark, pairs), "src", "dst",
+                       iterations=k).collect()}
+            assert got == _lpa_reference(pairs, k), (pairs, k)
+
+    @settings(max_examples=10, deadline=None)
+    @given(_graphs)
+    def test_cocitation_random_graphs_match_reference(pairs):
+        spark = _hyp_spark[0]
+        rows = graph.cocitation(_edges(spark, pairs), "src", "dst",
+                                max_linker_degree=4).collect()
+        got = {(r["node_a"], r["node_b"]): (r["common"], r["jaccard"])
+               for r in rows}
+        ref = _cocite_reference(pairs, cap=4)
+        assert set(got) == set(ref), pairs
+        for key in ref:
+            assert got[key][0] == ref[key][0], (pairs, key)
+            assert abs(got[key][1] - ref[key][1]) < 1e-12, (pairs, key)
+
+    @settings(max_examples=10, deadline=None)
+    @given(_graphs)
+    def test_kcore_random_graphs_match_reference(pairs):
+        spark = _hyp_spark[0]
+        # fixed-rounds truncation AND the stable fixpoint
+        for k, rounds, stable in ((2, 2, False), (2, 30, True),
+                                  (3, 30, True)):
+            got = {r["node"]: r["degree"]
+                   for r in graph.k_core(
+                       _edges(spark, pairs), "src", "dst", k=k,
+                       rounds=rounds, until_stable=stable).collect()}
+            ref = _kcore_reference(pairs, k,
+                                   rounds=None if stable else rounds)
+            assert got == ref, (pairs, k, rounds, stable)
+
+except ImportError:
+    pass
