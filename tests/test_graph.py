@@ -925,3 +925,86 @@ try:
 
 except ImportError:
     pass
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+
+def _triangle_reference(pairs):
+    nbr: dict = {}
+    for u, v in pairs:
+        if u is None or v is None or u == v:
+            continue
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    tri = {v: 0 for v in nbr}
+    for v in nbr:
+        for a in nbr[v]:
+            for b in nbr[v]:
+                if a < b and b in nbr[a]:
+                    tri[v] += 1
+    out = {}
+    for v in nbr:
+        d = len(nbr[v])
+        c = 2.0 * tri[v] / (d * (d - 1)) if d >= 2 else 0.0
+        out[v] = (d, tri[v], c)
+    return out
+
+
+def test_triangle_hand_cases(spark):
+    """A triangle glued to a square: triangle corners count 1, the
+    square contributes none; the shared node's coefficient reflects
+    its degree."""
+    pairs = [(0, 1), (1, 2), (0, 2),            # triangle
+             (2, 3), (3, 4), (4, 5), (5, 2)]    # square sharing node 2
+    got = {r["node"]: (r["degree"], r["triangles"], r["clustering"])
+           for r in graph.triangle_count(
+               _edges(spark, pairs), "src", "dst").collect()}
+    assert got == _triangle_reference(pairs)
+    assert got[0] == (2, 1, 1.0)
+    assert got[2][1] == 1 and got[2][0] == 4
+    assert got[3] == (2, 0, 0.0)
+    # K4: every node in 3 triangles, coefficient 1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got4 = {r["node"]: (r["degree"], r["triangles"], r["clustering"])
+            for r in graph.triangle_count(
+                _edges(spark, k4), "src", "dst").collect()}
+    assert got4 == {v: (3, 3, 1.0) for v in range(4)}
+
+
+def test_triangle_skew_hub_and_noise(spark):
+    """A hub wired to 30 leaves plus one closing edge: exactly one
+    triangle; parallel/self/NULL edges ignored. The orientation makes
+    the LEAVES claim the wedges, not the hub."""
+    pairs = [(999, v) for v in range(30)] + [(0, 1), (0, 1), (1, 1)]
+    df = spark.createDataFrame([(None, 0)], "src long, dst long") \
+        .union(_edges(spark, pairs))
+    got = {r["node"]: (r["degree"], r["triangles"], r["clustering"])
+           for r in graph.triangle_count(df, "src", "dst").collect()}
+    assert got == _triangle_reference(pairs)
+    assert got[999][1] == 1 and got[0][1] == 1 and got[1][1] == 1
+    assert got[5] == (1, 0, 0.0)
+
+
+try:
+    from hypothesis import given as _g2, settings as _s2
+    from hypothesis import strategies as _st2
+
+    @_s2(max_examples=10, deadline=None)
+    @_g2(_st2.lists(_st2.tuples(_st2.integers(0, 12),
+                                _st2.integers(0, 12)),
+                    min_size=1, max_size=60))
+    def test_triangle_random_graphs_match_reference(pairs):
+        spark = _hyp_spark[0]
+        got = {r["node"]: (r["degree"], r["triangles"],
+                           round(r["clustering"], 9))
+               for r in graph.triangle_count(
+                   _edges(spark, pairs), "src", "dst").collect()}
+        ref = {v: (d, t, round(c, 9))
+               for v, (d, t, c) in _triangle_reference(pairs).items()}
+        assert got == ref, pairs
+
+except ImportError:
+    pass

@@ -52,6 +52,12 @@ def main() -> None:
     print(f"cocitation cap=64     : {time.perf_counter() - t:.1f} s, "
           f"{pairs} pairs (min_common=3)", flush=True)
 
+    t = time.perf_counter()
+    tc = graph.triangle_count(edges, "src", "dst")
+    tri = tc.agg(F.sum("triangles")).first()[0]
+    print(f"triangle_count        : {time.perf_counter() - t:.1f} s, "
+          f"{tri} corner-counts", flush=True)
+
     for k in (4, 16):
         t = time.perf_counter()
         core = graph.k_core(edges, "src", "dst", k=k, rounds=64,

@@ -7012,3 +7012,57 @@ def host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _host_edges(_host_fixture_records(spark, sf_dir,
                                               "spark_hkcore_"))
     return graph.k_core(edges, "src", "dst", k=3, rounds=6)
+
+
+_HOST_TRIANGLES_ORACLE = f"""
+WITH {_HOST_EDGES_CTE},
+nbr AS MATERIALIZED (
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst, src FROM edges),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM nbr GROUP BY a),
+tri AS MATERIALIZED (
+    SELECT n1.a AS a, n1.b AS b, n2.b AS c
+    FROM nbr n1
+    JOIN nbr n2 ON n2.a = n1.b AND n2.b > n1.b
+    JOIN nbr n3 ON n3.a = n1.a AND n3.b = n2.b
+    WHERE n1.a < n1.b),
+corners AS (SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri),
+tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+         FROM corners GROUP BY node)
+SELECT d.node, d.degree,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(t.triangles, 0)
+                       / (d.degree * (d.degree - 1.0))
+                  ELSE 0.0 END, 9) AS clustering
+FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+"""
+
+
+@q("host_triangles", _HOST_TRIANGLES_ORACLE,
+   doc="Per-host triangle count and local clustering coefficient "
+       "(graph.triangle_count — Chiba-Nishizeki orientation, the "
+       "Suri-Vassilvitskii MapReduce formulation) over the archive's "
+       "host graph: the cohesion signal next to k-core — a host "
+       "whose neighbors link to EACH OTHER sits in a coordinated "
+       "cluster (link farms close triangles; organic hubs bridge "
+       "unrelated sites at coefficient ~0). Engine: orient each "
+       "undirected edge low->high in the (degree, node) total order "
+       "so every triangle is claimed exactly once by its "
+       "order-smallest corner — wedge fan-out is bounded by oriented "
+       "OUT-degree (O(sqrt m) even for a 10M-follower hub, whose "
+       "low-degree neighbors claim its wedges), then one semi-join "
+       "probes the closing edge and the corners explode to a "
+       "partial-agg count; degrees ride as broadcasts. Oracle: the "
+       "plain unoriented a<b<c enumeration in SQL — if the "
+       "orientation logic miscounts a single wedge (the degree-tie "
+       "branch is the classic off-by-one), counts and coefficients "
+       "diverge and the hash fails.")
+def host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _host_edges(_host_fixture_records(spark, sf_dir,
+                                              "spark_htri_"))
+    return graph.triangle_count(edges, "src", "dst", coeff_digits=9)
