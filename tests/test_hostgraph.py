@@ -1163,3 +1163,52 @@ def test_parse_sitemaps_comments_and_cdata(spark):
            for r in hostgraph.parse_sitemaps(df).collect()}
     assert got == {("http://h/x?a=1&b=2", None),
                    ("http://h/plain", None)}
+
+
+def test_sitemap_index_recursion_walk(spark):
+    """The bounded discovery loop (SURVEY 7.9): robots.txt names a
+    sitemap INDEX, the index names child sitemaps, children carry the
+    urls. The driver-side loop is bounded by the protocol's nesting
+    cap; each hop is one join against the fetched-bodies table plus
+    one parse — no state beyond the frontier of unvisited sitemap
+    URLs."""
+    from pyspark.sql import functions as F
+
+    robots = "User-agent: *\nDisallow: /private/\nSitemap: http://h/si.xml\n"
+    bodies = {
+        "http://h/si.xml": (
+            "<sitemapindex>"
+            "<sitemap><loc>http://h/s-a.xml</loc></sitemap>"
+            "<sitemap><loc>http://h/s-b.xml</loc></sitemap>"
+            "</sitemapindex>"),
+        "http://h/s-a.xml": (
+            "<urlset><url><loc>http://h/p1</loc></url>"
+            "<url><loc>http://h/p2</loc></url></urlset>"),
+        "http://h/s-b.xml": (
+            "<urlset><url><loc>http://h/p3</loc></url>"
+            "<sitemap><loc>http://h/si.xml</loc></sitemap>"  # cycle!
+            "</urlset>"),
+    }
+    fetched = spark.createDataFrame(
+        [("h", u, b) for u, b in bodies.items()],
+        "host string, url string, body string")
+    rdf = spark.createDataFrame([("h", robots)],
+                                "host string, body string")
+    frontier = hostgraph.robots_sitemaps(rdf) \
+        .select("host", F.col("sitemap").alias("url"))
+    seen, pages = set(), set()
+    for _depth in range(5):  # sitemaps.org caps nesting
+        new = [(r["host"], r["url"]) for r in frontier.collect()
+               if r["url"] not in seen]
+        if not new:
+            break
+        seen |= {u for _, u in new}
+        batch = spark.createDataFrame(new, "host string, url string") \
+            .join(fetched, ["host", "url"]).select("host", "body")
+        parsed = hostgraph.parse_sitemaps(batch)
+        pages |= {r["loc"] for r in
+                  parsed.filter(F.col("kind") == "url").collect()}
+        frontier = (parsed.filter(F.col("kind") == "sitemap")
+                    .select("host", F.col("loc").alias("url")))
+    assert pages == {"http://h/p1", "http://h/p2", "http://h/p3"}
+    assert seen == set(bodies)  # the cycle back to si.xml didn't loop
