@@ -1212,3 +1212,41 @@ def test_sitemap_index_recursion_walk(spark):
                     .select("host", F.col("loc").alias("url")))
     assert pages == {"http://h/p1", "http://h/p2", "http://h/p3"}
     assert seen == set(bodies)  # the cycle back to si.xml didn't loop
+
+
+def test_robots_delays_group_selection_and_hygiene(spark):
+    """Crawl-delay rides the group machinery: exact group wins over
+    star, merged groups take the MAX, malformed/non-positive values
+    drop, and hosts without a delay are absent."""
+    bodies = spark.createDataFrame([
+        ("a", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"),
+        ("b", ("User-agent: SparkBot\nCrawl-delay: 0.5\n"
+               "User-agent: *\nCrawl-delay: 9\n")),
+        ("c", ("User-agent: sparkbot\nCrawl-delay: 1\n"
+               "User-agent: SPARKBOT\nCrawl-delay: 3\n"
+               "User-agent: *\nCrawl-delay: 99\n")),
+        ("d", "User-agent: *\nCrawl-delay: soon\nCrawl-delay: -4\n"),
+        ("e", "User-agent: *\nDisallow: /x\n"),
+    ], "host string, body string")
+    got = {r["host"]: r["delay_seconds"]
+           for r in hostgraph.robots_delays(bodies, "SparkBot")
+           .collect()}
+    assert got == {"a": 2.0,   # star applies (no exact group)
+                   "b": 0.5,   # exact beats star
+                   "c": 3.0}   # merged exact groups: max wins
+    # d: only malformed/negative values -> absent; e: none stated
+
+
+def test_robots_delay_line_starts_new_group_after_it(spark):
+    """A user-agent line AFTER a crawl-delay line opens a NEW group
+    (crawl-delay is a group member, like a rule)."""
+    body = ("User-agent: a\nCrawl-delay: 5\n"
+            "User-agent: b\nDisallow: /x\n")
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    rules = {(r["group_id"], r["agent"], r["path"])
+             for r in hostgraph.parse_robots(df).collect()}
+    assert rules == {(2, "b", "/x")}  # agent a's group has no rules
+    da = hostgraph.robots_delays(df, "a").collect()
+    db = hostgraph.robots_delays(df, "b").collect()
+    assert [(r["host"], r["delay_seconds"]) for r in da] == [("h", 5.0)]
+    assert db == []

@@ -252,8 +252,10 @@ def parse_robots(bodies: DataFrame, host_col: str = "host",
     comment, directive names are case-insensitive; CONSECUTIVE
     user-agent lines open one group that all subsequent allow/
     disallow lines join, and the next user-agent line AFTER a rule
-    line starts a new group; unknown directives (crawl-delay,
-    sitemap) do not break a group; agents lowercase (matching is
+    line starts a new group; crawl-delay lines are group members
+    too (parsed by :func:`robots_delays` off the SAME grouped frame,
+    so rules and delays agree on group ids), while sitemap and
+    unknown directives stay invisible to group building; agents lowercase (matching is
     case-insensitive); rules with an EMPTY pattern are dropped (an
     empty pattern matches nothing — the classic bare ``Disallow:``
     = allow-everything); groups sharing an agent merge downstream.
@@ -266,6 +268,23 @@ def parse_robots(bodies: DataFrame, host_col: str = "host",
     require_free_columns("parse_robots", (host_col, body_col),
                          ("__line", "__pos", "__key", "__val",
                           "__new", "group_id"))
+    grouped = _robots_groups(bodies, host_col, body_col)
+    agents = _robots_agents(grouped)
+    rules = (grouped
+             .filter(F.col("__key").isin("allow", "disallow")
+                     & (F.col("__val") != ""))
+             .select("host", "group_id", F.col("__key").alias("rule"),
+                     F.col("__val").alias("path")))
+    return agents.join(rules, ["host", "group_id"])
+
+
+def _robots_groups(bodies: DataFrame, host_col: str,
+                   body_col: str) -> DataFrame:
+    """Shared robots.txt group parse: (host, __pos, __key, __val,
+    group_id) for every RECOGNIZED group-member line (user-agent /
+    allow / disallow / crawl-delay — one grouped frame, so rules and
+    delays agree on group ids). Sitemap and unknown directives stay
+    invisible to group building."""
     from pyspark.sql import Window
 
     lines = (bodies
@@ -282,7 +301,8 @@ def parse_robots(bodies: DataFrame, host_col: str = "host",
                      F.trim(F.regexp_replace("__line", r"#.*$", ""))
                      .alias("__line"))
              .filter(F.col("__line") != ""))
-    directive = (r"(?i)^(user-agent|allow|disallow)\s*:\s*(.*)$")
+    directive = (r"(?i)^(user-agent|allow|disallow|crawl-delay)"
+                 r"\s*:\s*(.*)$")
     parsed = (lines
               .select("host", "__pos",
                       F.lower(F.regexp_extract("__line", directive, 1))
@@ -291,24 +311,64 @@ def parse_robots(bodies: DataFrame, host_col: str = "host",
                       .alias("__val"))
               .filter(F.col("__key") != ""))
     w = Window.partitionBy("host").orderBy("__pos")
-    grouped = (parsed
-               .withColumn("__new",
-                           ((F.col("__key") == "user-agent")
-                            & (F.coalesce(F.lag("__key").over(w),
-                                          F.lit("")) != "user-agent"))
-                           .cast("int"))
-               .withColumn("group_id", F.sum("__new").over(w))
-               .filter(F.col("group_id") > 0))  # rules before any UA line
-    agents = (grouped.filter(F.col("__key") == "user-agent")
+    return (parsed
+            .withColumn("__new",
+                        ((F.col("__key") == "user-agent")
+                         & (F.coalesce(F.lag("__key").over(w),
+                                       F.lit("")) != "user-agent"))
+                        .cast("int"))
+            .withColumn("group_id", F.sum("__new").over(w))
+            .filter(F.col("group_id") > 0))  # lines before any UA drop
+
+
+def _robots_agents(grouped: DataFrame) -> DataFrame:
+    return (grouped.filter(F.col("__key") == "user-agent")
+            .select("host", "group_id",
+                    F.lower(F.col("__val")).alias("agent"))
+            .distinct())
+
+
+def robots_delays(bodies: DataFrame, agent: str,
+                  host_col: str = "host",
+                  body_col: str = "body") -> DataFrame:
+    """Per-host Crawl-delay for one crawler product token — the
+    de-facto rate-limit directive (not in RFC 9309 but honored by
+    most major crawlers; Google dropped it, Bing/Yandex keep it).
+    Group-scoped like allow/disallow and selected with the SAME
+    product-token precedence as :func:`robots_decisions` (exact
+    groups win over ``*``; matching groups merge). When merged
+    groups disagree the MAXIMUM delay wins — the most polite
+    reading. Values parse as seconds via ``try_cast`` (malformed or
+    non-positive values drop — a garbage delay must not stall or
+    turbo-charge the fleet). Output: ``(host, delay_seconds)`` for
+    hosts that state one; absent hosts mean "no stated delay" (the
+    caller picks its fleet default).
+
+    One parse + two host-keyed windows (shared with parse_robots via
+    ``_robots_groups``) and a host-bounded aggregation — nothing
+    frontier-sized."""
+    require_free_columns("robots_delays", (host_col, body_col),
+                         ("__line", "__pos", "__key", "__val",
+                          "__new", "group_id", "delay_seconds"))
+    grouped = _robots_groups(bodies, host_col, body_col)
+    agents = _robots_agents(grouped)
+    delays = (grouped.filter(F.col("__key") == "crawl-delay")
               .select("host", "group_id",
-                      F.lower(F.col("__val")).alias("agent"))
-              .distinct())
-    rules = (grouped
-             .filter(F.col("__key").isin("allow", "disallow")
-                     & (F.col("__val") != ""))
-             .select("host", "group_id", F.col("__key").alias("rule"),
-                     F.col("__val").alias("path")))
-    return agents.join(rules, ["host", "group_id"])
+                      F.col("__val").try_cast("double")
+                      .alias("delay_seconds"))
+              .filter(F.col("delay_seconds").isNotNull()
+                      & (F.col("delay_seconds") > 0)))
+    t = agent.lower()
+    gids = agents.select("host", "group_id", "agent").distinct()
+    exact = (gids.filter(F.col("agent") == t)
+             .select("host", "group_id").distinct())
+    star = (gids.filter(F.col("agent") == "*")
+            .select("host", "group_id").distinct())
+    chosen = exact.union(
+        star.join(exact.select("host").distinct(), "host", "left_anti"))
+    return (delays.join(F.broadcast(chosen), ["host", "group_id"])
+            .groupBy("host")
+            .agg(F.max("delay_seconds").alias("delay_seconds")))
 
 
 def robots_sitemaps(bodies: DataFrame, host_col: str = "host",

@@ -7066,3 +7066,81 @@ def host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _host_edges(_host_fixture_records(spark, sf_dir,
                                               "spark_htri_"))
     return graph.triangle_count(edges, "src", "dst", coeff_digits=9)
+
+
+_CRAWL_RATE_ORACLE = """
+WITH docs AS (
+    SELECT doc_id AS d, doc_id % 20 AS k
+    FROM documents WHERE text IS NOT NULL),
+pages AS (
+    SELECT 'http://h' || CAST(k AS VARCHAR) || '.corpus.local/doc/'
+           || CAST(d AS VARCHAR) AS url,
+           'h' || CAST(k AS VARCHAR) || '.corpus.local' AS host,
+           CASE WHEN k % 3 = 2 THEN 1.0
+                WHEN k % 5 = 0 THEN 0.5 * (k % 7) + 0.5
+                ELSE 1.0 + (k % 4) END AS delay_s
+    FROM docs),
+waved AS (
+    SELECT url, host, delay_s,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY url)
+                AS INTEGER) AS wave
+    FROM pages)
+SELECT url, host, wave, delay_s,
+       round((wave - 1) * delay_s, 9) AS eta_s
+FROM waved
+"""
+
+
+@q("crawl_schedule_rate", _CRAWL_RATE_ORACLE,
+   doc="Rate-aware politeness schedule — crawl_schedule's waves "
+       "spaced by each host's OWN stated Crawl-delay "
+       "(hostgraph.robots_delays, the de-facto rate directive most "
+       "major crawlers honor): every page gets (wave, delay_s, "
+       "eta_s = (wave−1)·delay_s), the earliest time the fleet may "
+       "fetch it without violating the host's rate ask. The fixture "
+       "robots bodies exercise the selection lattice: every third "
+       "host states NO delay (the fleet default 1.0 s applies via "
+       "coalesce — the absent-host path), every fifth a "
+       "SparkBot-specific group whose delay OVERRIDES the star "
+       "group's (exact-beats-star), the rest only a star delay "
+       "1+k%4; delays are parsed from rendered robots.txt text, not "
+       "handed over — a group-boundary slip or a star delay leaking "
+       "into an exact-group host shifts every ETA on that host and "
+       "fails the hash. Delays are host-bounded broadcasts; the "
+       "wave window stays KEYED by host; ETA is exact binary "
+       "arithmetic (0.5-step delays × integer waves), round-9 "
+       "belt-and-braces.")
+def crawl_schedule_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import hostgraph
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(F.col("doc_id").alias("d"),
+                    (F.col("doc_id") % 20).alias("k")))
+    d, k = F.col("d").cast("string"), F.col("k")
+    host = F.concat(F.lit("h"), k.cast("string"), F.lit(".corpus.local"))
+    star = F.concat(F.lit("User-agent: *\nDisallow: /private/\n"
+                          "Crawl-delay: "),
+                    (F.lit(1.0) + (k % 4)).cast("string"), F.lit("\n"))
+    exact = F.concat(F.lit("User-agent: SparkBot\nCrawl-delay: "),
+                     (F.lit(0.5) * (k % 7) + F.lit(0.5)).cast("string"),
+                     F.lit("\n\n"), star)
+    body = (F.when(k % 3 == 2,
+                   F.lit("User-agent: *\nDisallow: /private/\n"))
+            .when(k % 5 == 0, exact)
+            .otherwise(star))
+    bodies = docs.select(host.alias("host"), body.alias("body")) \
+        .distinct()
+    delays = hostgraph.robots_delays(bodies, "sparkbot")
+    pages = docs.select(
+        F.concat(F.lit("http://"), host, F.lit("/doc/"), d).alias("url"),
+        host.alias("host"))
+    w = Window.partitionBy("host").orderBy("url")
+    return (pages
+            .join(F.broadcast(delays), "host", "left")
+            .withColumn("delay_s",
+                        F.coalesce(F.col("delay_seconds"), F.lit(1.0)))
+            .withColumn("wave", F.row_number().over(w))
+            .select("url", "host", "wave", "delay_s",
+                    F.round((F.col("wave") - 1) * F.col("delay_s"), 9)
+                    .alias("eta_s")))
