@@ -1008,3 +1008,217 @@ try:
 
 except ImportError:
     pass
+
+
+# ---------------------------------------------------------------------------
+# bounded-probe broadcast gate across the structural family
+# (r13 VERDICT #1: pagerank's n<=1M auto-gate, threaded through
+# hits / label_propagation / k_core / triangle_count / cocitation)
+# ---------------------------------------------------------------------------
+
+def _xplan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _gate_pairs():
+    return [(i, (i + 1) % 6) for i in range(6)] + [(0, 2), (2, 4),
+                                                   (1, 3)]
+
+
+def test_structural_family_gate_off_plans_shuffle_join(spark):
+    """With the gate explicitly OFF (the >1M page-scale path) and
+    Spark's size-based auto-broadcast disabled, every iteration join
+    in the family must plan as a shuffle join (SMJ/shuffled-hash) —
+    proving the F.broadcast hint is really gone: a hint would force
+    BroadcastHashJoin regardless of threshold, and at 90M nodes that
+    build side is an OOM, not a slow plan. AQE may still convert at
+    runtime from observed sizes — that is the design: the decision
+    moves to the optimizer instead of being forced."""
+    e = _edges(spark, _gate_pairs())
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plans = {
+            "hits": _xplan(graph.hits(
+                e, "src", "dst", iterations=1, materialize=False,
+                broadcast_scores=False)),
+            "lpa": _xplan(graph.label_propagation(
+                e, "src", "dst", iterations=1, materialize=False,
+                broadcast_labels=False)),
+            "kcore": _xplan(graph.k_core(
+                e, "src", "dst", k=2, rounds=1, materialize=False,
+                broadcast_survivors=False)),
+            "tri": _xplan(graph.triangle_count(
+                e, "src", "dst", materialize=False,
+                broadcast_degrees=False)),
+            "coc": _xplan(graph.cocitation(
+                e, "src", "dst", broadcast_degrees=False)),
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for name, p in plans.items():
+        assert "BroadcastHashJoin" not in p, name
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), name
+
+
+def test_structural_family_gate_auto_broadcasts_small_graphs(spark):
+    """The default (None) gate probes the bounded node count and
+    KEEPS the broadcast on host-scale graphs — the fixture passes
+    n <= 1M, so the hinted BroadcastHashJoin shape survives (the
+    r13 stress showed the hint costs nothing where it is right)."""
+    e = _edges(spark, _gate_pairs())
+    assert "BroadcastHashJoin" in _xplan(graph.hits(
+        e, "src", "dst", iterations=1, materialize=False))
+    assert "BroadcastHashJoin" in _xplan(graph.label_propagation(
+        e, "src", "dst", iterations=1, materialize=False))
+    assert "BroadcastHashJoin" in _xplan(graph.cocitation(
+        e, "src", "dst"))
+
+
+def test_structural_family_gate_off_results_unchanged(spark):
+    """The gate changes the physical join strategy only — gated-off
+    results must equal the broadcast results row for row."""
+    e = _edges(spark, _gate_pairs())
+    for on, off in (
+        (graph.hits(e, "src", "dst", iterations=3, hub_digits=9,
+                    broadcast_scores=True),
+         graph.hits(e, "src", "dst", iterations=3, hub_digits=9,
+                    broadcast_scores=False)),
+        (graph.label_propagation(e, "src", "dst", iterations=3,
+                                 broadcast_labels=True),
+         graph.label_propagation(e, "src", "dst", iterations=3,
+                                 broadcast_labels=False)),
+        (graph.k_core(e, "src", "dst", k=2, rounds=4,
+                      broadcast_survivors=True),
+         graph.k_core(e, "src", "dst", k=2, rounds=4,
+                      broadcast_survivors=False)),
+        (graph.triangle_count(e, "src", "dst", coeff_digits=9,
+                              broadcast_degrees=True),
+         graph.triangle_count(e, "src", "dst", coeff_digits=9,
+                              broadcast_degrees=False)),
+        (graph.cocitation(e, "src", "dst", jaccard_digits=9,
+                          broadcast_degrees=True),
+         graph.cocitation(e, "src", "dst", jaccard_digits=9,
+                          broadcast_degrees=False)),
+    ):
+        rows_on = {tuple(r) for r in on.collect()}
+        rows_off = {tuple(r) for r in off.collect()}
+        assert rows_on == rows_off
+
+
+# ---------------------------------------------------------------------------
+# core_number — full core decomposition via the iterated H-index
+# (Lü et al. 2016; fixed point == coreness)
+# ---------------------------------------------------------------------------
+
+def _coreness_reference(pairs):
+    """Exact coreness by min-degree peeling (Batagelj-Zaversnik
+    semantics): remove the minimum-degree node, its core number is
+    the running max of removal-time degrees."""
+    adj = {}
+    for u, v in pairs:
+        if u is None or v is None or u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core, k = {}, 0
+    remaining = set(adj)
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.remove(v)
+        for u in adj[v]:
+            if u in remaining:
+                deg[u] -= 1
+    return core
+
+
+def test_coreness_hand_example(spark):
+    """Two triangles sharing a node plus a pendant: every triangle
+    node has coreness 2, the pendant 1."""
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (5, 6)]
+    got = {r["node"]: r["core"]
+           for r in graph.core_number(_edges(spark, pairs), "src",
+                                      "dst", rounds=8).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 6: 1}
+    assert got == _coreness_reference(pairs)
+
+
+def test_coreness_matches_kcore_membership(spark):
+    """coreness >= k  ⇔  k-core membership — the decomposition is
+    the feature-column form of k_core's filter (run to the fixpoint
+    on both sides)."""
+    pairs = ([(i, j) for i in range(5) for j in range(i + 1, 5)]  # K5
+             + [(4, 10), (10, 11), (11, 4),                        # tri
+                (11, 12), (12, 13)])                               # tail
+    e = _edges(spark, pairs)
+    core = {r["node"]: r["core"]
+            for r in graph.core_number(e, "src", "dst", rounds=20,
+                                       until_stable=True).collect()}
+    for k in (1, 2, 3, 4):
+        members = {r["node"]
+                   for r in graph.k_core(e, "src", "dst", k=k,
+                                         rounds=20,
+                                         until_stable=True).collect()}
+        assert members == {v for v, c in core.items() if c >= k}, k
+
+
+def test_coreness_drops_nulls_self_loops_and_parallel_edges(spark):
+    pairs = [(1, 2), (1, 2), (2, 2), (2, 3), (3, 1)]
+    df = spark.createDataFrame([(None, 1)], "src long, dst long") \
+        .union(_edges(spark, pairs))
+    got = {r["node"]: r["core"]
+           for r in graph.core_number(df, "src", "dst",
+                                      rounds=6).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_coreness_fixed_rounds_is_monotone_upper_bound(spark):
+    """The H-index iteration is monotone non-increasing and starts at
+    degree, so ANY fixed-rounds read is an upper bound on the true
+    coreness and rounds r+1 never exceeds rounds r anywhere."""
+    pairs = [(i, (i + 1) % 8) for i in range(8)] + \
+        [(0, 4), (2, 6), (1, 5)]
+    e = _edges(spark, pairs)
+    ref = _coreness_reference(pairs)
+    prev = None
+    for r in (1, 2, 4):
+        got = {row["node"]: row["core"]
+               for row in graph.core_number(e, "src", "dst",
+                                            rounds=r).collect()}
+        for v, c in got.items():
+            assert c >= ref[v], (r, v)
+            if prev is not None:
+                assert c <= prev[v], (r, v)
+        prev = got
+
+
+def test_coreness_invalid_args(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        graph.core_number(e, "src", "dst", rounds=0)
+    with pytest.raises(ValueError):
+        graph.core_number(e, "src", "dst", until_stable=True,
+                          materialize=False)
+
+
+try:
+    from hypothesis import given as _g3, settings as _s3
+    from hypothesis import strategies as _st3
+
+    @_s3(max_examples=8, deadline=None)
+    @_g3(_st3.lists(_st3.tuples(_st3.integers(0, 11),
+                                _st3.integers(0, 11)),
+                    min_size=1, max_size=50))
+    def test_coreness_random_graphs_match_reference(pairs):
+        spark = _hyp_spark[0]
+        got = {r["node"]: r["core"]
+               for r in graph.core_number(
+                   _edges(spark, pairs), "src", "dst", rounds=30,
+                   until_stable=True).collect()}
+        assert got == _coreness_reference(pairs), pairs
+
+except ImportError:
+    pass

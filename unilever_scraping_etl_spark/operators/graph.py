@@ -71,6 +71,26 @@ _WORKING = ("__outdeg", "__contrib", "__rank", "__dmass", "__prev",
 # components' _LAST_CC_ROUNDS
 _LAST_PR_ITERATIONS = 0
 
+# The bounded-probe broadcast discipline (pagerank, round 11), shared
+# by the whole structural family since round 14: every iterative
+# operator here joins a NODE-bounded frame (ranks, scores, labels,
+# survivor sets, degree tables) against the cached edge list. On
+# host-level graphs that frame is small and forcing a broadcast
+# removes the edge-side exchange entirely; on PAGE-level graphs the
+# same frame is 90M+ rows and a forced F.broadcast is a multi-GB
+# build per iteration — driver/executor OOM, and a hint AQE cannot
+# demote. So: `None` (the default everywhere) probes the bounded node
+# count once and broadcasts only when it reads <= this cap; above it
+# the join ships unhinted and AQE picks the strategy at runtime.
+_BROADCAST_NODE_CAP = 1_000_000
+
+
+def _gate_broadcast(flag: bool | None, n: int) -> bool:
+    """Resolve a tri-state broadcast flag against the bounded node
+    probe ``n``: explicit True/False wins; ``None`` auto-enables only
+    when ``n <= _BROADCAST_NODE_CAP``."""
+    return (n <= _BROADCAST_NODE_CAP) if flag is None else bool(flag)
+
 
 def pagerank(edges: DataFrame, src: str, dst: str,
              iterations: int = 5, damping: float = 0.85,
@@ -229,8 +249,7 @@ def pagerank(edges: DataFrame, src: str, dst: str,
             "node", "left_anti")
         if materialize:
             dangling = dangling.localCheckpoint()
-    if broadcast_ranks is None:
-        broadcast_ranks = n <= 1_000_000
+    broadcast_ranks = _gate_broadcast(broadcast_ranks, n)
     if warm_start is not None:
         # defensive seed aggregation (r12 ADVICE): duplicate node rows
         # in the seed would otherwise fan out through the left join and
@@ -317,7 +336,8 @@ def pagerank(edges: DataFrame, src: str, dst: str,
 def hits(edges: DataFrame, src: str, dst: str,
          iterations: int = 5,
          hub_digits: int | None = None,
-         materialize: bool = True) -> DataFrame:
+         materialize: bool = True,
+         broadcast_scores: bool | None = None) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999, public algorithm)
     over the directed edge list ``edges[src, dst]`` — the classic
     complement to PageRank for link-graph curation: an AUTHORITY is a
@@ -346,9 +366,14 @@ def hits(edges: DataFrame, src: str, dst: str,
     (node-bounded) score table against the cached edges plus a
     partial-aggregated sum, and each normalization is a 1-row L2
     aggregate entering the plan as a broadcast (never a driver
-    collect, never a SinglePartition funnel of the score table). The
-    score side of each join is one row per node, so on host-level
-    graphs it broadcasts; iterations are O(K) shuffles total.
+    collect, never a SinglePartition funnel of the score table).
+    ``broadcast_scores`` follows pagerank's bounded-probe discipline
+    (r13 VERDICT #1): ``None`` broadcasts the score side of each
+    half-step join only when the node count reads ≤ 1M — host graphs
+    get the exchange-free plan, page-level graphs ship the join
+    unhinted and let AQE pick (a forced 90M-row broadcast per
+    half-step would OOM the build side). Iterations are O(K)
+    shuffles total either way.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -364,9 +389,11 @@ def hits(edges: DataFrame, src: str, dst: str,
              .distinct())
     if materialize:
         nodes = nodes.localCheckpoint()
-    if nodes.isEmpty():  # bounded probe, mirrors pagerank's n == 0
+    n = nodes.count()  # bounded probe, mirrors pagerank's n == 0
+    if n == 0:
         return nodes.select("node", F.lit(0.0).alias("hub"),
                             F.lit(0.0).alias("authority"))
+    broadcast_scores = _gate_broadcast(broadcast_scores, n)
 
     def _normalized(scores: DataFrame, col: str) -> DataFrame:
         norm = scores.agg(
@@ -378,7 +405,7 @@ def hits(edges: DataFrame, src: str, dst: str,
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None
     for i in range(iterations):
-        hside = F.broadcast(hub)
+        hside = F.broadcast(hub) if broadcast_scores else hub
         araw = (edges.join(hside, edges[src] == hside["node"])
                 .select(F.col(dst).alias("node"), F.col("hub"))
                 .groupBy("node").agg(F.sum("hub").alias("authority")))
@@ -387,7 +414,7 @@ def hits(edges: DataFrame, src: str, dst: str,
             .select("node", F.coalesce(F.col("authority"), F.lit(0.0))
                     .alias("authority")),
             "authority")
-        aside = F.broadcast(auth)
+        aside = F.broadcast(auth) if broadcast_scores else auth
         hraw = (edges.join(aside, edges[dst] == aside["node"])
                 .select(F.col(src).alias("node"), F.col("authority"))
                 .groupBy("node").agg(F.sum("authority").alias("hub")))
@@ -412,7 +439,8 @@ def hits(edges: DataFrame, src: str, dst: str,
 
 def label_propagation(edges: DataFrame, src: str, dst: str,
                       iterations: int = 5,
-                      materialize: bool = True) -> DataFrame:
+                      materialize: bool = True,
+                      broadcast_labels: bool | None = None) -> DataFrame:
     """Synchronous label propagation (Raghavan-Albert-Kumara 2007,
     public algorithm) over the edge list treated as UNDIRECTED — the
     community-detection pass a corpus-curation pipeline runs on the
@@ -441,13 +469,18 @@ def label_propagation(edges: DataFrame, src: str, dst: str,
     pagerank ``tol`` discipline.
 
     Scale posture: the symmetric neighbor list is materialized once;
-    each iteration is the (node-bounded, broadcastable) label table
-    joined to the cached neighbor list, a partial-aggregated
-    (node, label) count, then a per-node arg-min — ``min_by`` over
+    each iteration is the (node-bounded) label table joined to the
+    cached neighbor list, a partial-aggregated (node, label) count,
+    then a per-node arg-min — ``min_by`` over
     ``struct(-count, label)``, an ordinary partial-aggregatable
     aggregate, NOT a global window. O(K) shuffles total; per-node
     state is one row, so a 90M-host graph carries 90M label rows per
-    iteration."""
+    iteration. ``broadcast_labels`` follows pagerank's bounded-probe
+    discipline (r13 VERDICT #1): ``None`` broadcasts the label side
+    of each iteration's join only when the node count reads ≤ 1M;
+    above that the join ships unhinted (AQE decides) — forcing a
+    90M-row broadcast per round would OOM, and a hint cannot be
+    demoted at runtime."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     require_free_columns("label_propagation", edges.columns,
@@ -465,8 +498,14 @@ def label_propagation(edges: DataFrame, src: str, dst: str,
     labels = (nbr.select(F.col("__a").alias("node"))
               .distinct()
               .select("node", F.col("node").alias("community")))
+    if materialize:
+        labels = labels.localCheckpoint()
+    if broadcast_labels is None:
+        # bounded probe (one scalar off the materialized label
+        # table) — only paid when the caller leaves the gate on auto
+        broadcast_labels = _gate_broadcast(None, labels.count())
     for _ in range(iterations):
-        lbl = F.broadcast(labels)
+        lbl = F.broadcast(labels) if broadcast_labels else labels
         counts = (nbr.join(lbl, nbr["__b"] == lbl["node"])
                   .groupBy(F.col("__a").alias("node"),
                            F.col("community"))
@@ -485,7 +524,8 @@ def cocitation(edges: DataFrame, src: str, dst: str,
                mode: str = "cocitation",
                min_common: int = 1,
                max_linker_degree: int | None = None,
-               jaccard_digits: int | None = None) -> DataFrame:
+               jaccard_digits: int | None = None,
+               broadcast_degrees: bool | None = None) -> DataFrame:
     """Co-citation / bibliographic-coupling similarity (Small 1973 /
     Kessler 1963, public measures) over a directed edge list — the
     related-host discovery pass: two hosts are CO-CITED when the same
@@ -511,9 +551,14 @@ def cocitation(edges: DataFrame, src: str, dst: str,
     from pair generation (the standard frequent-linker cut — a hub
     that links everywhere carries no similarity signal; its
     endorsement is vacuous). Degrees for the Jaccard are computed
-    BEFORE the cap (the true set sizes) and join back as a
-    node-bounded broadcast; the pair aggregation is one
-    partial-aggregated shuffle keyed by the pair."""
+    BEFORE the cap (the true set sizes) and join back onto the pair
+    aggregation, which is one partial-aggregated shuffle keyed by
+    the pair. ``broadcast_degrees`` follows pagerank's bounded-probe
+    discipline (r13 VERDICT #1): ``None`` broadcasts the degree
+    tables (and the ``max_linker_degree`` keep-set) only when the
+    bounded node probe reads ≤ 1M — on a page-scale graph those
+    frames are 90M+ rows and a forced broadcast would OOM the build
+    side; the unhinted join lets AQE decide."""
     if mode not in ("cocitation", "coupling"):
         raise ValueError("mode must be 'cocitation' or 'coupling'")
     if min_common < 1:
@@ -533,13 +578,19 @@ def cocitation(edges: DataFrame, src: str, dst: str,
           .distinct())
     deg = el.groupBy(F.col("__it").alias("node")).agg(
         F.count(F.lit(1)).alias("__deg"))
+    if broadcast_degrees is None:
+        # bounded probe (one scalar): the degree table is one row per
+        # item node, so its count IS the node bound the gate needs
+        broadcast_degrees = _gate_broadcast(None, deg.count())
     gen = el
     if max_linker_degree is not None:
         keep = (el.groupBy("__lk")
                 .agg(F.count(F.lit(1)).alias("__d"))
                 .filter(F.col("__d") <= max_linker_degree)
                 .select("__lk"))
-        gen = el.join(F.broadcast(keep), "__lk", "left_semi")
+        if broadcast_degrees:
+            keep = F.broadcast(keep)
+        gen = el.join(keep, "__lk", "left_semi")
     a, b = gen.alias("__l"), gen.alias("__r")
     pairs = (a.join(b, (F.col("__l.__lk") == F.col("__r.__lk"))
                     & (F.col("__l.__it") < F.col("__r.__it")))
@@ -547,10 +598,12 @@ def cocitation(edges: DataFrame, src: str, dst: str,
                       F.col("__r.__it").alias("node_b"))
              .agg(F.count(F.lit(1)).alias("common"))
              .filter(F.col("common") >= min_common))
-    da = F.broadcast(deg.withColumnRenamed("node", "node_a")
-                     .withColumnRenamed("__deg", "__da"))
-    db = F.broadcast(deg.withColumnRenamed("node", "node_b")
-                     .withColumnRenamed("__deg", "__db"))
+    da = (deg.withColumnRenamed("node", "node_a")
+          .withColumnRenamed("__deg", "__da"))
+    db = (deg.withColumnRenamed("node", "node_b")
+          .withColumnRenamed("__deg", "__db"))
+    if broadcast_degrees:
+        da, db = F.broadcast(da), F.broadcast(db)
     jac = (F.col("common")
            / (F.col("__da") + F.col("__db") - F.col("common")))
     if jaccard_digits is not None:
@@ -561,7 +614,8 @@ def cocitation(edges: DataFrame, src: str, dst: str,
 
 def k_core(edges: DataFrame, src: str, dst: str, k: int,
            rounds: int = 8, until_stable: bool = False,
-           materialize: bool = True) -> DataFrame:
+           materialize: bool = True,
+           broadcast_survivors: bool | None = None) -> DataFrame:
     """k-core peeling (Seidman 1983, public algorithm) over the edge
     list treated as UNDIRECTED: repeatedly remove every node whose
     degree among the SURVIVORS is below ``k``. The corpus-curation
@@ -586,11 +640,17 @@ def k_core(edges: DataFrame, src: str, dst: str, k: int,
 
     Scale posture: the symmetric neighbor list is materialized once;
     each round is two semi-joins of the cached neighbor list against
-    the (node-bounded, broadcastable) survivor set plus one
-    partial-aggregated degree count — O(rounds) shuffles, survivor
-    state one row per node. Peel depth on real webgraphs is far
-    below the worst case (a path graph peels one node per round from
-    each end); ``until_stable`` stops at the true depth."""
+    the (node-bounded) survivor set plus one partial-aggregated
+    degree count — O(rounds) shuffles, survivor state one row per
+    node. Peel depth on real webgraphs is far below the worst case
+    (a path graph peels one node per round from each end);
+    ``until_stable`` stops at the true depth. ``broadcast_survivors``
+    follows pagerank's bounded-probe discipline (r13 VERDICT #1):
+    ``None`` broadcasts the survivor set into the per-round
+    semi-joins only when the initial node count reads ≤ 1M (survivor
+    sets only SHRINK, so the initial count bounds every round);
+    above that the semi-joins ship unhinted — a forced 90M-row
+    broadcast twice per peel round would OOM the build side."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if rounds < 1:
@@ -611,13 +671,25 @@ def k_core(edges: DataFrame, src: str, dst: str, k: int,
     if materialize:
         nbr = nbr.localCheckpoint()
     survivors = nbr.select(F.col("__a").alias("node")).distinct()
-    n_prev = survivors.count() if until_stable else None
+    if materialize:
+        survivors = survivors.localCheckpoint()
+    n_prev = None
+    if until_stable or broadcast_survivors is None:
+        # one bounded probe serves both the stability baseline and
+        # the broadcast gate — survivor sets only shrink, so the
+        # initial count bounds every round's build side
+        n_prev = survivors.count()
+    broadcast_survivors = _gate_broadcast(
+        broadcast_survivors, n_prev if n_prev is not None else 0)
+
     def _alive_degrees(alive: DataFrame) -> DataFrame:
+        sa = alive.withColumnRenamed("node", "__a")
+        sb = alive.withColumnRenamed("node", "__b")
+        if broadcast_survivors:
+            sa, sb = F.broadcast(sa), F.broadcast(sb)
         return (nbr
-                .join(F.broadcast(alive.withColumnRenamed("node", "__a")),
-                      "__a", "left_semi")
-                .join(F.broadcast(alive.withColumnRenamed("node", "__b")),
-                      "__b", "left_semi")
+                .join(sa, "__a", "left_semi")
+                .join(sb, "__b", "left_semi")
                 .groupBy(F.col("__a").alias("node"))
                 .agg(F.count(F.lit(1)).alias("degree")))
 
@@ -647,7 +719,8 @@ def k_core(edges: DataFrame, src: str, dst: str, k: int,
 
 def triangle_count(edges: DataFrame, src: str, dst: str,
                    coeff_digits: int | None = None,
-                   materialize: bool = True) -> DataFrame:
+                   materialize: bool = True,
+                   broadcast_degrees: bool | None = None) -> DataFrame:
     """Per-node triangle count and local clustering coefficient over
     the edge list treated as UNDIRECTED (self-loops/NULLs/parallels
     drop) — the density signal next to k-core: a host whose
@@ -670,7 +743,11 @@ def triangle_count(edges: DataFrame, src: str, dst: str,
     generates no wedges; its LOW-degree neighbors claim them) plus
     one equi-join probe for the closing edge. Three shuffles total:
     the wedge self-join, the closing probe, and the per-corner
-    count; degrees ride along as a broadcast."""
+    count. ``broadcast_degrees`` follows pagerank's bounded-probe
+    discipline (r13 VERDICT #1): ``None`` broadcasts the degree
+    table into the orientation join only when the bounded node
+    probe reads ≤ 1M; above that the join ships unhinted (AQE
+    decides) — a forced 90M-row degree broadcast would OOM."""
     require_free_columns("triangle_count", edges.columns,
                          _WORKING + ("__a", "__b", "__c", "__deg"))
     require_free_columns("triangle_count", edges.columns,
@@ -688,11 +765,17 @@ def triangle_count(edges: DataFrame, src: str, dst: str,
            .agg(F.count(F.lit(1)).alias("__deg")))
     if materialize:
         deg = deg.localCheckpoint()
+    if broadcast_degrees is None:
+        # bounded probe (one scalar off the materialized degree
+        # table): one row per node, so its count IS the node bound
+        broadcast_degrees = _gate_broadcast(None, deg.count())
     # orient low -> high in the (degree, node) total order
-    da = F.broadcast(deg.select(F.col("node").alias("__a"),
-                                F.col("__deg").alias("__dega")))
-    db = F.broadcast(deg.select(F.col("node").alias("__b"),
-                                F.col("__deg").alias("__degb")))
+    da = deg.select(F.col("node").alias("__a"),
+                    F.col("__deg").alias("__dega"))
+    db = deg.select(F.col("node").alias("__b"),
+                    F.col("__deg").alias("__degb"))
+    if broadcast_degrees:
+        da, db = F.broadcast(da), F.broadcast(db)
     oriented = (nbr.join(da, "__a").join(db, "__b")
                 .filter((F.col("__dega") < F.col("__degb"))
                         | ((F.col("__dega") == F.col("__degb"))
@@ -735,3 +818,102 @@ def triangle_count(edges: DataFrame, src: str, dst: str,
         coeff = F.round(coeff, coeff_digits)
     return out.select("node", "degree", "triangles",
                       coeff.alias("clustering"))
+
+
+def core_number(edges: DataFrame, src: str, dst: str,
+                rounds: int = 8, until_stable: bool = False,
+                materialize: bool = True,
+                broadcast_values: bool | None = None) -> DataFrame:
+    """Full core decomposition — per-node core NUMBER (the largest k
+    for which the node survives k-core peeling) via the iterated
+    H-index (Lü-Chen-Ren-Zhang-Zhang-Zhou 2016, Nature
+    Communications — public algorithm): start every node at its
+    degree and repeatedly replace each node's value with the H-index
+    of its neighbors' values,
+
+        c_0(v) = deg(v)
+        c_t(v) = H({ c_{t-1}(u) : u ∈ N(v) })
+
+    where H(S) is the largest h such that at least h members of S
+    are ≥ h. The sequence is monotonically non-increasing and its
+    fixed point IS the coreness (the paper's theorem) — no
+    sequential peel order needed, which is what makes the
+    decomposition distributable; bin-sort peeling is inherently
+    serial. This turns :func:`k_core`'s one-k membership filter into
+    the FEATURE column a curation pipeline joins (coreness ≥ k ⇔
+    k-core membership, property-tested), ranking every host by how
+    deep it sits in the mutually-reinforcing part of the graph.
+
+    Returns ``(node, core)``. Fixed ``rounds`` is the
+    oracle-checkable form (the SQL oracle unrolls the SAME
+    iteration, so Spark and DuckDB agree round for round even before
+    convergence); ``until_stable=True`` iterates to the true
+    coreness with ``rounds`` as the cap, probing one bounded scalar
+    (the value sum — monotone, so unchanged-sum ⇔ fixed point) per
+    round, the pagerank ``tol`` discipline (requires
+    ``materialize=True``). Edges are undirected; self-loops, NULL
+    endpoints, and parallel edges drop (degree over the DISTINCT
+    neighbor set).
+
+    Scale posture: the symmetric neighbor list is materialized once;
+    each round is one join of the (node-bounded) value table onto
+    the cached neighbor list, a DEGREE-bounded keyed window (the
+    H-index is max(min(rank_desc, value)) over each node's neighbor
+    values — partitioned BY NODE, so the partition is one
+    adjacency list, never the graph), and a partial-aggregated max.
+    O(rounds) shuffles. ``broadcast_values`` is the family's
+    bounded-probe gate (r13 VERDICT #1): ``None`` broadcasts the
+    value table only when the node count reads ≤ 1M; above that the
+    join ships unhinted and AQE decides."""
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if until_stable and not materialize:
+        raise ValueError("until_stable requires materialize=True "
+                         "(each stability probe evaluates the plan)")
+    require_free_columns("core_number", edges.columns,
+                         _WORKING + ("__a", "__b", "__c", "__rn"))
+    require_free_columns("core_number", edges.columns,
+                         ("node", "core"), kind="output")
+    nbr = (edges
+           .filter(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                   & (F.col(src) != F.col(dst)))
+           .select(F.col(src).alias("__a"), F.col(dst).alias("__b")))
+    nbr = nbr.union(nbr.select(F.col("__b").alias("__a"),
+                               F.col("__a").alias("__b"))).distinct()
+    if materialize:
+        nbr = nbr.localCheckpoint()
+    vals = (nbr.groupBy(F.col("__a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("__c")))
+    if materialize:
+        vals = vals.localCheckpoint()
+    if broadcast_values is None:
+        # bounded probe: the value table is one row per node
+        broadcast_values = _gate_broadcast(None, vals.count())
+    s_prev = None
+    if until_stable:
+        s_prev = vals.agg(F.sum("__c")).first()[0]
+    w = (Window.partitionBy("__a")
+         .orderBy(F.col("__c").desc(), F.col("__b")))
+    for _ in range(rounds):
+        vside = F.broadcast(vals) if broadcast_values else vals
+        # H-index of the neighbor multiset: sort desc, rank, take
+        # max(min(rank, value)) — a window over ONE adjacency list
+        vals = (nbr.join(vside, nbr["__b"] == vside["node"])
+                .select("__a", "__b", "__c")
+                .withColumn("__rn", F.row_number().over(w))
+                .groupBy(F.col("__a").alias("node"))
+                .agg(F.max(F.least(F.col("__rn").cast("long"),
+                                   F.col("__c")))
+                     .alias("__c")))
+        if materialize:
+            vals = vals.localCheckpoint()
+        if until_stable:
+            # monotone non-increasing values: an unchanged sum means
+            # every value is unchanged — one bounded scalar probe
+            s_now = vals.agg(F.sum("__c")).first()[0]
+            if s_now == s_prev:
+                break
+            s_prev = s_now
+    return vals.select("node", F.col("__c").alias("core"))
