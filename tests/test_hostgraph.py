@@ -1046,6 +1046,105 @@ def test_robots_like_metacharacters_are_literal(spark):
     }
 
 
+def test_robots_ruleless_exact_group_supersedes_star(spark):
+    """RFC 9309 §2.2.1 (r13 ADVICE medium): a matching exact-agent
+    group supersedes '*' even when it carries NO applicable rules —
+    'User-agent: SparkBot' + bare 'Disallow:' means SparkBot may
+    fetch EVERYTHING, regardless of how restrictive the star group
+    is. Before the fix the rule-less group vanished in parse_robots'
+    inner join and the star rules wrongly applied."""
+    body = ("User-agent: SparkBot\n"
+            "Disallow:\n"
+            "\n"
+            "User-agent: *\n"
+            "Disallow: /\n")
+    got = _decide(spark, "sparkbot", ["/", "/x", "/private/y"], body)
+    assert got == {"/": True, "/x": True, "/private/y": True}
+    # any other agent still gets the star lockout
+    got2 = _decide(spark, "otherbot", ["/", "/x"], body)
+    assert got2 == {"/": False, "/x": False}
+
+
+def test_robots_crawl_delay_only_group_supersedes_star(spark):
+    """Same §2.2.1 precedence with the other rule-less shape: an
+    exact group whose only member is a Crawl-delay line still EXISTS
+    for selection (it just contributes no path rules), and
+    robots_delays keeps reading its delay off the shared group
+    parse."""
+    body = ("User-agent: SparkBot\n"
+            "Crawl-delay: 2\n"
+            "\n"
+            "User-agent: *\n"
+            "Disallow: /\n")
+    got = _decide(spark, "sparkbot", ["/", "/anything"], body)
+    assert got == {"/": True, "/anything": True}
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    delays = {r["host"]: r["delay_seconds"]
+              for r in hostgraph.robots_delays(df, "sparkbot").collect()}
+    assert delays == {"h": 2.0}
+
+
+def test_robots_longest_match_counts_octets(spark):
+    """RFC 9309 §2.2.2 ranks the most-specific match by OCTETS, not
+    characters (r13 VERDICT nit). '/aaaa' is 5 chars/5 octets;
+    '/*éé' is 4 chars but 6 octets (é is 2 bytes in UTF-8) — on a
+    URL matching both, the allow must win under octet ranking where
+    character ranking would pick the disallow."""
+    body = ("User-agent: *\n"
+            "Disallow: /aaaa\n"
+            "Allow: /*éé\n")
+    got = _decide(spark, "anybot", ["/aaaaéé", "/aaaax"], body)
+    assert got == {"/aaaaéé": True,   # 6-octet allow beats 5-octet
+                   "/aaaax": False}   # only the disallow matches
+
+
+def test_robots_decisions_passes_caller_columns(spark):
+    """The decision joins back onto the caller's frontier frame, so
+    scheduling columns (priority, depth, lastmod, ...) survive the
+    gate (r13 ADVICE: the docstring promised passthrough but the
+    implementation dropped them)."""
+    rules = _robots_rules(spark)
+    urls = spark.createDataFrame(
+        [("http://h/item", 0.7, 2), ("http://h/private/x", 0.1, 5)],
+        "url string, priority double, depth int")
+    rows = hostgraph.robots_decisions(rules, urls, "crawlerx").collect()
+    got = {r["url"]: (r["priority"], r["depth"], r["host"], r["allowed"])
+           for r in rows}
+    assert got == {
+        "http://h/item": (0.7, 2, "h", True),
+        "http://h/private/x": (0.1, 5, "h", False),
+    }
+
+
+def test_canonical_url_percent_encoding_normalization(spark):
+    """RFC 3986 §6.2.2.2 (r13 VERDICT #4): unreserved triplets
+    decode, surviving hex uppercases, %2E participates in the
+    dot-segment fold, an obfuscated tracker param still drops, and
+    two spellings of the same logical URL now collapse to ONE
+    frontier entry."""
+    got = _canon(spark, [
+        "http://h/%41b/%7Ex",          # %41->A, %7E->~
+        "http://h/a%3ab",              # reserved ':' stays, hex upper
+        "http://h/%C3%A9",             # non-ASCII stays encoded
+        "http://h/a/%2E%2E/b",         # decoded '..' pops the 'a'
+        "http://h/x?u%74m_source=1&a=%42",   # tracker decodes+drops
+        "http://h/%G1/%",              # malformed % passes verbatim
+        "http://h/%2Fetc",             # %2F reserved: must NOT decode
+    ])
+    assert got == [
+        "http://h/Ab/~x",
+        "http://h/a%3Ab",
+        "http://h/%C3%A9",
+        "http://h/b",
+        "http://h/x?a=B",
+        "http://h/%G1/%",
+        "http://h/%2Fetc",
+    ]
+    # the dedup payoff: encoded and plain spellings now collide
+    a, b = _canon(spark, ["http://h/p%61th?x=%31", "http://h/path?x=1"])
+    assert a == b == "http://h/path?x=1"
+
+
 # ---------------------------------------------------------------------------
 # canonical_url hypothesis fuzz vs a spec-mirroring python reference
 # ---------------------------------------------------------------------------
@@ -1083,6 +1182,17 @@ try:
             port = ""
         else:
             port = ":" + port
+
+        def pct(s):
+            def repl(m):
+                ch = chr(int(m.group(1), 16))
+                if ("A" <= ch <= "Z" or "a" <= ch <= "z"
+                        or "0" <= ch <= "9" or ch in "-._~"):
+                    return ch
+                return "%" + m.group(1).upper()
+            return re.sub(r"%([0-9A-Fa-f]{2})", repl, s)
+
+        path, query = pct(path), pct(query)
         folded = []
         for x in path.split("/")[1:]:
             if x == ".":
@@ -1102,10 +1212,13 @@ try:
         return (f"{scheme}://{userinfo}{host}{port}{npath}"
                 + (f"?{qs}" if qs else ""))
 
-    _seg = st.sampled_from(["a", "b", "x.tmp", ".", "..", "", "A9-"])
+    _seg = st.sampled_from(["a", "b", "x.tmp", ".", "..", "", "A9-",
+                            "%41b", "%2E", "%2e%2E", "%2F", "%3a",
+                            "%7e", "%G1", "%", "a%zz", "%C3%A9"])
     _prm = st.sampled_from(["a=1", "b=2", "z", "", "utm_source=x",
                             "utm_campaign", "gclid=1", "gclid",
-                            "a=utm_source", "B=%20"])
+                            "a=utm_source", "B=%20", "u%74m_x=1",
+                            "c=%41", "d=%3d%3D", "e=%"])
     _curls = st.builds(
         lambda pad, scheme, user, hostl, dot, port, segs, q, qps, frag:
             (f"{pad}{scheme}://{user}{'.'.join(hostl)}{dot}{port}"
@@ -1245,7 +1358,9 @@ def test_robots_delay_line_starts_new_group_after_it(spark):
     df = spark.createDataFrame([("h", body)], "host string, body string")
     rules = {(r["group_id"], r["agent"], r["path"])
              for r in hostgraph.parse_robots(df).collect()}
-    assert rules == {(2, "b", "/x")}  # agent a's group has no rules
+    # agent a's group has no rules but still EXISTS (NULL placeholder
+    # row — RFC 9309 group precedence counts existence, r14 fix)
+    assert rules == {(1, "a", None), (2, "b", "/x")}
     da = hostgraph.robots_delays(df, "a").collect()
     db = hostgraph.robots_delays(df, "b").collect()
     assert [(r["host"], r["delay_seconds"]) for r in da] == [("h", 5.0)]

