@@ -6615,7 +6615,8 @@ item AS (
     SELECT 'http://h' || CAST(d % 20 AS VARCHAR)
            || '.corpus.local/item/' || CAST(d AS VARCHAR)
            || '?a=1&b=2' AS url,
-           CAST(2 + CASE WHEN d % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           CAST(2 + CASE WHEN d % 2 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN d % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
                AS n_urls
     FROM docs),
 list AS (
@@ -6637,9 +6638,12 @@ SELECT url, n_urls FROM list
        "entry. The fixture builds the MESSY side analytically from "
        "doc_id: each doc emits its item URL three ways — plain with "
        "permuted params, UPPERCASE scheme/host with explicit :80 and "
-       "a fragment, and (even docs only, so counts vary) a trailing-"
-       "DNS-dot host with a /x/../ dot-segment detour and a "
-       "utm_source tracker — plus a shared per-host listing URL "
+       "a fragment, (even docs) a trailing-DNS-dot host with a "
+       "/x/../ dot-segment detour and a utm_source tracker, and "
+       "(every third doc, r14) a PERCENT-ENCODED spelling — /%69tem/ "
+       "path, %61=1 param, u%74m_source obfuscated tracker — whose "
+       "unreserved triplets must decode (RFC 3986 §6.2.2.2) for the "
+       "spellings to collapse — plus a shared per-host listing URL "
        "spelled with :443, /./ and a trailing slash, which multiple "
        "docs collapse ONTO (the cross-doc dedup case). The engine "
        "must normalize case, elide default ports, fold dot segments "
@@ -6667,6 +6671,10 @@ def url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 2 == 0,
                F.concat(F.lit("http://h"), k, F.lit(".corpus.local./x/.."),
                         item, F.lit("?utm_source=feed&a=1&b=2"))),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("http://h"), k,
+                        F.lit(".corpus.local/%69tem/"), d.cast("string"),
+                        F.lit("?b=2&%61=1&u%74m_source=x"))),
         F.concat(F.lit("https://h"), k, F.lit(".corpus.local:443/list/./p"),
                  (d % 5).cast("string"), F.lit("/")))
     return (_t(spark, sf_dir, "documents")
@@ -7066,6 +7074,69 @@ def host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _host_edges(_host_fixture_records(spark, sf_dir,
                                               "spark_htri_"))
     return graph.triangle_count(edges, "src", "dst", coeff_digits=9)
+
+
+def _coreness_ctes(rounds: int, edges_cte: str) -> tuple[str, str]:
+    """Unrolled iterated-H-index core decomposition (Lü et al. 2016):
+    c0 = degree over the symmetric distinct neighbor list; each round
+    replaces every node's value with the H-index of its neighbors'
+    values — sort the neighbor values desc, rank them, take
+    max(least(rank, value)). Returns (chain, final_cte). Value CTEs
+    are MATERIALIZED (the _hits_ctes/_lpa_ctes rule)."""
+    head = f"""{edges_cte},
+nbr AS MATERIALIZED (
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst, src FROM edges),
+c0 AS MATERIALIZED (
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS c
+    FROM nbr GROUP BY a)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+c{i} AS MATERIALIZED (
+    SELECT a AS node, CAST(max(least(rn, c)) AS BIGINT) AS c
+    FROM (SELECT n.a, v.c,
+                 row_number() OVER (PARTITION BY n.a
+                                    ORDER BY v.c DESC, n.b) AS rn
+          FROM nbr n JOIN c{i - 1} v ON n.b = v.node) t
+    GROUP BY a)""")
+    return head + "".join(steps), f"c{rounds}"
+
+
+def _host_coreness_oracle() -> str:
+    chain, last = _coreness_ctes(6, _HOST_EDGES_CTE)
+    return f"""
+WITH {chain}
+SELECT node, c AS core FROM {last}
+"""
+
+
+@q("host_coreness", _host_coreness_oracle(),
+   doc="Full core decomposition of the host graph (graph.core_number "
+       "— the iterated H-index of Lü et al. 2016, Nature Comms): "
+       "per-host core NUMBER as a curation FEATURE column, upgrading "
+       "host_kcore's one-k membership filter — coreness >= k is "
+       "exactly k-core membership (property-pinned in pytest), so "
+       "one run scores every host's depth in the mutually-"
+       "reinforcing part of the graph instead of answering a single "
+       "k. Six fixed H-index rounds over the undirected distinct "
+       "host graph, starting from degree; the iteration is monotone "
+       "non-increasing with the true coreness as its fixed point — "
+       "no sequential peel order, which is what makes the "
+       "decomposition distributable (bin-sort peeling is serial). "
+       "Oracle unrolls the SAME six rounds as window-ranked H-index "
+       "CTEs (_coreness_ctes) — a mis-ranked neighbor value, a "
+       "missed symmetric edge, or an H-index off-by-one shifts core "
+       "numbers and fails the hash. Engine rounds: one join of the "
+       "gated (bounded-probe broadcast) value table onto the "
+       "once-materialized neighbor list, a DEGREE-bounded node-keyed "
+       "window, and a partial-agg max — O(rounds) shuffles, one row "
+       "per node.")
+def host_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _host_edges(_host_fixture_records(spark, sf_dir,
+                                              "spark_hcore_"))
+    return graph.core_number(edges, "src", "dst", rounds=6)
 
 
 _CRAWL_RATE_ORACLE = """
