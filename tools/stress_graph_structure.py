@@ -1,18 +1,24 @@
-"""Round-13 stress: the structural graph operators added this round —
-label propagation, co-citation, k-core — at the r12/r13 ranking-stress
-scale (200k nodes / ~1M edges on local[32]), so BASELINE.md records
-measured walls for the structural family next to the iterative-ranking
-one.
+"""Round-13/14 stress: the structural graph operators — label
+propagation, co-citation, triangle count, k-core, HITS, full core
+decomposition — at the r12/r13 ranking-stress scale (200k nodes /
+~1M edges on local[32]), so BASELINE.md records measured walls for
+the structural family next to the iterative-ranking one.
 
 Graph: the same deterministic xxhash64 edge list with the web-shaped
 preferential low-id destination skew as tools/stress_pagerank_variants
 (dst ∝ u² — heavy authority head, long flat tail). That skew is the
-hard case for all three: LPA floods toward the head labels, the head
+hard case for all of them: LPA floods toward the head labels, the head
 nodes dominate co-citation pair generation (exactly what
 max_linker_degree caps), and the head forms the deep cores.
 
 Usage: python tools/stress_graph_structure.py [nodes] [edges]
-"""
+                                              [--no-broadcast]
+
+``--no-broadcast`` forces the r14 bounded-probe gate OFF for the whole
+family — the >1M page-scale plan shape (shuffle joins, AQE decides) —
+so the gated-on vs gated-off cost can be A/B'd at a scale where both
+are feasible (at 200k the auto gate keeps the broadcast, which is the
+point of the probe)."""
 
 from __future__ import annotations
 
@@ -28,9 +34,12 @@ from unilever_scraping_etl_spark.session import get_session  # noqa: E402
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    m = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    bcast = None if "--no-broadcast" not in sys.argv else False
+    n = int(args[0]) if len(args) > 0 else 200_000
+    m = int(args[1]) if len(args) > 1 else 1_000_000
     spark = get_session()
+    print(f"broadcast gate: {'auto (n-probe)' if bcast is None else bcast}")
     u = F.pmod(F.xxhash64(F.col("id") + m), 1_000_000) / 1_000_000.0
     edges = (spark.range(m).select(
         F.pmod(F.xxhash64(F.col("id")), n).alias("src"),
@@ -40,20 +49,23 @@ def main() -> None:
     print(f"graph: {edges.count()} edges, target {n} nodes")
 
     t = time.perf_counter()
-    lpa = graph.label_propagation(edges, "src", "dst", iterations=5)
+    lpa = graph.label_propagation(edges, "src", "dst", iterations=5,
+                                  broadcast_labels=bcast)
     comms = lpa.select("community").distinct().count()
     print(f"label_propagation K=5 : {time.perf_counter() - t:.1f} s, "
           f"{comms} communities", flush=True)
 
     t = time.perf_counter()
     cc = graph.cocitation(edges, "src", "dst", min_common=3,
-                          max_linker_degree=64)
+                          max_linker_degree=64,
+                          broadcast_degrees=bcast)
     pairs = cc.count()
     print(f"cocitation cap=64     : {time.perf_counter() - t:.1f} s, "
           f"{pairs} pairs (min_common=3)", flush=True)
 
     t = time.perf_counter()
-    tc = graph.triangle_count(edges, "src", "dst")
+    tc = graph.triangle_count(edges, "src", "dst",
+                              broadcast_degrees=bcast)
     tri = tc.agg(F.sum("triangles")).first()[0]
     print(f"triangle_count        : {time.perf_counter() - t:.1f} s, "
           f"{tri} corner-counts", flush=True)
@@ -61,11 +73,26 @@ def main() -> None:
     for k in (4, 16):
         t = time.perf_counter()
         core = graph.k_core(edges, "src", "dst", k=k, rounds=64,
-                            until_stable=True)
+                            until_stable=True,
+                            broadcast_survivors=bcast)
         nodes = core.count()
         print(f"k_core k={k:<2} stable   : "
               f"{time.perf_counter() - t:.1f} s, "
               f"{nodes} nodes in core", flush=True)
+
+    t = time.perf_counter()
+    h = graph.hits(edges, "src", "dst", iterations=5,
+                   broadcast_scores=bcast)
+    nh = h.count()
+    print(f"hits K=5              : {time.perf_counter() - t:.1f} s, "
+          f"{nh} nodes", flush=True)
+
+    t = time.perf_counter()
+    cn = graph.core_number(edges, "src", "dst", rounds=64,
+                           until_stable=True, broadcast_values=bcast)
+    mx = cn.agg(F.max("core")).first()[0]
+    print(f"core_number stable    : {time.perf_counter() - t:.1f} s, "
+          f"max core {mx}", flush=True)
 
 
 if __name__ == "__main__":
