@@ -1222,3 +1222,31 @@ try:
 
 except ImportError:
     pass
+
+
+def test_coreness_degenerate_graphs_return_empty(spark):
+    """Empty / all-NULL / all-self-loop edge lists have no graph
+    nodes — the decomposition returns the empty frame (the
+    k_core/LPA convention), and the until_stable sum probe handles
+    the empty-aggregate NULL without looping."""
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert graph.core_number(empty, "src", "dst", rounds=2).count() == 0
+    assert graph.core_number(empty, "src", "dst", rounds=3,
+                             until_stable=True).count() == 0
+    nulls = spark.createDataFrame([(None, 1), (2, None)],
+                                  "src long, dst long")
+    assert graph.core_number(nulls, "src", "dst", rounds=2).count() == 0
+    loops = spark.createDataFrame([(1, 1)], "src long, dst long")
+    assert graph.core_number(loops, "src", "dst", rounds=2).count() == 0
+
+
+def test_coreness_window_is_node_keyed_never_global(spark):
+    """The H-index ranking window partitions BY NODE (one adjacency
+    list per partition, degree-bounded) — a global window would
+    funnel the whole graph through one partition at page scale."""
+    e = _edges(spark, _gate_pairs())
+    p = _xplan(graph.core_number(e, "src", "dst", rounds=2,
+                                 materialize=False))
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
