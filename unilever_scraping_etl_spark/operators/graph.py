@@ -525,7 +525,8 @@ def cocitation(edges: DataFrame, src: str, dst: str,
                min_common: int = 1,
                max_linker_degree: int | None = None,
                jaccard_digits: int | None = None,
-               broadcast_degrees: bool | None = None) -> DataFrame:
+               broadcast_degrees: bool | None = None,
+               materialize: bool = True) -> DataFrame:
     """Co-citation / bibliographic-coupling similarity (Small 1973 /
     Kessler 1963, public measures) over a directed edge list — the
     related-host discovery pass: two hosts are CO-CITED when the same
@@ -558,7 +559,12 @@ def cocitation(edges: DataFrame, src: str, dst: str,
     tables (and the ``max_linker_degree`` keep-set) only when the
     bounded node probe reads ≤ 1M — on a page-scale graph those
     frames are 90M+ rows and a forced broadcast would OOM the build
-    side; the unhinted join lets AQE decide."""
+    side; the unhinted join lets AQE decide. ``materialize``
+    snapshots the distinct edge list and the degree table once
+    (r14): the plan otherwise re-derives the upstream distinct for
+    BOTH sides of the pair self-join, both degree joins, and the
+    gate probe — the family's standard one-materialization
+    discipline."""
     if mode not in ("cocitation", "coupling"):
         raise ValueError("mode must be 'cocitation' or 'coupling'")
     if min_common < 1:
@@ -576,8 +582,12 @@ def cocitation(edges: DataFrame, src: str, dst: str,
                   & (F.col(src) != F.col(dst)))
           .select(F.col(linker).alias("__lk"), F.col(item).alias("__it"))
           .distinct())
+    if materialize:
+        el = el.localCheckpoint()
     deg = el.groupBy(F.col("__it").alias("node")).agg(
         F.count(F.lit(1)).alias("__deg"))
+    if materialize:
+        deg = deg.localCheckpoint()
     if broadcast_degrees is None:
         # bounded probe (one scalar): the degree table is one row per
         # item node, so its count IS the node bound the gate needs
