@@ -1365,3 +1365,129 @@ def test_robots_delay_line_starts_new_group_after_it(spark):
     db = hostgraph.robots_delays(df, "b").collect()
     assert [(r["host"], r["delay_seconds"]) for r in da] == [("h", 5.0)]
     assert db == []
+
+
+# ---------------------------------------------------------------------------
+# robots pipeline hypothesis fuzz vs a spec-mirroring python reference
+# (r14 — the canonical_url fuzz discipline applied to RFC 9309)
+# ---------------------------------------------------------------------------
+
+def _rep_match_ref(pattern, target):
+    """Python mirror of _rep_like + the LIKE match: * = any run,
+    trailing $ anchors the end, otherwise prefix; everything else
+    literal."""
+    import re
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
+    if anchored:
+        return re.fullmatch(rx, target, flags=re.DOTALL) is not None
+    return re.match(rx, target, flags=re.DOTALL) is not None
+
+
+def _robots_reference_decide(body, agent, paths):
+    """Python mirror of parse_robots + robots_decisions, step for
+    step (same regexes, same group grammar over RECOGNIZED directives
+    only, same exact-beats-star selection counting group EXISTENCE,
+    same octet-length/allow-wins winner) — documents the semantics
+    and catches engine-side drift."""
+    import re
+    body = re.sub(r"^﻿", "", body)
+    parsed = []
+    for raw in re.split(r"\r\n|\r|\n", body):
+        line = re.sub(r"#.*$", "", raw).strip()
+        if not line:
+            continue
+        m = re.match(r"(?i)^(user-agent|allow|disallow|crawl-delay)"
+                     r"\s*:\s*(.*)$", line)
+        if not m:
+            continue
+        parsed.append((m.group(1).lower(), m.group(2).strip()))
+    groups, prev_key, cur = [], "", None
+    for key, val in parsed:
+        if key == "user-agent" and prev_key != "user-agent":
+            cur = {"agents": set(), "rules": []}
+            groups.append(cur)
+        prev_key = key
+        if cur is None:
+            continue  # lines before any user-agent drop
+        if key == "user-agent":
+            cur["agents"].add(val.lower())
+        elif key in ("allow", "disallow") and val != "":
+            cur["rules"].append((key, val))
+    t = agent.lower()
+    exact = [g for g in groups if t in g["agents"]]
+    sel = exact if exact else [g for g in groups if "*" in g["agents"]]
+    active = {(r, p) for g in sel for (r, p) in g["rules"]}
+    out = {}
+    for path in paths:
+        target = path.split("#")[0]
+        if target == "":
+            target = "/"
+        if target.startswith("?"):
+            target = "/" + target
+        cands = [(r, p) for (r, p) in active
+                 if _rep_match_ref(p, target)]
+        if not cands:
+            out[path] = True
+        else:
+            best = min(cands,
+                       key=lambda rp: (-len(rp[1].encode("utf-8")),
+                                       rp[0]))
+            out[path] = best[0] == "allow"
+    return out
+
+
+try:
+    from hypothesis import given as _rg, settings as _rs
+    from hypothesis import strategies as _rst
+
+    _r_agents = _rst.sampled_from(["*", "SparkBot", "OtherBot", "a"])
+    _r_patterns = _rst.sampled_from([
+        "/", "/a", "/a*b", "/private/", "/private/pub/", "/*.tmp$",
+        "", "/100%_off", "/aé", "/*éé", "/tie", "/w*z$", "/a/b",
+        "*", "/$", "/aaaa",
+    ])
+    _r_member = _rst.one_of(
+        _rst.tuples(_rst.sampled_from(["Allow", "ALLOW", "allow"]),
+                    _r_patterns),
+        _rst.tuples(_rst.sampled_from(["Disallow", "disallow"]),
+                    _r_patterns),
+        _rst.tuples(_rst.just("Crawl-delay"),
+                    _rst.sampled_from(["5", "0.5", "x"])),
+    )
+    _r_group = _rst.tuples(
+        _rst.lists(_r_agents, min_size=1, max_size=2),
+        _rst.lists(_r_member, min_size=0, max_size=3))
+    _r_body = _rst.builds(
+        lambda junk, groups: "\n".join(
+            (["Disallow: /early", "Sitemap: http://h/s.xml"]
+             if junk else [])
+            + [ln for uas, members in groups for ln in
+               [f"User-agent: {ua}" for ua in uas]
+               + [f"{k}: {v}  # c" if k.lower().startswith("c")
+                  else f"{k}:{v}" for k, v in members]
+               + [""]]),
+        junk=_rst.booleans(),
+        groups=_rst.lists(_r_group, min_size=1, max_size=3))
+    _r_paths = _rst.lists(
+        _rst.sampled_from([
+            "/", "/a", "/ab", "/a/b", "/private/x", "/private/pub/f",
+            "/100%_off", "/100Xoff", "/aé", "/aaaaéé", "/x.tmp",
+            "/x.tmpy", "/tie", "/wz", "/weezy", "", "?q=1", "#f",
+            "/a?b=c",
+        ]), min_size=1, max_size=6, unique=True)
+
+    @_rs(max_examples=10, deadline=None)
+    @_rg(body=_r_body, agent=_rst.sampled_from(["sparkbot", "SPARKBOT",
+                                                "otherbot", "nobody"]),
+         paths=_r_paths)
+    def test_robots_pipeline_matches_python_reference(body, agent,
+                                                      paths):
+        spark = _hyp_spark[0]
+        got = _decide(spark, agent, paths, body)
+        exp = _robots_reference_decide(body, agent, paths)
+        assert got == exp, (body, agent, paths)
+
+except ImportError:
+    pass
