@@ -1491,3 +1491,61 @@ try:
 
 except ImportError:
     pass
+
+
+def _robots_reference_delay(body, agent):
+    """Python mirror of robots_delays: crawl-delay is a group member,
+    selection counts group EXISTENCE (exact-beats-star), merged
+    chosen groups take the MAX delay, malformed/non-positive values
+    drop, absent host means no stated delay (None)."""
+    import re
+    parsed = []
+    for raw in re.split(r"\r\n|\r|\n", re.sub(r"^﻿", "", body)):
+        line = re.sub(r"#.*$", "", raw).strip()
+        if not line:
+            continue
+        m = re.match(r"(?i)^(user-agent|allow|disallow|crawl-delay)"
+                     r"\s*:\s*(.*)$", line)
+        if m:
+            parsed.append((m.group(1).lower(), m.group(2).strip()))
+    groups, prev_key, cur = [], "", None
+    for key, val in parsed:
+        if key == "user-agent" and prev_key != "user-agent":
+            cur = {"agents": set(), "delays": []}
+            groups.append(cur)
+        prev_key = key
+        if cur is None:
+            continue
+        if key == "user-agent":
+            cur["agents"].add(val.lower())
+        elif key == "crawl-delay":
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d > 0 and d != float("inf") and d == d:
+                cur["delays"].append(d)
+    t = agent.lower()
+    exact = [g for g in groups if t in g["agents"]]
+    sel = exact if exact else [g for g in groups if "*" in g["agents"]]
+    delays = [d for g in sel for d in g["delays"]]
+    return max(delays) if delays else None
+
+
+try:
+    from hypothesis import given as _dg, settings as _ds
+
+    @_ds(max_examples=10, deadline=None)
+    @_dg(body=_r_body,
+         agent=_rst.sampled_from(["sparkbot", "otherbot", "nobody"]))
+    def test_robots_delays_match_python_reference(body, agent):
+        spark = _hyp_spark[0]
+        df = spark.createDataFrame([("h", body)],
+                                   "host string, body string")
+        rows = hostgraph.robots_delays(df, agent).collect()
+        got = rows[0]["delay_seconds"] if rows else None
+        assert got == _robots_reference_delay(body, agent), (body,
+                                                             agent)
+
+except ImportError:
+    pass
