@@ -1250,3 +1250,78 @@ def test_coreness_window_is_node_keyed_never_global(spark):
     assert "Exchange SinglePartition" not in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# weighted HITS (hits(weight_col=))
+# ---------------------------------------------------------------------------
+
+def _hits_weighted_reference(triples, iterations):
+    """Python twin of the weighted recurrence: score × w sums, L2
+    normalization after each half-step."""
+    import math
+
+    nodes = sorted({u for u, _, _ in triples}
+                   | {v for _, v, _ in triples})
+    h = {v: 1.0 for v in nodes}
+    a = {v: 0.0 for v in nodes}
+    for _ in range(iterations):
+        a = {v: 0.0 for v in nodes}
+        for u, v, w in triples:
+            a[v] += h[u] * w
+        z = math.sqrt(sum(x * x for x in a.values()))
+        a = {v: x / z for v, x in a.items()}
+        h = {v: 0.0 for v in nodes}
+        for u, v, w in triples:
+            h[u] += a[v] * w
+        z = math.sqrt(sum(x * x for x in h.values()))
+        h = {v: x / z for v, x in h.items()}
+    return h, a
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples,
+                                 "src long, dst long, w double")
+
+
+def test_hits_weighted_matches_python_reference(spark):
+    """A heavy edge must pull authority toward its target: 0 links to
+    1 (w=10) and to 2 (w=1); 3 links to 2 (w=1). Unweighted, 1 and 2
+    tie on in-degree; weighted, 1 dominates."""
+    triples = [(0, 1, 10.0), (0, 2, 1.0), (3, 2, 1.0), (2, 0, 2.0)]
+    out = {r["node"]: (r["hub"], r["authority"])
+           for r in graph.hits(_wedges(spark, triples), "src", "dst",
+                               iterations=4, weight_col="w").collect()}
+    h, a = _hits_weighted_reference(triples, 4)
+    for v in h:
+        assert out[v][0] == pytest.approx(h[v], abs=1e-10)
+        assert out[v][1] == pytest.approx(a[v], abs=1e-10)
+    assert max(out, key=lambda v: out[v][1]) == 1
+
+
+def test_hits_constant_weight_reduces_to_unweighted(spark):
+    """A constant weight scales every raw sum by the same factor,
+    which each L2 norm divides back out — weighted(c) == unweighted
+    exactly."""
+    pairs = [(i, (i * 5 + 2) % 11) for i in range(11)]
+    pairs = [(a_, b) for a_, b in pairs if a_ != b]
+    triples = [(a_, b, 3.0) for a_, b in pairs]
+    plain = {r["node"]: (r["hub"], r["authority"])
+             for r in graph.hits(_edges(spark, pairs), "src", "dst",
+                                 iterations=4).collect()}
+    wtd = {r["node"]: (r["hub"], r["authority"])
+           for r in graph.hits(_wedges(spark, triples), "src", "dst",
+                               iterations=4, weight_col="w").collect()}
+    for v in plain:
+        assert wtd[v][0] == pytest.approx(plain[v][0], abs=1e-12)
+        assert wtd[v][1] == pytest.approx(plain[v][1], abs=1e-12)
+
+
+def test_hits_weighted_drops_null_and_nonpositive_weights(spark):
+    """NULL/zero/negative weights carry no mass — the edge drops
+    entirely, as in weighted pagerank."""
+    triples = [(0, 1, 1.0), (2, 1, None), (3, 1, 0.0), (4, 1, -2.0)]
+    out = {r["node"] for r in
+           graph.hits(_wedges(spark, triples), "src", "dst",
+                      iterations=2, weight_col="w").collect()}
+    assert out == {0, 1}  # dropped edges mint no phantom nodes

@@ -56,7 +56,7 @@ CC convergence checksum).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from unilever_scraping_etl_spark.operators._contracts import (
@@ -337,7 +337,8 @@ def hits(edges: DataFrame, src: str, dst: str,
          iterations: int = 5,
          hub_digits: int | None = None,
          materialize: bool = True,
-         broadcast_scores: bool | None = None) -> DataFrame:
+         broadcast_scores: bool | None = None,
+         weight_col: str | None = None) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999, public algorithm)
     over the directed edge list ``edges[src, dst]`` — the classic
     complement to PageRank for link-graph curation: an AUTHORITY is a
@@ -361,6 +362,22 @@ def hits(edges: DataFrame, src: str, dst: str,
     ``hub_digits`` rounds both scores (cross-engine float-sum order,
     the pagerank rule).
 
+    ``weight_col``: WEIGHTED HITS — the adjacency matrix carries the
+    edge weight instead of 1 (Kleinberg's recurrence on a weighted
+    A, the same refinement Bharat-Henzinger 1998 applied to curb
+    mutually-reinforcing host pairs — public literature):
+
+        a_t(v) = Σ_{u→v} w(u,v) · h_{t−1}(u)
+        h_t(u) = Σ_{u→v} w(u,v) · a_t(v)
+
+    each half-step still L2-normalized. The anchor-corpus use
+    mirrors weighted PageRank's: per-(src,dst) link OCCURRENCE
+    counts, so a host linking somewhere 100 times endorses it 100×
+    harder. Edges with NULL or non-positive weight drop (they carry
+    no mass); a CONSTANT weight reduces exactly to the unweighted
+    form — the scale factor cancels in every norm
+    (property-tested).
+
     Scale posture: identical to ``pagerank`` — the edge list and node
     set are materialized once; each half-iteration is ONE join of the
     (node-bounded) score table against the cached edges plus a
@@ -382,6 +399,9 @@ def hits(edges: DataFrame, src: str, dst: str,
                          ("node", "hub", "authority"), kind="output")
     edges = edges.filter(F.col(src).isNotNull()
                          & F.col(dst).isNotNull())
+    if weight_col is not None:
+        edges = edges.filter(F.col(weight_col).isNotNull()
+                             & (F.col(weight_col) > 0))
     if materialize:
         edges = edges.localCheckpoint()
     nodes = (edges.select(F.col(src).alias("node"))
@@ -404,10 +424,17 @@ def hits(edges: DataFrame, src: str, dst: str,
 
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None
+    # weighted contribution: score × edge weight; unweighted keeps the
+    # plain column (no 1.0-multiply noise in the unweighted plan)
+    def _wmul(score: Column) -> Column:
+        if weight_col is None:
+            return score
+        return score * F.col(weight_col).cast("double")
     for i in range(iterations):
         hside = F.broadcast(hub) if broadcast_scores else hub
         araw = (edges.join(hside, edges[src] == hside["node"])
-                .select(F.col(dst).alias("node"), F.col("hub"))
+                .select(F.col(dst).alias("node"),
+                        _wmul(F.col("hub")).alias("hub"))
                 .groupBy("node").agg(F.sum("hub").alias("authority")))
         auth = _normalized(
             nodes.join(araw, "node", "left")
@@ -416,7 +443,8 @@ def hits(edges: DataFrame, src: str, dst: str,
             "authority")
         aside = F.broadcast(auth) if broadcast_scores else auth
         hraw = (edges.join(aside, edges[dst] == aside["node"])
-                .select(F.col(src).alias("node"), F.col("authority"))
+                .select(F.col(src).alias("node"),
+                        _wmul(F.col("authority")).alias("authority"))
                 .groupBy("node").agg(F.sum("authority").alias("hub")))
         hub = _normalized(
             nodes.join(hraw, "node", "left")

@@ -6252,6 +6252,93 @@ def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.hits(edges, "src", "dst", iterations=5, hub_digits=9)
 
 
+def _hits_ctes_weighted(iterations: int, edges_cte: str) -> tuple[str,
+                                                                  str,
+                                                                  str]:
+    """Weighted _hits_ctes: the edges CTE carries (src, dst, w) and
+    each half-step sums score × w instead of score — same CTE
+    materialization discipline (each aligned-score CTE referenced
+    twice; DuckDB inlining would double the tree per half-step)."""
+    head = f"""{edges_cte},
+nodes AS MATERIALIZED (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, 1.0 AS s FROM nodes)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+a{i}r AS (SELECT e.dst AS node, sum(p.s * e.w) AS s
+          FROM edges e JOIN h{i - 1} p ON e.src = p.node
+          GROUP BY e.dst),
+a{i}f AS MATERIALIZED (
+    SELECT nodes.node, coalesce(a{i}r.s, 0.0) AS s
+    FROM nodes LEFT JOIN a{i}r ON nodes.node = a{i}r.node),
+a{i}n AS (SELECT sqrt(sum(s * s)) AS z FROM a{i}f),
+a{i} AS MATERIALIZED (
+    SELECT node, s / a{i}n.z AS s FROM a{i}f CROSS JOIN a{i}n),
+h{i}r AS (SELECT e.src AS node, sum(p.s * e.w) AS s
+          FROM edges e JOIN a{i} p ON e.dst = p.node
+          GROUP BY e.src),
+h{i}f AS MATERIALIZED (
+    SELECT nodes.node, coalesce(h{i}r.s, 0.0) AS s
+    FROM nodes LEFT JOIN h{i}r ON nodes.node = h{i}r.node),
+h{i}n AS (SELECT sqrt(sum(s * s)) AS z FROM h{i}f),
+h{i} AS MATERIALIZED (
+    SELECT node, s / h{i}n.z AS s FROM h{i}f CROSS JOIN h{i}n)""")
+    return (head + "".join(steps), f"h{iterations}", f"a{iterations}")
+
+
+def _host_hits_weighted_oracle() -> str:
+    chain, hub, auth = _hits_ctes_weighted(5, _WEIGHTED_HOST_EDGES_CTE)
+    return (f"\nWITH {chain}\n"
+            f"SELECT h.node, round(h.s, 9) AS hub,"
+            f" round(a.s, 9) AS authority\n"
+            f"FROM {hub} h JOIN {auth} a ON h.node = a.node")
+
+
+@q("host_hits_weighted", _host_hits_weighted_oracle(),
+   doc="WEIGHTED hubs-and-authorities (graph.hits(weight_col=) — "
+       "Kleinberg's recurrence on a weighted adjacency, the "
+       "Bharat-Henzinger-style refinement; SURVEY 7.10 runway): the "
+       "host edges carry the anchor corpus's per-(src,dst) link "
+       "OCCURRENCE counts — the same weighted fixture as "
+       "host_rank_weighted (each page's first cross-host link "
+       "repeated 1 + d%3 times, so the counts are asymmetric and "
+       "analytic in doc_id) — and each half-step sums score × w "
+       "before its L2 norm. A constant weight reduces exactly to "
+       "unweighted HITS (the scale cancels in every norm, "
+       "property-tested), so the fixture's asymmetric counts are "
+       "what the oracle certifies. Oracle: all ten half-steps "
+       "unrolled with the weighted sums and 1-row norm CTEs "
+       "(_hits_ctes_weighted), round-9 both sides. Engine plan is "
+       "host_hits' exactly — the weight rides the cached edge list, "
+       "one gated score join + partial-agg sum per half-step.")
+def host_hits_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import hostgraph
+    from ..sources import warc
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()).select("doc_id"))
+    tmp = tempfile.mkdtemp(prefix="spark_hhw_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    hostgraph.fixture_weighted_archive(docs, "doc_id", tmp)
+    records = warc.read_warc(spark, tmp).filter(F.col("parse_ok"))
+    links = hostgraph.extract_link_hosts(records)
+    wedges = (links
+              .filter(F.col("src_host").isNotNull()
+                      & F.col("dst_host").isNotNull()
+                      & (F.col("src_host") != F.col("dst_host")))
+              .groupBy("src_host", "dst_host")
+              .agg(F.count(F.lit(1)).cast("double").alias("w"))
+              .withColumnRenamed("src_host", "src")
+              .withColumnRenamed("dst_host", "dst"))
+    return graph.hits(wedges, "src", "dst", iterations=5,
+                      hub_digits=9, weight_col="w")
+
+
 def _crawl_schedule_oracle() -> str:
     chain, last = _pagerank_ctes(5, _HOST_EDGES_CTE)
     return f"""
