@@ -1325,3 +1325,32 @@ def test_hits_weighted_drops_null_and_nonpositive_weights(spark):
            graph.hits(_wedges(spark, triples), "src", "dst",
                       iterations=2, weight_col="w").collect()}
     assert out == {0, 1}  # dropped edges mint no phantom nodes
+
+
+try:
+    from hypothesis import given as _wg, settings as _ws
+    from hypothesis import strategies as _wst
+
+    @_ws(max_examples=8, deadline=None)
+    @_wg(_wst.lists(_wst.tuples(_wst.integers(0, 9),
+                                _wst.integers(0, 9),
+                                _wst.sampled_from([0.5, 1.0, 2.0,
+                                                   10.0])),
+                    min_size=1, max_size=40))
+    def test_hits_weighted_random_graphs_match_reference(triples):
+        spark = _hyp_spark[0]
+        triples = [(a, b, w) for a, b, w in triples if a != b]
+        if not triples:
+            return
+        out = {r["node"]: (round(r["hub"], 9), round(r["authority"], 9))
+               for r in graph.hits(_wedges(spark, triples), "src",
+                                   "dst", iterations=3,
+                                   weight_col="w").collect()}
+        h, a = _hits_weighted_reference(triples, 3)
+        ref = {v: (round(h[v], 9), round(a[v], 9)) for v in h}
+        for v in ref:
+            assert out[v][0] == pytest.approx(ref[v][0], abs=1e-9)
+            assert out[v][1] == pytest.approx(ref[v][1], abs=1e-9)
+
+except ImportError:
+    pass
