@@ -1354,3 +1354,140 @@ try:
 
 except ImportError:
     pass
+
+
+# ---------------------------------------------------------------------------
+# until_stable convergence diagnostics + cap-hit escalation
+# (r14 VERDICT #2: the peeling family previously returned a monotone
+# upper bound SILENTLY when the rounds cap hit before the fixpoint)
+# ---------------------------------------------------------------------------
+
+def test_kcore_until_stable_cap_hit_signals(spark):
+    """A 8-path at k=2 has an EMPTY 2-core but peels only one node
+    per end per round — rounds=1 exhausts the cap with the survivor
+    count still falling. Diagnostics must record the cap-hit, warn
+    mode must warn, raise mode must raise; the silent default keeps
+    the historical contract (monotone upper bound, no signal)."""
+    import warnings
+    e = _edges(spark, [(i, i + 1) for i in range(7)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # silent default: no warning
+        out = graph.k_core(e, "src", "dst", k=2, rounds=1,
+                           until_stable=True).collect()
+    assert len(out) > 0  # the unverified upper bound (supersets)
+    assert graph._LAST_KCORE_ROUNDS == 1
+    assert graph._LAST_KCORE_CONVERGED is False
+    with pytest.warns(RuntimeWarning, match="k_core.*rounds cap"):
+        graph.k_core(e, "src", "dst", k=2, rounds=1,
+                     until_stable=True, on_cap="warn").collect()
+    with pytest.raises(RuntimeError, match="k_core.*rounds cap"):
+        graph.k_core(e, "src", "dst", k=2, rounds=1,
+                     until_stable=True, on_cap="raise")
+    # diagnostics recorded even when the escalation raised
+    assert graph._LAST_KCORE_CONVERGED is False
+    with pytest.raises(ValueError, match="on_cap"):
+        graph.k_core(e, "src", "dst", k=2, on_cap="explode")
+
+
+def test_kcore_until_stable_fixpoint_stays_silent(spark):
+    """A triangle at k=2 is ALREADY its own 2-core: the first probe
+    verifies stability, every escalation mode stays quiet, and the
+    diagnostics record the verified convergence."""
+    import warnings
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = graph.k_core(e, "src", "dst", k=2, rounds=5,
+                           until_stable=True, on_cap="raise").collect()
+    assert {r["node"] for r in out} == {0, 1, 2}
+    assert graph._LAST_KCORE_ROUNDS == 1
+    assert graph._LAST_KCORE_CONVERGED is True
+    # fixed-rounds runs record executed rounds, no probe => None
+    graph.k_core(e, "src", "dst", k=2, rounds=3).collect()
+    assert graph._LAST_KCORE_ROUNDS == 3
+    assert graph._LAST_KCORE_CONVERGED is None
+
+
+def test_core_number_until_stable_cap_hit_signals(spark):
+    """P5's H-index iteration needs 2 value-changing rounds plus the
+    verifying round (deg [1,2,2,2,1] -> [1,1,2,1,1] -> all-1):
+    rounds=1 is a cap-hit (inflated coreness upper bound), rounds=8
+    converges at executed=3 and stays silent under on_cap='raise'."""
+    import warnings
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # silent default
+        got = {r["node"]: r["core"]
+               for r in graph.core_number(e, "src", "dst", rounds=1,
+                                          until_stable=True).collect()}
+    assert got[2] == 2  # the inflated middle value — the upper bound
+    assert graph._LAST_CORE_ROUNDS == 1
+    assert graph._LAST_CORE_CONVERGED is False
+    with pytest.warns(RuntimeWarning, match="core_number.*rounds cap"):
+        graph.core_number(e, "src", "dst", rounds=1,
+                          until_stable=True, on_cap="warn").collect()
+    with pytest.raises(RuntimeError, match="core_number.*rounds cap"):
+        graph.core_number(e, "src", "dst", rounds=1,
+                          until_stable=True, on_cap="raise")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = {r["node"]: r["core"]
+               for r in graph.core_number(e, "src", "dst", rounds=8,
+                                          until_stable=True,
+                                          on_cap="raise").collect()}
+    assert set(got.values()) == {1}  # the true P5 coreness
+    assert graph._LAST_CORE_ROUNDS == 3
+    assert graph._LAST_CORE_CONVERGED is True
+    with pytest.raises(ValueError, match="on_cap"):
+        graph.core_number(e, "src", "dst", on_cap="loud")
+
+
+# ---------------------------------------------------------------------------
+# cocitation keep-set broadcast gate (r14 ADVICE medium): the
+# max_linker_degree keep frame is LINKER-bounded — the item-side
+# probe must never force its broadcast
+# ---------------------------------------------------------------------------
+
+def test_cocitation_keep_set_never_force_broadcast(spark):
+    """With auto-broadcast disabled and the degree gate ON (auto or
+    explicit), the max_linker_degree semi-join must plan WITHOUT a
+    forced broadcast: the keep-set is linker-cardinality (90M on the
+    docstring's page-scale shape) while the probe that enables the
+    gate reads the ITEM count. The da/db degree joins keep the hint;
+    only the semi-join ships unhinted (AQE converts small ones at
+    runtime)."""
+    e = _edges(spark, _gate_pairs())
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for flag in (None, True):
+            p = _xplan(graph.cocitation(e, "src", "dst",
+                                        max_linker_degree=5,
+                                        broadcast_degrees=flag))
+            semi = [ln for ln in p.splitlines() if "LeftSemi" in ln]
+            assert semi, p  # the keep-set semi-join is in the plan
+            assert all("BroadcastHashJoin" not in ln for ln in semi), p
+            # the item-bounded degree joins still carry the hint
+            assert "BroadcastHashJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # and the capped results are unchanged by the gate setting
+    on = {tuple(r) for r in graph.cocitation(
+        e, "src", "dst", max_linker_degree=5, jaccard_digits=9,
+        broadcast_degrees=True).collect()}
+    off = {tuple(r) for r in graph.cocitation(
+        e, "src", "dst", max_linker_degree=5, jaccard_digits=9,
+        broadcast_degrees=False).collect()}
+    assert on == off
+
+
+def test_hits_explicit_gate_skips_probe_and_handles_empty(spark):
+    """With the gate pinned explicitly the bounded count probe is
+    skipped (r14 ADVICE low) — the cheap isEmpty check must still
+    return the empty frame on an empty graph, both flag values."""
+    empty = spark.createDataFrame([], "src long, dst long")
+    for flag in (True, False):
+        out = graph.hits(empty, "src", "dst", iterations=1,
+                         materialize=False, broadcast_scores=flag)
+        assert out.count() == 0
+        assert out.columns == ["node", "hub", "authority"]

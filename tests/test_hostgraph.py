@@ -1549,3 +1549,32 @@ try:
 
 except ImportError:
     pass
+
+
+def test_robots_rules_filters_placeholder_rows(spark):
+    """robots_rules (r14 ADVICE): the concrete-rules entry point for
+    callers that iterate patterns directly — identical to
+    parse_robots minus the NULL rule/path placeholder rows that
+    rule-less groups emit for §2.2.1 group-existence selection."""
+    body = ("User-agent: SparkBot\n"
+            "Disallow:\n"            # rule-less group -> placeholder
+            "\n"
+            "User-agent: *\n"
+            "Disallow: /private/\n"
+            "Allow: /private/pub/\n")
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    full = hostgraph.parse_robots(df).collect()
+    concrete = hostgraph.robots_rules(df).collect()
+    # the placeholder row exists in the full frame only
+    assert any(r["rule"] is None for r in full)
+    assert all(r["rule"] is not None and r["path"] is not None
+               for r in concrete)
+    # same concrete rows, same schema, nothing else dropped
+    key = lambda r: (r["host"], r["group_id"], r["agent"],
+                     r["rule"], r["path"])
+    assert sorted(key(r) for r in full if r["rule"] is not None) \
+        == sorted(key(r) for r in concrete)
+    assert {key(r)[2:] for r in concrete} == {
+        ("*", "disallow", "/private/"),
+        ("*", "allow", "/private/pub/"),
+    }

@@ -71,6 +71,38 @@ _WORKING = ("__outdeg", "__contrib", "__rank", "__dmass", "__prev",
 # components' _LAST_CC_ROUNDS
 _LAST_PR_ITERATIONS = 0
 
+# Diagnostics for the until_stable peeling family (r14 VERDICT #2):
+# rounds the last k_core() / core_number() call actually executed,
+# and whether it VERIFIED the fixed point (the stability probe fired)
+# or hit the rounds cap with the last round still changing. A cap-hit
+# result is a monotone upper bound (superset survivors / inflated
+# coreness) — correct direction, unverified value — which callers
+# previously could not distinguish from convergence. Set on every
+# call (fixed-rounds runs record rounds executed, converged=None
+# since no probe runs); not part of the operator contract.
+_LAST_KCORE_ROUNDS: int | None = None
+_LAST_KCORE_CONVERGED: bool | None = None
+_LAST_CORE_ROUNDS: int | None = None
+_LAST_CORE_CONVERGED: bool | None = None
+
+
+def _on_cap_signal(name: str, rounds: int, on_cap: str) -> None:
+    """Shared cap-hit escalation for the until_stable family:
+    ``"silent"`` preserves the historical behavior (the result is a
+    documented monotone upper bound), ``"warn"`` emits a
+    RuntimeWarning, ``"raise"`` matches connected_components' loud
+    non-convergence discipline (dedup.py) for callers that treat an
+    unverified bound as wrong."""
+    msg = (f"{name}(until_stable=True) hit the rounds cap "
+           f"({rounds}) before verifying the fixed point; the "
+           f"result is a monotone upper bound (superset survivors / "
+           f"inflated coreness). Raise `rounds` or accept the bound.")
+    if on_cap == "raise":
+        raise RuntimeError(msg)
+    if on_cap == "warn":
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
 # The bounded-probe broadcast discipline (pagerank, round 11), shared
 # by the whole structural family since round 14: every iterative
 # operator here joins a NODE-bounded frame (ranks, scores, labels,
@@ -409,11 +441,21 @@ def hits(edges: DataFrame, src: str, dst: str,
              .distinct())
     if materialize:
         nodes = nodes.localCheckpoint()
-    n = nodes.count()  # bounded probe, mirrors pagerank's n == 0
-    if n == 0:
-        return nodes.select("node", F.lit(0.0).alias("hub"),
-                            F.lit(0.0).alias("authority"))
-    broadcast_scores = _gate_broadcast(broadcast_scores, n)
+    if broadcast_scores is None:
+        # bounded probe (one scalar off the node table) — only paid
+        # when the caller leaves the gate on auto (r14 ADVICE: an
+        # explicit flag previously still re-evaluated the full
+        # upstream under materialize=False for an unused probe)
+        n = nodes.count()
+        if n == 0:
+            return nodes.select("node", F.lit(0.0).alias("hub"),
+                                F.lit(0.0).alias("authority"))
+        broadcast_scores = _gate_broadcast(None, n)
+    else:
+        if nodes.isEmpty():
+            return nodes.select("node", F.lit(0.0).alias("hub"),
+                                F.lit(0.0).alias("authority"))
+        broadcast_scores = bool(broadcast_scores)
 
     def _normalized(scores: DataFrame, col: str) -> DataFrame:
         norm = scores.agg(
@@ -584,10 +626,14 @@ def cocitation(edges: DataFrame, src: str, dst: str,
     aggregation, which is one partial-aggregated shuffle keyed by
     the pair. ``broadcast_degrees`` follows pagerank's bounded-probe
     discipline (r13 VERDICT #1): ``None`` broadcasts the degree
-    tables (and the ``max_linker_degree`` keep-set) only when the
-    bounded node probe reads ≤ 1M — on a page-scale graph those
-    frames are 90M+ rows and a forced broadcast would OOM the build
-    side; the unhinted join lets AQE decide. ``materialize``
+    tables only when the bounded node probe reads ≤ 1M — on a
+    page-scale graph those frames are 90M+ rows and a forced
+    broadcast would OOM the build side; the unhinted join lets AQE
+    decide. The ``max_linker_degree`` keep-set is LINKER-bounded
+    (a different — and on the cocitation shape, far larger —
+    cardinality than the item-side degree tables), so its semi-join
+    always ships unhinted regardless of the flag; AQE broadcasts it
+    at runtime when it is genuinely small (r14 ADVICE). ``materialize``
     snapshots the distinct edge list and the degree table once
     (r14): the plan otherwise re-derives the upstream distinct for
     BOTH sides of the pair self-join, both degree joins, and the
@@ -626,8 +672,15 @@ def cocitation(edges: DataFrame, src: str, dst: str,
                 .agg(F.count(F.lit(1)).alias("__d"))
                 .filter(F.col("__d") <= max_linker_degree)
                 .select("__lk"))
-        if broadcast_degrees:
-            keep = F.broadcast(keep)
+        # The keep-set is LINKER-bounded, not item-bounded: on the
+        # docstring's own target shape (90M pages citing <=1M hosts)
+        # the item probe reads small and auto-enables the gate while
+        # the keep frame is ~90M rows — forcing F.broadcast here is
+        # the exact OOM the bounded-probe discipline exists to
+        # prevent (r14 ADVICE, medium). The semi-join ships unhinted;
+        # it is built ONCE (not per iteration) and AQE converts it to
+        # a broadcast at runtime whenever the keep-set is actually
+        # small, so host-scale graphs lose nothing.
         gen = el.join(keep, "__lk", "left_semi")
     a, b = gen.alias("__l"), gen.alias("__r")
     pairs = (a.join(b, (F.col("__l.__lk") == F.col("__r.__lk"))
@@ -653,7 +706,8 @@ def cocitation(edges: DataFrame, src: str, dst: str,
 def k_core(edges: DataFrame, src: str, dst: str, k: int,
            rounds: int = 8, until_stable: bool = False,
            materialize: bool = True,
-           broadcast_survivors: bool | None = None) -> DataFrame:
+           broadcast_survivors: bool | None = None,
+           on_cap: str = "silent") -> DataFrame:
     """k-core peeling (Seidman 1983, public algorithm) over the edge
     list treated as UNDIRECTED: repeatedly remove every node whose
     degree among the SURVIVORS is below ``k``. The corpus-curation
@@ -688,7 +742,18 @@ def k_core(edges: DataFrame, src: str, dst: str, k: int,
     semi-joins only when the initial node count reads ≤ 1M (survivor
     sets only SHRINK, so the initial count bounds every round);
     above that the semi-joins ship unhinted — a forced 90M-row
-    broadcast twice per peel round would OOM the build side."""
+    broadcast twice per peel round would OOM the build side.
+
+    Convergence visibility (r14 VERDICT #2): the module diagnostics
+    ``_LAST_KCORE_ROUNDS`` / ``_LAST_KCORE_CONVERGED`` record the
+    rounds the call executed and whether ``until_stable`` VERIFIED
+    the fixed point (``None`` under fixed rounds — no probe runs).
+    ``on_cap`` escalates an ``until_stable`` run that exhausts the
+    cap with the last round still shrinking: ``"silent"`` (default —
+    the result is the documented monotone upper bound), ``"warn"``
+    (RuntimeWarning), or ``"raise"`` (connected_components' loud
+    discipline for callers that treat an unverified bound as
+    wrong)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if rounds < 1:
@@ -696,6 +761,8 @@ def k_core(edges: DataFrame, src: str, dst: str, k: int,
     if until_stable and not materialize:
         raise ValueError("until_stable requires materialize=True "
                          "(each stability probe evaluates the plan)")
+    if on_cap not in ("silent", "warn", "raise"):
+        raise ValueError("on_cap must be 'silent', 'warn', or 'raise'")
     require_free_columns("k_core", edges.columns,
                          _WORKING + ("__a", "__b"))
     require_free_columns("k_core", edges.columns, ("node", "degree"),
@@ -731,16 +798,27 @@ def k_core(edges: DataFrame, src: str, dst: str, k: int,
                 .groupBy(F.col("__a").alias("node"))
                 .agg(F.count(F.lit(1)).alias("degree")))
 
+    global _LAST_KCORE_ROUNDS, _LAST_KCORE_CONVERGED
+    executed, converged = 0, None
     for _ in range(rounds):
         survivors = (_alive_degrees(survivors)
                      .filter(F.col("degree") >= k).select("node"))
         if materialize:
             survivors = survivors.localCheckpoint()
+        executed += 1
         if until_stable:
             n_now = survivors.count()  # bounded probe: one scalar
             if n_now == n_prev:
+                converged = True
                 break
             n_prev = n_now
+    if until_stable and converged is None:
+        converged = False
+    # diagnostics recorded BEFORE the escalation so a raise still
+    # leaves the cap-hit observable
+    _LAST_KCORE_ROUNDS, _LAST_KCORE_CONVERGED = executed, converged
+    if converged is False:
+        _on_cap_signal("k_core", rounds, on_cap)
     # LEFT join from the survivor set: under fixed rounds a survivor
     # can lose its last surviving neighbor in the final round (kept
     # at round R because its count over survivors_{R-1} cleared k,
@@ -861,7 +939,8 @@ def triangle_count(edges: DataFrame, src: str, dst: str,
 def core_number(edges: DataFrame, src: str, dst: str,
                 rounds: int = 8, until_stable: bool = False,
                 materialize: bool = True,
-                broadcast_values: bool | None = None) -> DataFrame:
+                broadcast_values: bool | None = None,
+                on_cap: str = "silent") -> DataFrame:
     """Full core decomposition — per-node core NUMBER (the largest k
     for which the node survives k-core peeling) via the iterated
     H-index (Lü-Chen-Ren-Zhang-Zhang-Zhou 2016, Nature
@@ -902,7 +981,16 @@ def core_number(edges: DataFrame, src: str, dst: str,
     O(rounds) shuffles. ``broadcast_values`` is the family's
     bounded-probe gate (r13 VERDICT #1): ``None`` broadcasts the
     value table only when the node count reads ≤ 1M; above that the
-    join ships unhinted and AQE decides."""
+    join ships unhinted and AQE decides.
+
+    Convergence visibility (r14 VERDICT #2): the module diagnostics
+    ``_LAST_CORE_ROUNDS`` / ``_LAST_CORE_CONVERGED`` record the
+    rounds executed and whether ``until_stable`` VERIFIED the fixed
+    point (``None`` under fixed rounds). ``on_cap`` escalates an
+    ``until_stable`` run that exhausts the cap with values still
+    falling: ``"silent"`` (default — the result is the documented
+    monotone upper bound on the coreness), ``"warn"``
+    (RuntimeWarning), or ``"raise"``."""
     from pyspark.sql import Window
 
     if rounds < 1:
@@ -910,6 +998,8 @@ def core_number(edges: DataFrame, src: str, dst: str,
     if until_stable and not materialize:
         raise ValueError("until_stable requires materialize=True "
                          "(each stability probe evaluates the plan)")
+    if on_cap not in ("silent", "warn", "raise"):
+        raise ValueError("on_cap must be 'silent', 'warn', or 'raise'")
     require_free_columns("core_number", edges.columns,
                          _WORKING + ("__a", "__b", "__c", "__rn"))
     require_free_columns("core_number", edges.columns,
@@ -934,6 +1024,8 @@ def core_number(edges: DataFrame, src: str, dst: str,
         s_prev = vals.agg(F.sum("__c")).first()[0]
     w = (Window.partitionBy("__a")
          .orderBy(F.col("__c").desc(), F.col("__b")))
+    global _LAST_CORE_ROUNDS, _LAST_CORE_CONVERGED
+    executed, converged = 0, None
     for _ in range(rounds):
         vside = F.broadcast(vals) if broadcast_values else vals
         # H-index of the neighbor multiset: sort desc, rank, take
@@ -947,11 +1039,20 @@ def core_number(edges: DataFrame, src: str, dst: str,
                      .alias("__c")))
         if materialize:
             vals = vals.localCheckpoint()
+        executed += 1
         if until_stable:
             # monotone non-increasing values: an unchanged sum means
             # every value is unchanged — one bounded scalar probe
             s_now = vals.agg(F.sum("__c")).first()[0]
             if s_now == s_prev:
+                converged = True
                 break
             s_prev = s_now
+    if until_stable and converged is None:
+        converged = False
+    # diagnostics recorded BEFORE the escalation so a raise still
+    # leaves the cap-hit observable
+    _LAST_CORE_ROUNDS, _LAST_CORE_CONVERGED = executed, converged
+    if converged is False:
+        _on_cap_signal("core_number", rounds, on_cap)
     return vals.select("node", F.col("__c").alias("core"))

@@ -268,7 +268,9 @@ def parse_robots(bodies: DataFrame, host_col: str = "host",
     the star group). Such groups emit one row with NULL
     ``rule``/``path`` (r13 ADVICE fix); :func:`robots_decisions`
     selects groups over ALL rows and filters the NULL placeholders
-    out before matching.
+    out before matching. Callers that iterate rules directly and do
+    NOT need group-existence semantics should use
+    :func:`robots_rules`, which filters the placeholders.
 
     Scale posture: one posexplode of the line list, a JVM regexp per
     line, and two windows KEYED BY HOST (lag + running sum build the
@@ -289,6 +291,21 @@ def parse_robots(bodies: DataFrame, host_col: str = "host",
     # product-token selection sees it — RFC 9309 §2.2.1 group
     # precedence is decided by group EXISTENCE, not rule presence
     return agents.join(rules, ["host", "group_id"], "left")
+
+
+def robots_rules(bodies: DataFrame, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """Concrete-rules view of :func:`parse_robots`: the same
+    ``(host, group_id, agent, rule, path)`` frame MINUS the NULL
+    ``rule``/``path`` placeholder rows that rule-less groups emit for
+    product-token selection (RFC 9309 §2.2.1). The entry point for
+    callers that iterate rules directly — e.g. feed ``path`` patterns
+    into matching logic, where a NULL pattern would raise or
+    mis-match (r14 ADVICE). Use :func:`parse_robots` itself when
+    group EXISTENCE matters (:func:`robots_decisions` does — a
+    matching group supersedes ``*`` even with no applicable rules)."""
+    return (parse_robots(bodies, host_col, body_col)
+            .filter(F.col("rule").isNotNull()))
 
 
 def _robots_groups(bodies: DataFrame, host_col: str,
