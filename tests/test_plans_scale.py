@@ -2344,3 +2344,33 @@ try:
 
 except ImportError:
     pass
+
+
+def test_corpus_funnel_cohesion_single_fact_scan(spark):
+    """The coreness-guided funnel (r14 VERDICT #2) must keep the
+    archive_funnel discipline: the four stage counts are conditional
+    aggregates of ONE documents fact scan — flags, not four re-scans
+    — with the per-source bands (the only other parquet scan, pruned
+    to its two columns) and the 20-row coreness feature table
+    entering as broadcasts; the host graph itself rides checkpointed
+    RDDs, never a re-scan of the corpus."""
+    df = QUERIES["corpus_funnel_cohesion"].spark(spark, SF_SMOKE)
+    plan = _plan(df)
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 2, plan
+    fact = [ln for ln in scans if "doc_id" in ln]
+    bands = [ln for ln in scans if ln not in fact]
+    assert len(fact) == 1 and len(bands) == 1, scans
+    # column pruning: the fact scan carries exactly the funnel inputs,
+    # the bands scan only (source, n_chars)
+    assert "text" in fact[0] and "n_chars" in fact[0]
+    assert "lang" not in fact[0]
+    assert "source" in bands[0] and "n_chars" in bands[0]
+    assert "text" not in bands[0] and "doc_id" not in bands[0]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the audit rows themselves: total >= band >= cohesion >= dedup
+    vals = {r["stage"]: r["n_docs"] for r in df.collect()}
+    assert vals["00_total"] >= vals["01_quality_band"] \
+        >= vals["02_host_cohesion"] >= vals["03_exact_deduped"]
+    assert vals["02_host_cohesion"] > 0

@@ -7226,6 +7226,98 @@ def host_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.core_number(edges, "src", "dst", rounds=6)
 
 
+def _funnel_cohesion_oracle() -> str:
+    chain, last = _coreness_ctes(6, _HOST_EDGES_CTE)
+    return f"""
+WITH {chain},
+bands AS (
+    SELECT source,
+           quantile_cont(n_chars, 0.05) AS lo,
+           quantile_cont(n_chars, 0.95) AS hi
+    FROM documents GROUP BY source),
+flagged AS (
+    SELECT d.text,
+           COALESCE(d.n_chars BETWEEN b.lo AND b.hi, FALSE) AS in_band,
+           COALESCE(d.n_chars BETWEEN b.lo AND b.hi, FALSE)
+               AND COALESCE(cr.c, 0) >= 2 AS cohesive
+    FROM documents d
+    LEFT JOIN bands b USING (source)
+    LEFT JOIN {last} cr
+      ON cr.node = 'h' || CAST(d.doc_id % 20 AS VARCHAR)
+                    || '.corpus.local')
+SELECT '00_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+FROM flagged
+UNION ALL SELECT '01_quality_band',
+    CAST(sum(CASE WHEN in_band THEN 1 ELSE 0 END) AS BIGINT)
+FROM flagged
+UNION ALL SELECT '02_host_cohesion',
+    CAST(sum(CASE WHEN cohesive THEN 1 ELSE 0 END) AS BIGINT)
+FROM flagged
+UNION ALL SELECT '03_exact_deduped',
+    CAST(count(DISTINCT CASE WHEN cohesive THEN md5(text) END) AS BIGINT)
+FROM flagged
+"""
+
+
+@q("corpus_funnel_cohesion", _funnel_cohesion_oracle(),
+   doc="Coreness-guided curation funnel — the r14 runway composition "
+       "with a live consumer (r14 VERDICT #2): core_number's output "
+       "joined into the corpus funnel's quality gates, so each "
+       "document is scored by how deep its HOST sits in the mutually-"
+       "reinforcing part of the link graph (graph.py core_number "
+       "docstring: coreness is the cohesion/spam feature next to "
+       "rank). Stages: per-source 5-95% n_chars quality band, then "
+       "the FRINGE CUT — drop documents whose host's core number is "
+       "< 2, i.e. hosts so weakly embedded in the web graph (parked "
+       "domains, drive-by spam singletons) that no one who links "
+       "anywhere links to them twice over; the symmetric link-farm "
+       "cut is the same join with the opposite inequality — then "
+       "exact content dedup, reported as the funnel's staged audit "
+       "counts (the data-card numbers). Engine: the host graph rides "
+       "the WARC fixture round trip (archive bytes -> canonicalized "
+       "host edges), core_number runs six gated H-index rounds over "
+       "it (20 hosts -> a broadcast-sized feature table), and the "
+       "funnel itself is ONE conditional-aggregate scan of documents "
+       "(the archive_funnel discipline — flags, not four re-scans) "
+       "with bands and coreness entering as broadcasts. Oracle: the "
+       "SAME six H-index rounds unrolled as window-ranked CTEs "
+       "(_coreness_ctes) over the fixture's analytic edge formula, "
+       "joined by the fixture's doc->host residue mapping — a "
+       "coreness off-by-one, a mis-canonicalized host, or a flag "
+       "null-handling drift shifts a stage count and fails the hash. "
+       "At 100 TB: the feature table is one row per HOST (bounded), "
+       "the fact scan stays single-pass, and nothing document-sized "
+       "shuffles.")
+def corpus_funnel_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    core = graph.core_number(
+        _host_edges(_host_fixture_records(spark, sf_dir, "spark_hfcoh_")),
+        "src", "dst", rounds=6)
+    bands = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"))
+    host = F.concat(F.lit("h"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".corpus.local"))
+    d = (docs
+         .join(F.broadcast(bands), "source", "left")
+         .withColumn("__host", host)
+         .join(F.broadcast(core.withColumnRenamed("node", "__host")),
+               "__host", "left"))
+    in_band = F.coalesce(
+        F.col("n_chars").between(F.col("lo"), F.col("hi")), F.lit(False))
+    cohesive = in_band & (F.coalesce(F.col("core"), F.lit(0)) >= 2)
+    one = d.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum(in_band.cast("long")).alias("c1"),
+        F.sum(cohesive.cast("long")).alias("c2"),
+        F.count_distinct(F.when(cohesive, F.md5("text"))).alias("c3"))
+    return one.select(F.expr(
+        "stack(4, '00_total', c0, '01_quality_band', c1, "
+        "'02_host_cohesion', c2, '03_exact_deduped', c3) "
+        "AS (stage, n_docs)"))
+
+
 _CRAWL_RATE_ORACLE = """
 WITH docs AS (
     SELECT doc_id AS d, doc_id % 20 AS k
