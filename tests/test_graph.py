@@ -1491,3 +1491,172 @@ def test_hits_explicit_gate_skips_probe_and_handles_empty(spark):
                          materialize=False, broadcast_scores=flag)
         assert out.count() == 0
         assert out.columns == ["node", "hub", "authority"]
+
+
+# ---------------------------------------------------------------------------
+# SALSA — Lempel-Moran 2000 (HITS on the row/column-normalized
+# adjacency; the anti-TKC authority signal)
+# ---------------------------------------------------------------------------
+
+def _salsa_reference(pairs, iters):
+    """Python mirror of salsa(): distinct edges, h0 ≡ 1, per
+    half-step degree-normalized sums with an L1 norm."""
+    el = sorted({(a, b) for a, b in pairs
+                 if a is not None and b is not None and a != b})
+    od, idg = {}, {}
+    for a, b in el:
+        od[a] = od.get(a, 0) + 1
+        idg[b] = idg.get(b, 0) + 1
+    nodes = sorted({a for a, _ in el} | {b for _, b in el})
+    h = {v: 1.0 for v in nodes}
+    a = {v: 0.0 for v in nodes}
+    for _ in range(iters):
+        a = {v: 0.0 for v in nodes}
+        for u, v in el:
+            a[v] += h[u] / od[u]
+        z = sum(a.values())
+        a = {v: s / z for v, s in a.items()}
+        h = {v: 0.0 for v in nodes}
+        for u, v in el:
+            h[u] += a[v] / idg[v]
+        z = sum(h.values())
+        h = {v: s / z for v, s in h.items()}
+    return h, a
+
+
+def test_salsa_hand_example_matches_reference(spark):
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 0)]
+    out = {r["node"]: (r["hub"], r["authority"])
+           for r in graph.salsa(_edges(spark, pairs), "src", "dst",
+                                iterations=3).collect()}
+    h, a = _salsa_reference(pairs, 3)
+    for v in h:
+        assert out[v][0] == pytest.approx(h[v], abs=1e-12)
+        assert out[v][1] == pytest.approx(a[v], abs=1e-12)
+
+
+def test_salsa_stationary_is_degree_share(spark):
+    """Lempel-Moran's theorem: on a graph whose SALSA chains are
+    connected and aperiodic, authority converges to indeg(v)/|E| and
+    hub to outdeg(u)/|E| — the closed form the power iteration must
+    reach. (The per-component mass split on disconnected structures
+    is what the iteration computes and the closed form does not.)"""
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 0)]
+    out = {r["node"]: (r["hub"], r["authority"])
+           for r in graph.salsa(_edges(spark, pairs), "src", "dst",
+                                iterations=40).collect()}
+    m = len(set(pairs))
+    indeg = {0: 2, 1: 1, 2: 2}
+    outdeg = {0: 2, 1: 2, 2: 1}
+    for v in out:
+        # geometric convergence at the chain's second eigenvalue —
+        # 40 rounds reach ~1e-8 on this fixture, not machine epsilon
+        assert out[v][1] == pytest.approx(indeg[v] / m, abs=1e-7)
+        assert out[v][0] == pytest.approx(outdeg[v] / m, abs=1e-7)
+
+
+def test_salsa_resists_tightly_knit_community(spark):
+    """The anti-TKC contrast with HITS: a 3-clique of mutually-
+    linking spam hosts plus one independent host cited by three
+    separate low-degree endorsers. HITS' eigenvector concentrates on
+    the clique (each member's authority beats the independent
+    host's); SALSA's degree normalization makes the three
+    independent endorsements win — each clique member splits its
+    endorsement across the clique while every endorser of node 9
+    gives it their whole out-mass."""
+    clique = [(a, b) for a in (0, 1, 2) for b in (0, 1, 2) if a != b]
+    pairs = clique + [(6, 9), (7, 9), (8, 9)]
+    hits_a = {r["node"]: r["authority"]
+              for r in graph.hits(_edges(spark, pairs), "src", "dst",
+                                  iterations=20).collect()}
+    salsa_a = {r["node"]: r["authority"]
+               for r in graph.salsa(_edges(spark, pairs), "src", "dst",
+                                    iterations=20).collect()}
+    assert hits_a[0] > hits_a[9]    # HITS: the clique dominates
+    assert salsa_a[9] > salsa_a[0]  # SALSA: 3 whole votes beat 2 half
+    # The authority chain is DISCONNECTED here (from 9 the walk only
+    # returns to 9), so the h0 ≡ 1 iteration's per-component mass
+    # split applies, not the connected-graph indeg/|E| closed form:
+    # a1(9) = 3 whole endorsements, a1(member) = 2 half ones, and
+    # both components are stationary from the first half-step —
+    # a(9) = 3/6, a(member) = 1/6 (hand-checkable fixed point).
+    assert salsa_a[9] == pytest.approx(1 / 2, abs=1e-9)
+    assert salsa_a[0] == pytest.approx(1 / 6, abs=1e-9)
+
+
+def test_salsa_null_parallel_and_empty_edges(spark):
+    """NULL endpoints and self-loops drop; parallel edges collapse
+    (the walk picks among DISTINCT links); the empty graph returns
+    the empty frame under both explicit gate values."""
+    rows = [(0, 1), (0, 1), (0, 0), (None, 1), (0, None), (1, 2)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in rows], "src long, dst long")
+    out = {r["node"]: (r["hub"], r["authority"])
+           for r in graph.salsa(df, "src", "dst",
+                                iterations=2).collect()}
+    h, a = _salsa_reference([(0, 1), (1, 2)], 2)
+    assert set(out) == set(h)
+    for v in h:
+        assert out[v] == (pytest.approx(h[v]), pytest.approx(a[v]))
+    empty = spark.createDataFrame([], "src long, dst long")
+    for flag in (None, True, False):
+        got = graph.salsa(empty, "src", "dst", iterations=1,
+                          materialize=False, broadcast_scores=flag)
+        assert got.count() == 0
+        assert got.columns == ["node", "hub", "authority"]
+    with pytest.raises(ValueError, match="iterations"):
+        graph.salsa(df, "src", "dst", iterations=0)
+
+
+def test_salsa_gate_plans_and_equality(spark):
+    """salsa follows the family's bounded-probe broadcast gate: with
+    the gate off and auto-broadcast disabled the score joins plan as
+    shuffle joins (no forced build side at page scale); on the small
+    fixture the auto gate keeps the hinted broadcast; results are
+    row-for-row equal both ways."""
+    e = _edges(spark, _gate_pairs())
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        off = _xplan(graph.salsa(e, "src", "dst", iterations=1,
+                                 materialize=False,
+                                 broadcast_scores=False))
+        assert "BroadcastHashJoin" not in off
+        assert ("SortMergeJoin" in off) or ("ShuffledHashJoin" in off)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in _xplan(
+        graph.salsa(e, "src", "dst", iterations=1, materialize=False))
+    rows_on = {(r["node"], round(r["hub"], 9), round(r["authority"], 9))
+               for r in graph.salsa(e, "src", "dst", iterations=3,
+                                    broadcast_scores=True).collect()}
+    rows_off = {(r["node"], round(r["hub"], 9), round(r["authority"], 9))
+                for r in graph.salsa(e, "src", "dst", iterations=3,
+                                     broadcast_scores=False).collect()}
+    assert rows_on == rows_off
+
+
+try:
+    from hypothesis import given as _sg, settings as _ss
+    from hypothesis import strategies as _sst
+
+    @_ss(max_examples=8, deadline=None)
+    @_sg(_sst.lists(_sst.tuples(_sst.integers(0, 9),
+                                _sst.integers(0, 9)),
+                    min_size=1, max_size=40))
+    def test_salsa_random_graphs_match_reference(pairs):
+        spark = _hyp_spark[0]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            return
+        out = {r["node"]: (round(r["hub"], 9), round(r["authority"], 9))
+               for r in graph.salsa(_edges(spark, pairs), "src",
+                                    "dst", iterations=3).collect()}
+        h, a = _salsa_reference(pairs, 3)
+        ref = {v: (round(h[v], 9), round(a[v], 9)) for v in h}
+        for v in ref:
+            assert out[v][0] == pytest.approx(ref[v][0], abs=1e-9)
+            assert out[v][1] == pytest.approx(ref[v][1], abs=1e-9)
+
+except ImportError:
+    pass

@@ -6394,6 +6394,143 @@ def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("host_rank")))
 
 
+def _salsa_ctes(iterations: int, edges_cte: str) -> tuple[str, str, str]:
+    """Unrolled SALSA (Lempel-Moran 2000): _hits_ctes' half-step
+    structure on the row/column-normalized adjacency — the weighted
+    edge CTE carries (1/outdeg(src), 1/indeg(dst)) and each norm is
+    L1 (SALSA's scores are a distribution, not an L2 eigenvector).
+    Returns (chain, hub_cte, auth_cte). Aligned-score CTEs are
+    MATERIALIZED (the _hits_ctes inlining rule)."""
+    head = f"""{edges_cte},
+nodes AS MATERIALIZED (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+odeg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d
+         FROM edges GROUP BY src),
+ideg AS (SELECT dst AS node, CAST(count(*) AS DOUBLE) AS d
+         FROM edges GROUP BY dst),
+wen AS MATERIALIZED (
+    SELECT e.src, e.dst, 1.0 / o.d AS wa, 1.0 / i.d AS wh
+    FROM edges e
+    JOIN odeg o ON e.src = o.node
+    JOIN ideg i ON e.dst = i.node),
+h0 AS (SELECT node, 1.0 AS s FROM nodes)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+a{i}r AS (SELECT e.dst AS node, sum(p.s * e.wa) AS s
+          FROM wen e JOIN h{i - 1} p ON e.src = p.node
+          GROUP BY e.dst),
+a{i}f AS MATERIALIZED (
+    SELECT nodes.node, coalesce(a{i}r.s, 0.0) AS s
+    FROM nodes LEFT JOIN a{i}r ON nodes.node = a{i}r.node),
+a{i}n AS (SELECT sum(s) AS z FROM a{i}f),
+a{i} AS MATERIALIZED (
+    SELECT node, s / a{i}n.z AS s FROM a{i}f CROSS JOIN a{i}n),
+h{i}r AS (SELECT e.src AS node, sum(p.s * e.wh) AS s
+          FROM wen e JOIN a{i} p ON e.dst = p.node
+          GROUP BY e.src),
+h{i}f AS MATERIALIZED (
+    SELECT nodes.node, coalesce(h{i}r.s, 0.0) AS s
+    FROM nodes LEFT JOIN h{i}r ON nodes.node = h{i}r.node),
+h{i}n AS (SELECT sum(s) AS z FROM h{i}f),
+h{i} AS MATERIALIZED (
+    SELECT node, s / h{i}n.z AS s FROM h{i}f CROSS JOIN h{i}n)""")
+    return (head + "".join(steps), f"h{iterations}", f"a{iterations}")
+
+
+def _host_salsa_oracle() -> str:
+    chain, hub, auth = _salsa_ctes(5, _HOST_EDGES_CTE)
+    return (f"\nWITH {chain}\n"
+            f"SELECT h.node, round(h.s, 9) AS hub,"
+            f" round(a.s, 9) AS authority\n"
+            f"FROM {hub} h JOIN {auth} a ON h.node = a.node")
+
+
+@q("host_salsa", _host_salsa_oracle(),
+   doc="SALSA hubs-and-authorities (graph.salsa — Lempel-Moran 2000, "
+       "ACM TOIT) over the archive's host graph: HITS' recursion on "
+       "the row/column-normalized adjacency, i.e. the alternating "
+       "backward/forward random walk. The curation reason to run it "
+       "next to host_hits: HITS mass concentrates in the single "
+       "densest community (the tightly-knit-community effect — a "
+       "link farm absorbs the whole eigenvector), while SALSA makes "
+       "every hub SPLIT its endorsement across its out-links, so a "
+       "2000-link directory endorses each target 1/2000th as hard — "
+       "on a connected graph the stationary authority is indeg/|E| "
+       "(the L-M theorem, property-tested in pytest). Five "
+       "iterations from h0 ≡ 1, L1-normalized per half-step (the "
+       "scores are a distribution); the oracle unrolls all ten "
+       "half-steps over the reciprocal-degree weighted edge CTE "
+       "with 1-row L1 norm CTEs (_salsa_ctes), round-9 both sides. "
+       "Engine plan mirrors hits(): the distinct edge list is "
+       "materialized ONCE carrying (1/outdeg, 1/indeg), each "
+       "half-step is one gated score join + partial-agg sum, each "
+       "norm a 1-row broadcast — the one-time degree joins ship "
+       "unhinted (AQE decides).")
+def host_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _host_edges(_host_fixture_records(spark, sf_dir,
+                                              "spark_hsal_"))
+    return graph.salsa(edges, "src", "dst", iterations=5,
+                       score_digits=9)
+
+
+def _crawl_schedule_salsa_oracle() -> str:
+    chain, _hub, auth = _salsa_ctes(5, _HOST_EDGES_CTE)
+    return f"""
+WITH {chain},
+pages AS (SELECT 'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.corpus.local/doc/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                 'h' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.corpus.local' AS host
+          FROM documents WHERE text IS NOT NULL)
+SELECT p.url, p.host,
+       CAST(row_number() OVER (PARTITION BY p.host ORDER BY p.url)
+            AS INTEGER) AS wave,
+       round(coalesce(a.s, 0.0), 9) AS authority
+FROM pages p LEFT JOIN {auth} a ON p.host = a.node
+"""
+
+
+@q("crawl_schedule_salsa", _crawl_schedule_salsa_oracle(),
+   doc="SALSA-ranked politeness schedule — crawl_schedule's wave "
+       "structure with the fleet's drain order keyed by SALSA "
+       "authority instead of PageRank (the r14 runway item, shipped "
+       "WITH its consumer): one URL per host per wave (row_number "
+       "over the host-partitioned window, keyed so the frontier "
+       "never funnels through one partition), and each page carries "
+       "its host's stationary-walk authority so the fleet drains "
+       "every wave spam-resistantly — a link farm that would "
+       "dominate a HITS ordering splits its self-endorsement across "
+       "its own out-degree here, and PageRank's conflated "
+       "hub/authority signal separates. Composes the SAME shipped "
+       "pieces as crawl_schedule: WARC fixture records -> "
+       "canonicalized host edges -> graph.salsa (five L1 half-steps "
+       "over the once-materialized reciprocal-degree edge list) -> "
+       "broadcast join of the per-host score onto the page list. "
+       "Oracle: the analytic page list joined to the unrolled SALSA "
+       "CTEs (_salsa_ctes), round-9 both sides.")
+def crawl_schedule_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import hostgraph
+
+    records = _host_fixture_records(spark, sf_dir, "spark_crsal_")
+    scores = graph.salsa(_host_edges(records), "src", "dst",
+                         iterations=5)
+    pages = records.select(
+        F.col("target_uri").alias("url"),
+        hostgraph.canonical_host(F.col("target_uri")).alias("host"))
+    w = Window.partitionBy("host").orderBy("url")
+    return (pages
+            .join(F.broadcast(scores
+                              .select(F.col("node").alias("host"),
+                                      "authority")),
+                  "host", "left")
+            .select("url", "host",
+                    F.row_number().over(w).alias("wave"),
+                    F.round(F.coalesce(F.col("authority"), F.lit(0.0)),
+                            9).alias("authority")))
+
+
 # Convenience exports ---------------------------------------------------------
 
 # ===========================================================================
