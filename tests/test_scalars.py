@@ -76,3 +76,31 @@ def test_discount_consistency(spark):
         F.col("p"), F.col("o"), F.col("d")).alias("err")).collect()
     assert rows[0]["err"] == pytest.approx(0.0)
     assert rows[1]["err"] == pytest.approx(0.05)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rules quality helpers (functions/text.py — Rae et al. 2021
+# Appendix A signals)
+# ---------------------------------------------------------------------------
+
+def test_mean_word_length_exact(spark):
+    from unilever_scraping_etl_spark.functions import text
+    df = spark.createDataFrame(
+        [("ab cde f",), ("aaaa",)], "t string")
+    rows = df.select(text.mean_word_length(F.col("t")).alias("m")) \
+        .collect()
+    assert rows[0]["m"] == pytest.approx((2 + 3 + 1) / 3)
+    assert rows[1]["m"] == pytest.approx(4.0)
+
+
+def test_distinct_marker_hits_counts_vocabulary_not_occurrences(spark):
+    """The Gopher stop-word rule: 'the the the the' has four
+    occurrences but ONE distinct required word — the vocabulary
+    check must read 1, and mixed text counts each stopword once."""
+    from unilever_scraping_etl_spark.functions import text
+    df = spark.createDataFrame(
+        [("the the the the",), ("the cat and the dog and a fox",),
+         ("xyzzy plugh",)], "t string")
+    rows = df.select(text.distinct_marker_hits(
+        F.col("t"), text.STOPWORDS).alias("d")).collect()
+    assert [r["d"] for r in rows] == [1, 3, 0]  # {the}, {the,and,a}, {}

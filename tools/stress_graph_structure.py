@@ -94,6 +94,13 @@ def main() -> None:
     print(f"core_number stable    : {time.perf_counter() - t:.1f} s, "
           f"max core {mx}", flush=True)
 
+    t = time.perf_counter()
+    sa = graph.salsa(edges, "src", "dst", iterations=5,
+                     broadcast_scores=bcast)
+    ns = sa.count()
+    print(f"salsa K=5             : {time.perf_counter() - t:.1f} s, "
+          f"{ns} nodes", flush=True)
+
 
 if __name__ == "__main__":
     main()

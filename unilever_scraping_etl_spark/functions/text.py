@@ -69,6 +69,31 @@ def stopword_ratio(text: Column) -> Column:
     return marker_hits(text, STOPWORDS).cast("double") / token_count(text).cast("double")
 
 
+def mean_word_length(text: Column) -> Column:
+    """Mean token length in characters — one of the Gopher document-
+    quality signals (Rae et al. 2021, Appendix A: pages whose mean
+    word length falls outside [3, 10] are mostly boilerplate, tables,
+    or garbled encodings). JVM-side: sum of per-token lengths over
+    the token count, exact-integer numerator so only the final
+    division is float (IEEE-identical across engines)."""
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def distinct_marker_hits(text: Column,
+                         markers: tuple[str, ...]) -> Column:
+    """How many DISTINCT members of the marker set occur in ``text``
+    — the Gopher stop-word rule counts distinct required words (a
+    page repeating 'the' fifty times passes the occurrence count but
+    not the vocabulary check). array_intersect returns the distinct
+    common elements, so its size is exactly that count."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.array_intersect(tokens(text), arr)).cast("long")
+
+
 def quality_score(text: Column, n_chars: Column) -> Column:
     """Deterministic heuristic quality in [0,1]: a length component
     (saturating at 500 chars) averaged with a stopword-presence

@@ -2144,6 +2144,60 @@ def quality_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("hi", 4).alias("hi"), "n_kept", "n_dropped"))
 
 
+@q("gopher_quality_gate", f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS w
+    FROM documents WHERE text IS NOT NULL),
+s AS (
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS mwl,
+           CAST(len(list_filter({_stop_list_sql()},
+                                x -> list_contains(w, x))) AS BIGINT)
+               AS distinct_stops
+    FROM t)
+SELECT doc_id, n_words, round(mwl, 9) AS mean_word_len, distinct_stops,
+       n_words BETWEEN 40 AND 90 AS wc_ok,
+       mwl BETWEEN 3.0 AND 10.0 AS mwl_ok,
+       distinct_stops >= 2 AS stop_ok,
+       (n_words BETWEEN 40 AND 90) AND (mwl BETWEEN 3.0 AND 10.0)
+           AND (distinct_stops >= 2) AS keep
+FROM s
+""", doc="Gopher-rules document quality gate (Rae et al. 2021, "
+         "'Scaling Language Models: ... Gopher', Appendix A — the "
+         "published MassiveText filter heuristics, public paper): "
+         "per-document word-count band, mean-word-length band "
+         "[3, 10], and the distinct-stop-word vocabulary check "
+         "(>= 2 DISTINCT required words — a page repeating 'the' "
+         "fifty times passes an occurrence count but not this; "
+         "array_intersect gives the distinct-hit count directly), "
+         "with per-rule flags so a data card can report WHICH rule "
+         "cut what. The word-count band is the paper's 50-100k "
+         "scaled to the synthetic corpus's doc length (40-90); the "
+         "other thresholds are the published ones. Complements "
+         "text_quality (continuous score) with the hard-gate form "
+         "an ablation actually toggles. Pure JVM higher-order array "
+         "expressions per row — one scan, no shuffle, no Python; "
+         "the mean length's numerator is an exact integer sum so "
+         "the single float division is IEEE-identical cross-engine.")
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    nw = text.token_count(F.col("text"))
+    mwl = text.mean_word_length(F.col("text"))
+    ds = text.distinct_marker_hits(F.col("text"), text.STOPWORDS)
+    wc_ok = nw.between(40, 90)
+    mwl_ok = mwl.between(3.0, 10.0)
+    stop_ok = ds >= 2
+    return d.select(
+        "doc_id", nw.alias("n_words"),
+        F.round(mwl, 9).alias("mean_word_len"),
+        ds.alias("distinct_stops"),
+        wc_ok.alias("wc_ok"), mwl_ok.alias("mwl_ok"),
+        stop_ok.alias("stop_ok"),
+        (wc_ok & mwl_ok & stop_ok).alias("keep"))
+
+
 @q("corpus_mix", """
 WITH weighted AS (
     SELECT source,
