@@ -1660,3 +1660,16 @@ try:
 
 except ImportError:
     pass
+
+
+def test_on_cap_escalation_requires_until_stable(spark):
+    """An escalating on_cap without until_stable could never fire
+    (fixed rounds run no probe) — accepting it would silently disarm
+    the signal the caller asked for, so both operators reject the
+    combination loudly (code-review finding, r15)."""
+    e = _edges(spark, [(0, 1), (1, 2)])
+    for mode in ("warn", "raise"):
+        with pytest.raises(ValueError, match="until_stable"):
+            graph.k_core(e, "src", "dst", k=2, rounds=3, on_cap=mode)
+        with pytest.raises(ValueError, match="until_stable"):
+            graph.core_number(e, "src", "dst", rounds=3, on_cap=mode)

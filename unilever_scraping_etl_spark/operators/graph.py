@@ -79,7 +79,12 @@ _LAST_PR_ITERATIONS = 0
 # coreness) — correct direction, unverified value — which callers
 # previously could not distinguish from convergence. Set on every
 # call (fixed-rounds runs record rounds executed, converged=None
-# since no probe runs); not part of the operator contract.
+# since no probe runs); not part of the operator contract. Like
+# _LAST_PR_ITERATIONS and dedup's _LAST_CC_ROUNDS these are plain
+# module globals with no thread affinity — concurrent driver threads
+# overwrite each other's verdicts; a caller that needs a race-free
+# signal uses on_cap="raise"/"warn" (delivered on the calling
+# thread), not the globals.
 _LAST_KCORE_ROUNDS: int | None = None
 _LAST_KCORE_CONVERGED: bool | None = None
 _LAST_CORE_ROUNDS: int | None = None
@@ -122,6 +127,21 @@ def _gate_broadcast(flag: bool | None, n: int) -> bool:
     probe ``n``: explicit True/False wins; ``None`` auto-enables only
     when ``n <= _BROADCAST_NODE_CAP``."""
     return (n <= _BROADCAST_NODE_CAP) if flag is None else bool(flag)
+
+
+def _resolve_score_gate(nodes: DataFrame,
+                        flag: bool | None) -> tuple[bool, bool]:
+    """Shared gate resolution for the score-propagation operators
+    (hits, salsa) — ONE source of truth for the probe-or-isEmpty
+    discipline (r14 ADVICE low): the bounded node-count probe is
+    paid only when the gate is on auto; an explicit flag uses the
+    cheap isEmpty check for the empty-graph early return (under
+    materialize=False a count would re-evaluate the full upstream
+    for a probe the gate never reads). Returns (broadcast, empty)."""
+    if flag is None:
+        n = nodes.count()
+        return _gate_broadcast(None, n), n == 0
+    return bool(flag), nodes.isEmpty()
 
 
 def pagerank(edges: DataFrame, src: str, dst: str,
@@ -441,21 +461,11 @@ def hits(edges: DataFrame, src: str, dst: str,
              .distinct())
     if materialize:
         nodes = nodes.localCheckpoint()
-    if broadcast_scores is None:
-        # bounded probe (one scalar off the node table) — only paid
-        # when the caller leaves the gate on auto (r14 ADVICE: an
-        # explicit flag previously still re-evaluated the full
-        # upstream under materialize=False for an unused probe)
-        n = nodes.count()
-        if n == 0:
-            return nodes.select("node", F.lit(0.0).alias("hub"),
-                                F.lit(0.0).alias("authority"))
-        broadcast_scores = _gate_broadcast(None, n)
-    else:
-        if nodes.isEmpty():
-            return nodes.select("node", F.lit(0.0).alias("hub"),
-                                F.lit(0.0).alias("authority"))
-        broadcast_scores = bool(broadcast_scores)
+    broadcast_scores, empty = _resolve_score_gate(nodes,
+                                                  broadcast_scores)
+    if empty:
+        return nodes.select("node", F.lit(0.0).alias("hub"),
+                            F.lit(0.0).alias("authority"))
 
     def _normalized(scores: DataFrame, col: str) -> DataFrame:
         norm = scores.agg(
@@ -589,19 +599,11 @@ def salsa(edges: DataFrame, src: str, dst: str,
              .distinct())
     if materialize:
         nodes = nodes.localCheckpoint()
-    if broadcast_scores is None:
-        # bounded probe — only paid when the gate is on auto (the
-        # hits() rule)
-        n = nodes.count()
-        if n == 0:
-            return nodes.select("node", F.lit(0.0).alias("hub"),
-                                F.lit(0.0).alias("authority"))
-        broadcast_scores = _gate_broadcast(None, n)
-    else:
-        if nodes.isEmpty():
-            return nodes.select("node", F.lit(0.0).alias("hub"),
-                                F.lit(0.0).alias("authority"))
-        broadcast_scores = bool(broadcast_scores)
+    broadcast_scores, empty = _resolve_score_gate(nodes,
+                                                  broadcast_scores)
+    if empty:
+        return nodes.select("node", F.lit(0.0).alias("hub"),
+                            F.lit(0.0).alias("authority"))
 
     def _l1(scores: DataFrame, col: str) -> DataFrame:
         norm = scores.agg(F.sum(F.col(col)).alias("__z"))
@@ -893,7 +895,10 @@ def k_core(edges: DataFrame, src: str, dst: str, k: int,
     the result is the documented monotone upper bound), ``"warn"``
     (RuntimeWarning), or ``"raise"`` (connected_components' loud
     discipline for callers that treat an unverified bound as
-    wrong)."""
+    wrong). An escalating ``on_cap`` without ``until_stable=True``
+    raises ValueError — fixed-rounds runs never probe the fixpoint,
+    so the signal could not fire and accepting the combination would
+    silently disarm it."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if rounds < 1:
@@ -903,6 +908,10 @@ def k_core(edges: DataFrame, src: str, dst: str, k: int,
                          "(each stability probe evaluates the plan)")
     if on_cap not in ("silent", "warn", "raise"):
         raise ValueError("on_cap must be 'silent', 'warn', or 'raise'")
+    if on_cap != "silent" and not until_stable:
+        raise ValueError("on_cap escalation requires until_stable=True "
+                         "(fixed-rounds runs never probe the fixpoint, "
+                         "so a cap-hit signal could not fire)")
     require_free_columns("k_core", edges.columns,
                          _WORKING + ("__a", "__b"))
     require_free_columns("k_core", edges.columns, ("node", "degree"),
@@ -1130,7 +1139,9 @@ def core_number(edges: DataFrame, src: str, dst: str,
     ``until_stable`` run that exhausts the cap with values still
     falling: ``"silent"`` (default — the result is the documented
     monotone upper bound on the coreness), ``"warn"``
-    (RuntimeWarning), or ``"raise"``."""
+    (RuntimeWarning), or ``"raise"``; escalation without
+    ``until_stable=True`` raises ValueError (no probe, no signal —
+    the combination would silently disarm it)."""
     from pyspark.sql import Window
 
     if rounds < 1:
@@ -1140,6 +1151,10 @@ def core_number(edges: DataFrame, src: str, dst: str,
                          "(each stability probe evaluates the plan)")
     if on_cap not in ("silent", "warn", "raise"):
         raise ValueError("on_cap must be 'silent', 'warn', or 'raise'")
+    if on_cap != "silent" and not until_stable:
+        raise ValueError("on_cap escalation requires until_stable=True "
+                         "(fixed-rounds runs never probe the fixpoint, "
+                         "so a cap-hit signal could not fire)")
     require_free_columns("core_number", edges.columns,
                          _WORKING + ("__a", "__b", "__c", "__rn"))
     require_free_columns("core_number", edges.columns,
