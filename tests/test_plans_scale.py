@@ -2374,3 +2374,25 @@ def test_corpus_funnel_cohesion_single_fact_scan(spark):
     assert vals["00_total"] >= vals["01_quality_band"] \
         >= vals["02_host_cohesion"] >= vals["03_exact_deduped"]
     assert vals["02_host_cohesion"] > 0
+
+
+def test_split_leakage_safe_clusters_never_straddle(spark):
+    """The leakage-safe split's whole contract: every near-dup
+    cluster lands in exactly ONE split (members inherit the
+    cluster-keyed bucket), while the naive doc-keyed bucket rides
+    along for the audit. Checked on the real table: per-cluster
+    distinct-split count is 1 for every cluster, both columns only
+    carry the three tier values, and multi-doc clusters exist at
+    this scale (otherwise the test proves nothing)."""
+    df = QUERIES["split_leakage_safe"].spark(spark, SF_SMOKE)
+    rows = df.collect()
+    tiers = {"train", "val", "test"}
+    assert {r["split"] for r in rows} <= tiers
+    assert {r["naive_split"] for r in rows} <= tiers
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    multi = [c for c, _ in by_cluster.items()
+             if sum(1 for r in rows if r["cluster_id"] == c) > 1]
+    assert multi, "fixture has no multi-doc near-dup clusters"

@@ -1868,6 +1868,90 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) == 1).alias("is_canonical"))
 
 
+@q("split_leakage_safe", """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+        FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       FROM idx),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lab) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+assigned AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+SELECT doc_id, cluster_id,
+       CASE WHEN cb < 8 THEN 'train' WHEN cb = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       CASE WHEN db < 8 THEN 'train' WHEN db = 8 THEN 'val'
+            ELSE 'test' END AS naive_split
+FROM (
+    SELECT doc_id, cluster_id,
+           (ascii(substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) * 16
+            + ascii(substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1))) % 10
+               AS cb,
+           (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16
+            + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10
+               AS db
+    FROM assigned)
+""", doc="Leakage-safe train/val/test split — split_train_test's "
+         "deterministic md5-bucket rule keyed by the NEAR-DUP CLUSTER "
+         "instead of the document: hash-splitting by doc_id lets two "
+         "near-duplicate documents land in train and test, silently "
+         "inflating eval (the contamination mode Lee et al. 2022 "
+         "measure — near-dups across splits act as leaked answers). "
+         "Pipeline: prefix-filtered exact-Jaccard pairs (>= 0.5) -> "
+         "connected components -> cluster_id = component minimum "
+         "(singletons their own cluster) -> the 80/10/10 md5 bucket "
+         "of cluster_id, so EVERY member of a cluster inherits one "
+         "assignment by construction; the per-doc naive bucket rides "
+         "along as naive_split, making the audit ('how many docs "
+         "would a doc-keyed split have leaked?') a one-filter "
+         "follow-up. Scale: the pair/CC machinery is dedup_clusters' "
+         "(guarded candidates, pointer-jump CC); the split itself is "
+         "a narrow map — no new shuffle beyond the cluster join. "
+         "Oracle reproduces components with the recursive-CTE "
+         "closure and both bucket expressions verbatim.")
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    prs = dedup.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", threshold=0.5).select("id_a", "id_b")
+    comp = dedup.connected_components(prs, "id_a", "id_b")
+    assigned = (docs.join(comp, docs["doc_id"] == comp["node"], "left")
+                .select("doc_id",
+                        F.coalesce("component", "doc_id")
+                        .alias("cluster_id")))
+
+    def bucket(key):
+        h = F.md5(key.cast("string"))
+        return ((F.ascii(F.substring(h, 1, 1)) * 16
+                 + F.ascii(F.substring(h, 2, 1))) % 10)
+
+    def tier(b):
+        return (F.when(b < 8, "train").when(b == 8, "val")
+                .otherwise("test"))
+
+    return assigned.select(
+        "doc_id", "cluster_id",
+        tier(bucket(F.col("cluster_id"))).alias("split"),
+        tier(bucket(F.col("doc_id"))).alias("naive_split"))
+
+
 @q("sessionize_events", """
 WITH flagged AS (
     SELECT user_id, event_id, ts, value,
