@@ -1673,3 +1673,155 @@ def test_on_cap_escalation_requires_until_stable(spark):
             graph.k_core(e, "src", "dst", k=2, rounds=3, on_cap=mode)
         with pytest.raises(ValueError, match="until_stable"):
             graph.core_number(e, "src", "dst", rounds=3, on_cap=mode)
+
+
+# ---------------------------------------------------------------------------
+# reachability — seed-set closure (the BFS primitive under the
+# Broder 2000 bow-tie measurement and trusted-seed frontier expansion)
+# ---------------------------------------------------------------------------
+
+def _reach_reference(pairs, seeds, forward=True, hops=None):
+    adj = {}
+    for a, b in pairs:
+        if a is None or b is None or a == b:
+            continue
+        u, v = (a, b) if forward else (b, a)
+        adj.setdefault(u, set()).add(v)
+    nodes = {a for a, b in pairs if a is not None and b is not None
+             and a != b} | {b for a, b in pairs
+                            if a is not None and b is not None and a != b}
+    seen = set(seeds) & nodes
+    frontier = set(seen)
+    k = 0
+    while frontier and (hops is None or k < hops):
+        nxt = set()
+        for v in frontier:
+            nxt |= adj.get(v, set())
+        frontier = nxt - seen
+        seen |= nxt
+        k += 1
+    return seen
+
+
+def _seeds(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "s long")
+
+
+def test_reachability_bowtie_toy(spark):
+    """IN(0) -> CORE(1<->2) -> OUT(3), island (9,10): forward from
+    the core reaches {1,2,3}, backward reaches {0,1,2}, and their
+    intersection is exactly the core — the Broder classification's
+    raw material."""
+    pairs = [(0, 1), (1, 2), (2, 1), (2, 3), (9, 10)]
+    e = _edges(spark, pairs)
+    fw = {r["node"] for r in graph.reachability(
+        e, "src", "dst", _seeds(spark, [1])).collect()}
+    bw = {r["node"] for r in graph.reachability(
+        e, "src", "dst", _seeds(spark, [1]),
+        direction="backward").collect()}
+    assert fw == {1, 2, 3} and bw == {0, 1, 2}
+    assert fw & bw == {1, 2}
+    assert graph._LAST_REACH_CONVERGED is True
+
+
+def test_reachability_khop_form_and_seed_semantics(spark):
+    """until_stable=False gives the exact <=K-hop neighborhood;
+    seeds absent from the graph drop; duplicate seeds collapse;
+    empty seed frame reaches nothing."""
+    chain = [(i, i + 1) for i in range(6)]
+    e = _edges(spark, chain)
+    for k in (1, 2, 4):
+        got = {r["node"] for r in graph.reachability(
+            e, "src", "dst", _seeds(spark, [0, 0]), rounds=k,
+            until_stable=False).collect()}
+        assert got == _reach_reference(chain, {0}, hops=k), k
+    assert graph._LAST_REACH_CONVERGED is None  # fixed-rounds: no probe
+    assert graph.reachability(
+        e, "src", "dst", _seeds(spark, [99])).count() == 0
+    empty_seeds = spark.createDataFrame([], "s long")
+    assert graph.reachability(e, "src", "dst", empty_seeds).count() == 0
+
+
+def test_reachability_cap_hit_is_lower_bound_and_signals(spark):
+    """A 6-chain from one end needs 5 hops: rounds=2 under
+    until_stable hits the cap with a <=2-hop LOWER bound; warn and
+    raise escalate, fixed point runs stay silent; on_cap without
+    until_stable is rejected."""
+    import warnings
+    chain = [(i, i + 1) for i in range(5)]
+    e = _edges(spark, chain)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = {r["node"] for r in graph.reachability(
+            e, "src", "dst", _seeds(spark, [0]), rounds=2).collect()}
+    assert got == {0, 1, 2}  # the 2-hop subset, silently
+    assert graph._LAST_REACH_CONVERGED is False
+    with pytest.warns(RuntimeWarning, match="reachability.*LOWER"):
+        graph.reachability(e, "src", "dst", _seeds(spark, [0]),
+                           rounds=2, on_cap="warn").collect()
+    with pytest.raises(RuntimeError, match="reachability.*rounds cap"):
+        graph.reachability(e, "src", "dst", _seeds(spark, [0]),
+                           rounds=2, on_cap="raise")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        full = {r["node"] for r in graph.reachability(
+            e, "src", "dst", _seeds(spark, [0]), rounds=32,
+            on_cap="raise").collect()}
+    assert full == set(range(6))
+    assert graph._LAST_REACH_CONVERGED is True
+    with pytest.raises(ValueError, match="until_stable"):
+        graph.reachability(e, "src", "dst", _seeds(spark, [0]),
+                           until_stable=False, on_cap="raise")
+    with pytest.raises(ValueError, match="direction"):
+        graph.reachability(e, "src", "dst", _seeds(spark, [0]),
+                           direction="sideways")
+
+
+def test_reachability_gate_plans_both_ways(spark):
+    """The family broadcast-gate discipline: gate off + auto-broadcast
+    disabled plans the frontier semi-join as a shuffle join; the
+    small-graph auto path keeps the hint; results equal."""
+    e = _edges(spark, _gate_pairs())
+    s = _seeds(spark, [0])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        off = _xplan(graph.reachability(e, "src", "dst", s, rounds=1,
+                                        until_stable=False,
+                                        materialize=False,
+                                        broadcast_frontier=False))
+        assert "BroadcastHashJoin" not in off
+        assert ("SortMergeJoin" in off) or ("ShuffledHashJoin" in off)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    on = {r["node"] for r in graph.reachability(
+        e, "src", "dst", s, broadcast_frontier=True).collect()}
+    off_r = {r["node"] for r in graph.reachability(
+        e, "src", "dst", s, broadcast_frontier=False).collect()}
+    assert on == off_r
+
+
+try:
+    from hypothesis import given as _rg, settings as _rs
+    from hypothesis import strategies as _rst
+
+    @_rs(max_examples=8, deadline=None)
+    @_rg(_rst.lists(_rst.tuples(_rst.integers(0, 9),
+                                _rst.integers(0, 9)),
+                    min_size=1, max_size=40),
+         _rst.sets(_rst.integers(0, 9), min_size=1, max_size=3))
+    def test_reachability_random_graphs_match_reference(pairs, seeds):
+        spark = _hyp_spark[0]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            return
+        for fwd in (True, False):
+            got = {r["node"] for r in graph.reachability(
+                _edges(spark, pairs), "src", "dst",
+                _seeds(spark, sorted(seeds)),
+                direction="forward" if fwd else "backward").collect()}
+            assert got == _reach_reference(pairs, seeds, forward=fwd), \
+                (pairs, seeds, fwd)
+
+except ImportError:
+    pass

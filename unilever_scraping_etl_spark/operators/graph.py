@@ -91,17 +91,19 @@ _LAST_CORE_ROUNDS: int | None = None
 _LAST_CORE_CONVERGED: bool | None = None
 
 
-def _on_cap_signal(name: str, rounds: int, on_cap: str) -> None:
+def _on_cap_signal(name: str, rounds: int, on_cap: str,
+                   bound: str = "a monotone upper bound (superset "
+                                "survivors / inflated coreness)") -> None:
     """Shared cap-hit escalation for the until_stable family:
     ``"silent"`` preserves the historical behavior (the result is a
-    documented monotone upper bound), ``"warn"`` emits a
-    RuntimeWarning, ``"raise"`` matches connected_components' loud
-    non-convergence discipline (dedup.py) for callers that treat an
-    unverified bound as wrong."""
+    documented monotone bound), ``"warn"`` emits a RuntimeWarning,
+    ``"raise"`` matches connected_components' loud non-convergence
+    discipline (dedup.py) for callers that treat an unverified bound
+    as wrong. ``bound`` names the direction — peeling truncates HIGH
+    (supersets), reachability truncates LOW (a ≤rounds-hop subset)."""
     msg = (f"{name}(until_stable=True) hit the rounds cap "
            f"({rounds}) before verifying the fixed point; the "
-           f"result is a monotone upper bound (superset survivors / "
-           f"inflated coreness). Raise `rounds` or accept the bound.")
+           f"result is {bound}. Raise `rounds` or accept the bound.")
     if on_cap == "raise":
         raise RuntimeError(msg)
     if on_cap == "warn":
@@ -647,6 +649,119 @@ def salsa(edges: DataFrame, src: str, dst: str,
                          F.round("authority", score_digits)
                          .alias("authority"))
     return out.select("node", "hub", "authority")
+
+
+_LAST_REACH_ROUNDS: int | None = None
+_LAST_REACH_CONVERGED: bool | None = None
+
+
+def reachability(edges: DataFrame, src: str, dst: str,
+                 seeds: DataFrame,
+                 direction: str = "forward",
+                 rounds: int = 32, until_stable: bool = True,
+                 materialize: bool = True,
+                 broadcast_frontier: bool | None = None,
+                 on_cap: str = "silent") -> DataFrame:
+    """Seed-set reachability closure over a directed edge list — the
+    BFS primitive under Broder et al. 2000's bow-tie measurement
+    (WWW9: IN/OUT/CORE are exactly backward-reach, forward-reach,
+    and their intersection from a core pivot) and under trusted-seed
+    frontier expansion (crawl a hop-bounded neighborhood of a
+    curated host list). Returns a one-column ``(node)`` frame: every
+    GRAPH node reachable from the seed set along edge direction
+    (``direction="forward"``: src→dst) or against it
+    (``"backward"``: who can REACH the seeds). Seeds present in the
+    graph are included in the result (reachability is reflexive
+    here); seed values absent from the graph drop — they have no
+    edges to close over. NULL endpoints and self-loops drop;
+    duplicate seed rows collapse.
+
+    Each round is ONE semi-join of the cached edge list against the
+    current reached set plus a union-distinct — the reached set is
+    node-bounded and only GROWS, so an unchanged bounded count probe
+    IS the fixed point (``until_stable=True``, the default: real
+    graphs close in diameter rounds, far under the cap; set
+    ``until_stable=False`` for the fixed-rounds oracle-checkable
+    K-HOP form, where the result after K rounds is exactly the ≤K-hop
+    neighborhood). Rounds needed = BFS DEPTH from the seeds (graph
+    diameter at worst) — NOT the condensation depth that makes
+    peeling-style SCC loops unbounded; this is why the bow-tie
+    query composes two reachability calls instead of a full SCC
+    decomposition. ``broadcast_frontier`` follows the family's
+    bounded-probe gate (the reached frame is one row per node;
+    ``None`` probes the graph's node count once and broadcasts only
+    ≤ 1M). ``on_cap`` escalates a cap-hit exactly like
+    :func:`k_core` (the result is then a ≤rounds-hop LOWER bound of
+    the closure — monotone, unverified; requires
+    ``until_stable=True`` to be meaningful, enforced);
+    ``_LAST_REACH_ROUNDS``/``_LAST_REACH_CONVERGED`` record the
+    run (same thread-unsafety caveat as the family's other
+    diagnostics)."""
+    if direction not in ("forward", "backward"):
+        raise ValueError("direction must be 'forward' or 'backward'")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if until_stable and not materialize:
+        raise ValueError("until_stable requires materialize=True "
+                         "(each stability probe evaluates the plan)")
+    if on_cap not in ("silent", "warn", "raise"):
+        raise ValueError("on_cap must be 'silent', 'warn', or 'raise'")
+    if on_cap != "silent" and not until_stable:
+        raise ValueError("on_cap escalation requires until_stable=True "
+                         "(fixed-rounds runs never probe the fixpoint, "
+                         "so a cap-hit signal could not fire)")
+    require_free_columns("reachability", edges.columns,
+                         _WORKING + ("__a", "__b"))
+    require_free_columns("reachability", edges.columns, ("node",),
+                         kind="output")
+    a, b = (src, dst) if direction == "forward" else (dst, src)
+    el = (edges
+          .filter(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                  & (F.col(src) != F.col(dst)))
+          .select(F.col(a).alias("__a"), F.col(b).alias("__b"))
+          .distinct())
+    if materialize:
+        el = el.localCheckpoint()
+    nodes = (el.select(F.col("__a").alias("node"))
+             .union(el.select(F.col("__b").alias("node")))
+             .distinct())
+    if materialize:
+        nodes = nodes.localCheckpoint()
+    broadcast_frontier, _ = _resolve_score_gate(nodes,
+                                                broadcast_frontier)
+    seed_col = seeds.columns[0]
+    reached = (nodes.join(
+        seeds.select(F.col(seed_col).alias("node")).distinct(),
+        "node", "left_semi"))
+    if materialize:
+        reached = reached.localCheckpoint()
+    global _LAST_REACH_ROUNDS, _LAST_REACH_CONVERGED
+    executed, converged = 0, None
+    n_prev = reached.count() if until_stable else None
+    for _ in range(rounds):
+        rside = (F.broadcast(reached.withColumnRenamed("node", "__a"))
+                 if broadcast_frontier
+                 else reached.withColumnRenamed("node", "__a"))
+        step = (el.join(rside, "__a", "left_semi")
+                .select(F.col("__b").alias("node")))
+        reached = reached.union(step).distinct()
+        if materialize:
+            reached = reached.localCheckpoint()
+        executed += 1
+        if until_stable:
+            n_now = reached.count()  # monotone: unchanged == closed
+            if n_now == n_prev:
+                converged = True
+                break
+            n_prev = n_now
+    if until_stable and converged is None:
+        converged = False
+    _LAST_REACH_ROUNDS, _LAST_REACH_CONVERGED = executed, converged
+    if converged is False:
+        _on_cap_signal("reachability", rounds, on_cap,
+                       bound="a monotone LOWER bound (the ≤rounds-hop "
+                             "neighborhood, a subset of the closure)")
+    return reached.select("node")
 
 
 def label_propagation(edges: DataFrame, src: str, dst: str,

@@ -6532,6 +6532,94 @@ def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("host_rank")))
 
 
+_HOST_BOWTIE_ORACLE = f"""
+WITH RECURSIVE {_HOST_EDGES_CTE},
+nodes AS (SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges
+    UNION ALL SELECT dst FROM edges) t0),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT src AS node FROM edges
+              UNION ALL SELECT dst FROM edges) t
+        GROUP BY node),
+pv AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+fw(node) AS (
+    SELECT node FROM pv
+    UNION
+    SELECT e.dst FROM fw JOIN edges e ON e.src = fw.node),
+bw(node) AS (
+    SELECT node FROM pv
+    UNION
+    SELECT e.src FROM bw JOIN edges e ON e.dst = bw.node)
+SELECT n.node,
+       f.node IS NOT NULL AS fwd,
+       b.node IS NOT NULL AS bwd,
+       CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'core'
+            WHEN b.node IS NOT NULL THEN 'in'
+            WHEN f.node IS NOT NULL THEN 'out'
+            ELSE 'other' END AS cls
+FROM nodes n
+LEFT JOIN (SELECT DISTINCT node FROM fw) f ON n.node = f.node
+LEFT JOIN (SELECT DISTINCT node FROM bw) b ON n.node = b.node
+"""
+
+
+@q("host_bowtie", _HOST_BOWTIE_ORACLE,
+   doc="Bow-tie decomposition of the host graph (Broder et al. 2000, "
+       "WWW9 — the canonical web-graph macro-structure): every host "
+       "classified CORE (mutually reachable with the pivot's strong "
+       "component), IN (reaches the core but is not reached — new "
+       "sites linking in), OUT (reached but cannot get back — sinks, "
+       "link targets), or OTHER (tendrils/disconnected), computed "
+       "exactly as the paper measured it: forward and backward "
+       "REACHABILITY closures from a pivot inside the core, "
+       "intersected. The pivot is deterministic (max total degree "
+       "over the distinct edge list, ties to the smallest host — the "
+       "highest-degree node of a web graph sits in the giant "
+       "component with overwhelming probability, the paper's own "
+       "sampling argument); the output names it implicitly (the "
+       "pivot is always cls='core'). Crawl-ops read: OTHER hosts are "
+       "unreachable no matter the budget, IN hosts are entry points "
+       "worth seeding, OUT-heavy frontiers never feed back link "
+       "signal. Engine: graph.reachability twice over the "
+       "once-checkpointed edge list — each round ONE semi-join of "
+       "the cached edges against the grown reached set + a "
+       "union-distinct, stopping at the verified fixed point in BFS-"
+       "DEPTH rounds (graph diameter — NOT the condensation depth "
+       "that makes peeling-style full SCC unbounded; that is why "
+       "bow-tie composes two closures instead of an SCC "
+       "decomposition), reached frames node-bounded behind the "
+       "family broadcast gate. Oracle: two recursive-CTE closures "
+       "from the same deterministic pivot over the analytic edge "
+       "formula — a missed hop, a reversed edge, or a pivot "
+       "tie-break drift flips a class and fails the hash.")
+def host_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = _host_fixture_records(spark, sf_dir, "spark_bowtie_")
+    edges = _host_edges(records).localCheckpoint()
+    deg = (edges.select(F.col("src").alias("node"))
+           .unionAll(edges.select(F.col("dst").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    pivot = deg.orderBy(F.col("d").desc(), "node").limit(1).select("node")
+    fw = graph.reachability(edges, "src", "dst", pivot,
+                            direction="forward")
+    bw = graph.reachability(edges, "src", "dst", pivot,
+                            direction="backward")
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    fflag = F.broadcast(fw.withColumn("__f", F.lit(True)))
+    bflag = F.broadcast(bw.withColumn("__b", F.lit(True)))
+    out = (nodes.join(fflag, "node", "left")
+           .join(bflag, "node", "left")
+           .select("node",
+                   F.coalesce(F.col("__f"), F.lit(False)).alias("fwd"),
+                   F.coalesce(F.col("__b"), F.lit(False)).alias("bwd")))
+    cls = (F.when(F.col("fwd") & F.col("bwd"), "core")
+           .when(F.col("bwd"), "in")
+           .when(F.col("fwd"), "out")
+           .otherwise("other"))
+    return out.select("node", "fwd", "bwd", cls.alias("cls"))
+
+
 def _topic_base_edges_cte(term: str, k_roots: int) -> str:
     """CTE chain deriving Kleinberg's query-focused BASE SET over the
     analytic host fixture: per-host count of documents containing
