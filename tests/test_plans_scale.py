@@ -2396,3 +2396,32 @@ def test_split_leakage_safe_clusters_never_straddle(spark):
     multi = [c for c, _ in by_cluster.items()
              if sum(1 for r in rows if r["cluster_id"] == c) > 1]
     assert multi, "fixture has no multi-doc near-dup clusters"
+
+
+def test_frontier_seed_expand_khop_and_gate(spark):
+    """Trusted-seed K-hop expansion (r15 VERDICT #3): the scheduled
+    frontier must cover EXACTLY the <=2-hop out-neighborhood of the
+    top-3 authority seeds — on the analytic 20-host graph that is a
+    proper 10-host subset (hand-derived from the edge formula
+    h_k -> h_{(7k+1)%20}, h_{(3k+2)%20} and the 5-iteration rank
+    order with its byte-wise tie-break), so a missed hop, an extra
+    hop, or a seed drift changes the set — with the robots gate
+    holding (no /private/ URL survives) and waves dense per host.
+    Plan: rank/reach joins broadcast, the wave window host-KEYED,
+    no cartesian/row-Python."""
+    df = QUERIES["frontier_seed_expand"].spark(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    rows = df.collect()
+    expect = {f"h{k}.corpus.local"
+              for k in (0, 1, 14, 15, 19, 2, 4, 5, 8, 9)}
+    assert {r["host"] for r in rows} == expect
+    assert not [r for r in rows if "/private/" in r["url"]]
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r["wave"])
+    for host, waves in by_host.items():
+        assert sorted(waves) == list(range(1, len(waves) + 1)), host

@@ -6599,13 +6599,21 @@ def host_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
            .unionAll(edges.select(F.col("dst").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
     pivot = deg.orderBy(F.col("d").desc(), "node").limit(1).select("node")
+    # on_cap="raise": a closure truncated by the round cap would
+    # misclassify nodes and surface only as an opaque oracle hash
+    # mismatch — fail loudly at the operator instead, matching
+    # connected_components' non-convergence discipline (r15 ADVICE).
     fw = graph.reachability(edges, "src", "dst", pivot,
-                            direction="forward")
+                            direction="forward", on_cap="raise")
     bw = graph.reachability(edges, "src", "dst", pivot,
-                            direction="backward")
+                            direction="backward", on_cap="raise")
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())
+    # Forced broadcast is bounded BY CONSTRUCTION here (the reach sets
+    # are subsets of the 20-host analytic fixture); a composition over
+    # an unbounded host graph must route these joins through the
+    # family's bounded-probe gate instead of copying this hint.
     fflag = F.broadcast(fw.withColumn("__f", F.lit(True)))
     bflag = F.broadcast(bw.withColumn("__b", F.lit(True)))
     out = (nodes.join(fflag, "node", "left")
@@ -7527,6 +7535,128 @@ def frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("host_rank")))
 
 
+def _frontier_seed_expand_oracle() -> str:
+    chain, last = _pagerank_ctes(5, _HOST_EDGES_CTE)
+    return f"""
+WITH {chain},
+ranks AS (SELECT node, round(rank, 9) AS rank FROM {last}),
+seeds AS (SELECT node FROM ranks ORDER BY rank DESC, node LIMIT 3),
+r1 AS (SELECT node FROM seeds
+       UNION
+       SELECT e.dst FROM edges e JOIN seeds s ON e.src = s.node),
+r2 AS (SELECT node FROM r1
+       UNION
+       SELECT e.dst FROM edges e JOIN r1 ON e.src = r1.node),
+fdocs AS (SELECT doc_id AS d, doc_id % 20 AS k
+          FROM documents WHERE text IS NOT NULL),
+frontier AS (
+    SELECT 'http://h' || CAST(k AS VARCHAR) || '.corpus.local/item/'
+               || CAST(d AS VARCHAR) AS url,
+           'h' || CAST(k AS VARCHAR) || '.corpus.local' AS host
+    FROM fdocs)
+SELECT f.url, f.host,
+       CAST(row_number() OVER (PARTITION BY f.host ORDER BY f.url)
+            AS INTEGER) AS wave,
+       round(coalesce(r.rank, 0.0), 9) AS host_rank
+FROM frontier f
+JOIN r2 ON f.host = r2.node
+LEFT JOIN ranks r ON f.host = r.node
+"""
+
+
+@q("frontier_seed_expand", _frontier_seed_expand_oracle(),
+   doc="Trusted-seed K-hop frontier expansion — the second use case "
+       "graph.reachability ships for (its docstring's hop-bounded "
+       "neighborhood of a curated host list), registered as the "
+       "consumer the r15 verdict prescribed: the top-3 PageRank "
+       "authority hosts (rank DESC, host — the deterministic stand-in "
+       "for a curated trusted-seed list) expanded to their exact "
+       "<=2-hop OUT-neighborhood with the FIXED-ROUNDS reachability "
+       "form (until_stable=False: after K semi-join+union rounds the "
+       "reached set IS the <=K-hop neighborhood — the oracle-checkable "
+       "form; on this fixture that is 10 of the 20 hosts, so a missed "
+       "or extra hop flips real membership), then gated by RFC 9309 "
+       "robots (each host disallows /private/, which kills half the "
+       "candidate URLs) and scheduled into politeness waves (host-"
+       "keyed row_number, authority rank broadcast-joined). The "
+       "crawl-ops read: hop-bounded expansion is how a fleet grows a "
+       "vetted frontier without drifting into spam neighborhoods — "
+       "the acquisition complement of host_bowtie's diagnosis (IN "
+       "hosts worth seeding, OTHER unreachable at any budget). "
+       "Engine: each hop is ONE semi-join of the checkpointed edge "
+       "list against the reached set + union-distinct, reached frames "
+       "node-bounded behind the family broadcast gate; the only "
+       "frontier-sized shuffles are the gate's min_by and the keyed "
+       "wave window. Oracle: the same 5-iteration unrolled rank CTEs, "
+       "top-3 seeds by (rank DESC, node), the K=2 closure unrolled as "
+       "two bounded CTE steps, and the surviving frontier stated "
+       "analytically (the /private/ URLs exist only on the engine "
+       "side — a robots leak adds rows and fails the hash; a hop "
+       "miss, a seed tie-break drift, or a direction flip changes "
+       "the host set and fails it too).")
+def frontier_seed_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import hostgraph
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(F.col("doc_id").alias("d"),
+                    (F.col("doc_id") % 20).alias("k")))
+    d = F.col("d").cast("string")
+    host = F.concat(F.lit("h"), F.col("k").cast("string"),
+                    F.lit(".corpus.local"))
+
+    def h_of(expr):
+        return F.concat(F.lit("h"), expr.cast("string"),
+                        F.lit(".corpus.local"))
+
+    e1 = docs.select(h_of(F.col("d") % 20).alias("src"),
+                     h_of((F.col("d") * 7 + 1) % 20).alias("dst"))
+    e2 = docs.select(h_of(F.col("d") % 20).alias("src"),
+                     h_of((F.col("d") * 3 + 2) % 20).alias("dst"))
+    edges = (e1.union(e2).filter(F.col("src") != F.col("dst"))
+             .distinct())
+    ranks = graph.pagerank(edges, "src", "dst", iterations=5,
+                           rank_digits=9)
+    seeds = (ranks.orderBy(F.col("rank").desc(), "node")
+             .limit(3).select("node"))
+    # Fixed-rounds form: after K rounds the reached set is EXACTLY the
+    # <=K-hop out-neighborhood of the seeds — exact by construction,
+    # never a truncation, so on_cap escalation does not apply here
+    # (and the operator rejects it without until_stable).
+    reach = graph.reachability(edges, "src", "dst", seeds,
+                               direction="forward", rounds=2,
+                               until_stable=False)
+    base = F.concat(F.lit("http://"), host)
+    urls = docs.select(F.explode(F.array(
+        F.concat(base, F.lit("/item/"), d),
+        F.concat(base, F.lit("/private/f"), d),
+    )).alias("url"))
+    robots = (docs.select(host.alias("host")).distinct()
+              .select("host",
+                      F.lit("User-agent: *\nDisallow: /private/\n")
+                      .alias("body")))
+    gated = (hostgraph.robots_decisions(
+                 hostgraph.parse_robots(robots), urls, "sparkbot")
+             .filter(F.col("allowed"))
+             .select("url", "host"))
+    # Forced broadcasts are bounded BY CONSTRUCTION here (reach and
+    # ranks are one row per host of the 20-host analytic fixture); a
+    # composition over an unbounded host graph must route these joins
+    # through the family's bounded-probe gate instead of copying the
+    # hint.
+    expanded = gated.join(
+        F.broadcast(reach.withColumnRenamed("node", "host")),
+        "host", "left_semi")
+    w = Window.partitionBy("host").orderBy("url")
+    return (expanded
+            .join(F.broadcast(ranks.withColumnRenamed("node", "host")),
+                  "host", "left")
+            .select("url", "host",
+                    F.row_number().over(w).alias("wave"),
+                    F.round(F.coalesce(F.col("rank"), F.lit(0.0)), 9)
+                    .alias("host_rank")))
+
+
 def _kcore_ctes(k: int, rounds: int, edges_cte: str) -> tuple[str, str]:
     """Unrolled synchronous k-core peeling: symmetric distinct
     neighbor list once, then per round a survivor-restricted degree
@@ -7784,6 +7914,10 @@ def corpus_funnel_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     host = F.concat(F.lit("h"),
                     (F.col("doc_id") % 20).cast("string"),
                     F.lit(".corpus.local"))
+    # Both forced broadcasts are bounded BY CONSTRUCTION (bands is one
+    # row per source; core is one row per host of the 20-host analytic
+    # fixture); at page scale route the coreness join through the
+    # family's bounded-probe gate instead of copying this hint.
     d = (docs
          .join(F.broadcast(bands), "source", "left")
          .withColumn("__host", host)
