@@ -1822,6 +1822,15 @@ try:
                 direction="forward" if fwd else "backward").collect()}
             assert got == _reach_reference(pairs, seeds, forward=fwd), \
                 (pairs, seeds, fwd)
+            # fixed-rounds form: K=1 is exactly the <=1-hop set (the
+            # boundary the frontier_seed_expand oracle leans on)
+            got1 = {r["node"] for r in graph.reachability(
+                _edges(spark, pairs), "src", "dst",
+                _seeds(spark, sorted(seeds)),
+                direction="forward" if fwd else "backward",
+                rounds=1, until_stable=False).collect()}
+            assert got1 == _reach_reference(pairs, seeds, forward=fwd,
+                                            hops=1), (pairs, seeds, fwd)
 
 except ImportError:
     pass
