@@ -28,9 +28,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalars, text, vectors
-from ..operators import (cdc, dedup, graph, ranking, relational,
-                         rerank, runtime_filters, sampling, similarity,
-                         spans)
+from ..operators import (cdc, curation, dedup, graph, ranking,
+                         relational, rerank, runtime_filters, sampling,
+                         similarity, spans)
 from ..schemas import load_table
 from ..sources import ingest, multimodal
 from . import fixtures
@@ -8013,3 +8013,176 @@ def crawl_schedule_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("url", "host", "wave", "delay_s",
                     F.round((F.col("wave") - 1) * F.col("delay_s"), 9)
                     .alias("eta_s")))
+
+
+@q("dsir_select", """
+WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
+                     string_split(lower(text), ' ') AS t
+              FROM documents),
+uni AS (SELECT doc_id, tgt, unnest(t) AS term FROM toks),
+bi AS (SELECT doc_id, tgt, t[i] || ' ' || t[i + 1] AS term
+       FROM (SELECT doc_id, tgt, t,
+                    unnest(generate_series(1, len(t) - 1)) AS i
+             FROM toks WHERE len(t) >= 2)),
+terms AS (SELECT doc_id, tgt,
+                 ('0x' || substr(md5(term), 1, 8))::BIGINT % 1024 AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+counts AS (SELECT b,
+                  CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS c_t,
+                  CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS c_r
+           FROM terms GROUP BY b),
+ratio AS (SELECT b,
+                 round(ln(c_t + 1.0) - ln(sum(c_t) OVER () + 1024.0)
+                     - ln(c_r + 1.0) + ln(sum(c_r) OVER () + 1024.0),
+                       12) AS lr
+          FROM counts),
+score AS (SELECT doc_id, round(sum(lr), 6) AS dsir_logweight
+          FROM terms JOIN ratio USING (b)
+          WHERE NOT tgt GROUP BY doc_id),
+keyed AS (SELECT doc_id, dsir_logweight,
+                 round(dsir_logweight
+                       - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                 1, 8))::BIGINT + 1)
+                                / CAST(4294967296 AS DOUBLE))),
+                       6) AS sel_key
+          FROM score)
+SELECT doc_id, dsir_logweight, sel_key, CAST(rk AS INT) AS sample_rank
+FROM (SELECT *, row_number() OVER (ORDER BY sel_key DESC, doc_id) AS rk
+      FROM keyed)
+WHERE rk <= 20
+""", doc="DSIR importance resampling (Xie et al. NeurIPS 2023, "
+         "operators/curation.dsir_hashed_ngram_weights + gumbel_topk): "
+         "hashed uni+bigram distributions (md5 buckets, B=1024) for "
+         "the English target slice p vs the non-English raw pool q, "
+         "add-1 smoothing, per-doc log-weight = sum log(p_b/q_b) over "
+         "term OCCURRENCES, then deterministic Gumbel-top-20 "
+         "resampling keyed by the md5 hash-uniform of doc_id. Two "
+         "corpus scans: one B-bounded partial-agg distribution pass "
+         "(both distributions in ONE groupBy), one scoring pass "
+         "against the broadcast B-row log-ratio table; bucket totals "
+         "are exact integer-valued doubles (summation-order-proof), "
+         "ln ulps absorbed by round-12/round-6; the global top-k is "
+         "orderBy+limit (TakeOrderedAndProject: per-partition partial "
+         "top-k — InferWindowGroupLimit does NOT fire on an empty "
+         "partitionSpec, so a global rank window would single-reduce "
+         "the corpus) with the rank window paid only by the k "
+         "survivors.")
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("__is_tgt", F.col("lang") == "en"))
+    wts = curation.dsir_hashed_ngram_weights(
+        docs, "doc_id", "text", "__is_tgt", n_buckets=1024, alpha=1.0)
+    return (curation.gumbel_topk(wts, "doc_id", "dsir_logweight", 20)
+            .select("doc_id", "dsir_logweight", "sel_key",
+                    F.col("sample_rank").cast("int").alias("sample_rank")))
+
+
+@q("perplexity_bucket", """
+WITH toks AS (SELECT doc_id, lang, source,
+                     string_split(lower(text), ' ') AS t
+              FROM documents),
+big AS (SELECT doc_id, lang, source, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, lang, source, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2)),
+c2 AS (SELECT lang, w1, w2, CAST(count(*) AS DOUBLE) AS c2
+       FROM big WHERE source IN ('src0', 'src1', 'src2', 'src3')
+       GROUP BY lang, w1, w2),
+c1 AS (SELECT lang, w1, CAST(sum(c2) AS DOUBLE) AS c1
+       FROM c2 GROUP BY lang, w1),
+vocab AS (SELECT lang, CAST(count(DISTINCT w) AS DOUBLE) AS v
+          FROM (SELECT lang, unnest(t) AS w FROM toks
+                WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+          GROUP BY lang),
+scored AS (SELECT b.doc_id, b.lang,
+                  round(avg(-ln((coalesce(c2.c2, 0.0) + 0.5)
+                                / (coalesce(c1.c1, 0.0) + 0.5 * vocab.v))
+                            / ln(2.0)), 6) AS bits_per_token
+           FROM big b
+           LEFT JOIN c2 ON b.lang = c2.lang AND b.w1 = c2.w1
+                        AND b.w2 = c2.w2
+           LEFT JOIN c1 ON b.lang = c1.lang AND b.w1 = c1.w1
+           JOIN vocab ON b.lang = vocab.lang
+           GROUP BY b.doc_id, b.lang),
+cuts AS (SELECT lang, quantile_cont(bits_per_token, 1.0/3) AS t1,
+                quantile_cont(bits_per_token, 2.0/3) AS t2
+         FROM scored GROUP BY lang)
+SELECT s.doc_id, s.lang, s.bits_per_token,
+       CASE WHEN s.bits_per_token <= c.t1 THEN 'head'
+            WHEN s.bits_per_token <= c.t2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored s JOIN cuts c ON s.lang = c.lang
+""", doc="CCNet perplexity bucketing (Wenzek et al. LREC 2020, "
+         "operators/curation.bigram_lm_bits + tercile_buckets): "
+         "per-language add-0.5 bigram LM trained on the clean-source "
+         "proxy slice (src0-src3), every document scored with mean "
+         "bits per token, then head/middle/tail split at exact "
+         "per-language terciles. The model is vocabulary-TYPE-bounded "
+         "(c2 rows independent of corpus size; contexts DERIVE from "
+         "c2 — the tfidf one-pass lesson), so scoring is one explode "
+         "+ AQE-sized equi-joins + a doc-keyed partial agg; tercile "
+         "cuts are a lang-bounded broadcast, NO per-language global "
+         "sort or single-reducer window; unseen bigrams stay finite "
+         "via add-alpha (LEFT joins coalesce counts to 0).")
+def perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("__is_train",
+                        F.col("source").isin("src0", "src1",
+                                             "src2", "src3")))
+    scored = curation.bigram_lm_bits(docs, "doc_id", "text", "lang",
+                                     "__is_train", alpha=0.5)
+    return (curation.tercile_buckets(scored, "lang", "bits_per_token")
+            .select("doc_id", "lang", "bits_per_token", "ppl_bucket"))
+
+
+@q("semdedup_prune", """
+WITH v AS (SELECT vec_id, list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+s AS (SELECT vec_id AS seed_id, e AS se FROM v
+      ORDER BY vec_id LIMIT 8),
+sim AS (SELECT v.vec_id, s.seed_id,
+               round(list_dot_product(v.e, s.se)
+                     / (sqrt(list_dot_product(v.e, v.e))
+                        * sqrt(list_dot_product(s.se, s.se))),
+                     6) AS csim
+        FROM v CROSS JOIN s),
+asg AS (SELECT vec_id, seed_id AS cluster_id, csim AS centroid_sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY csim DESC,
+                                                    seed_id) AS rn
+              FROM sim)
+        WHERE rn = 1),
+av AS (SELECT a.*, v.e FROM asg a JOIN v USING (vec_id)),
+rem AS (SELECT DISTINCT a.vec_id
+        FROM av a JOIN av b
+          ON a.cluster_id = b.cluster_id AND a.vec_id != b.vec_id
+        WHERE round(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e))
+                       * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4
+          AND (b.centroid_sim < a.centroid_sim
+               OR (b.centroid_sim = a.centroid_sim
+                   AND b.vec_id < a.vec_id)))
+SELECT asg.vec_id, asg.cluster_id, asg.centroid_sim,
+       (rem.vec_id IS NOT NULL) AS removed
+FROM asg LEFT JOIN rem ON asg.vec_id = rem.vec_id
+""", doc="SemDeDup (Abbas et al. 2023, operators/curation.semdedup): "
+         "every vector assigned to its most-cosine-similar cluster "
+         "seed (8 deterministic seeds = smallest ids, the oracle-"
+         "checkable stand-in for k-means centroids — the published "
+         "semantics lives in the CLUSTER-BOUNDED prune), duplicate "
+         "pairs (rounded cos >= 0.4) compared only WITHIN a cluster, "
+         "and each pair's member closer to the centroid marked "
+         "removed (keep-far rule: retain the most diverse exemplar). "
+         "Assignment is a broadcast nested loop over the 8-row seed "
+         "frame (bounded BY CONSTRUCTION; k scales as corpus/target-"
+         "cluster-size, never corpus-sized); the pair comparison is "
+         "an equi-join ON cluster_id — the clusters ARE SemDeDup's "
+         "bound on the quadratic term. JVM-side double cosines, "
+         "no driver collect, one row out per input vector.")
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return curation.semdedup(emb, "vec_id", "embedding",
+                             n_seeds=8, threshold=0.4)
