@@ -294,3 +294,150 @@ def test_tercile_cuts_join_is_broadcast(spark):
     plan = _plan(QUERIES["perplexity_bucket"].spark(spark, SF_SMOKE))
     # the lang-bounded threshold frame joins back via broadcast
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# hypothesis random-corpus sweeps: curation ops vs python references
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _hyp_spark = [None]
+
+    @pytest.fixture(autouse=True)
+    def _capture_spark(spark):
+        _hyp_spark[0] = spark
+        yield
+
+    _WORDS = ["aa", "bb", "cc", "dd", "ee"]
+    _doc = st.tuples(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6),
+        st.booleans())
+    _corpora = st.lists(_doc, min_size=1, max_size=12)
+
+    def _mk_docs(corpus):
+        return [(i, " ".join(toks), flag)
+                for i, (toks, flag) in enumerate(corpus)]
+
+    def _dsir_ref(docs, n_buckets, alpha):
+        ct: dict[int, int] = {}
+        cr: dict[int, int] = {}
+        for _id, text, tgt in docs:
+            for term in _terms_py(text):
+                b = _h32(term) % n_buckets
+                (ct if tgt else cr)[b] = (ct if tgt else cr).get(b, 0) + 1
+        T, R = sum(ct.values()), sum(cr.values())
+        lr = {b: round(math.log(ct.get(b, 0) + alpha)
+                       - math.log(T + alpha * n_buckets)
+                       - math.log(cr.get(b, 0) + alpha)
+                       + math.log(R + alpha * n_buckets), 12)
+              for b in set(ct) | set(cr)}
+        return {i: round(sum(lr[_h32(t) % n_buckets]
+                             for t in _terms_py(text)), 6)
+                for i, text, tgt in docs if not tgt}
+
+    @settings(max_examples=8, deadline=None)
+    @given(_corpora)
+    def test_dsir_random_corpora_match_reference(corpus):
+        docs = _mk_docs(corpus)
+        spark = _hyp_spark[0]
+        sdf = spark.createDataFrame(docs, "doc_id long, text string, "
+                                          "tgt boolean")
+        got = {r["doc_id"]: r["dsir_logweight"]
+               for r in curation.dsir_hashed_ngram_weights(
+                   sdf, "doc_id", "text", "tgt",
+                   n_buckets=16, alpha=1.0).collect()}
+        want = _dsir_ref(docs, 16, 1.0)
+        assert set(got) == set(want), corpus
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9), (corpus, k)
+
+    def _lm_ref(docs, alpha):
+        from collections import Counter
+        c2: Counter = Counter()
+        vocab: set = set()
+        for _id, text, train in docs:
+            t = text.split(" ")
+            if train:
+                vocab.update(t)
+                for a, b in zip(t, t[1:]):
+                    c2[(a, b)] += 1
+        c1: Counter = Counter()
+        for (a, _b), n in c2.items():
+            c1[a] += n
+        out = {}
+        for _id, text, _train in docs:
+            t = text.split(" ")
+            if len(t) < 2 or not vocab:
+                continue
+            v = len(vocab)
+            bits = [-math.log((c2.get((a, b), 0) + alpha)
+                              / (c1.get(a, 0) + alpha * v))
+                    / math.log(2.0) for a, b in zip(t, t[1:])]
+            out[_id] = round(sum(bits) / len(bits), 6)
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(_corpora)
+    def test_bigram_lm_random_corpora_match_reference(corpus):
+        docs = _mk_docs(corpus)
+        if not any(flag for _i, _t, flag in docs):
+            return  # no training rows: vocab empty, operator emits none
+        spark = _hyp_spark[0]
+        sdf = spark.createDataFrame(
+            docs, "doc_id long, text string, train boolean")
+        got = {r["doc_id"]: r["bits_per_token"]
+               for r in curation.bigram_lm_bits(
+                   sdf.withColumn("g", F.lit("g")), "doc_id", "text",
+                   "g", "train", alpha=0.5).collect()}
+        want = _lm_ref(docs, 0.5)
+        assert set(got) == set(want), corpus
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9), (corpus, k)
+
+    _vec = st.lists(st.integers(1, 5), min_size=3, max_size=3)
+    _vecsets = st.lists(_vec, min_size=2, max_size=10)
+
+    def _sem_ref(vecs, n_seeds, tau):
+        ids = list(range(len(vecs)))
+        seeds = ids[:n_seeds]
+        csim, cluster = {}, {}
+        for i in ids:
+            sims = {s: round(_cos(vecs[i], vecs[s]), 6) for s in seeds}
+            best = max(sims.values())
+            cluster[i] = min(s for s in seeds if sims[s] == best)
+            csim[i] = sims[cluster[i]]
+        removed = set()
+        for x in ids:
+            for y in ids:
+                if (x != y and cluster[x] == cluster[y]
+                        and round(_cos(vecs[x], vecs[y]), 4) >= tau
+                        and (csim[y] < csim[x]
+                             or (csim[y] == csim[x] and y < x))):
+                    removed.add(x)
+        return {i: (cluster[i], csim[i], i in removed) for i in ids}
+
+    @settings(max_examples=8, deadline=None)
+    @given(_vecsets)
+    def test_semdedup_random_vectors_match_reference(vecs):
+        spark = _hyp_spark[0]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: (r["cluster_id"], r["centroid_sim"],
+                             r["removed"])
+               for r in curation.semdedup(emb, "vec_id", "embedding",
+                                          n_seeds=2,
+                                          threshold=0.99).collect()}
+        want = _sem_ref(vecs, min(2, len(vecs)), 0.99)
+        assert set(got) == set(want), vecs
+        for k in want:
+            assert got[k][0] == want[k][0], (vecs, k)
+            assert got[k][1] == pytest.approx(want[k][1],
+                                              abs=1e-12), (vecs, k)
+            assert got[k][2] == want[k][2], (vecs, k)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
