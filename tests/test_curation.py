@@ -296,6 +296,135 @@ def test_tercile_cuts_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+# ------------------------------------------------- budget waterfill
+
+
+def _waterfill_py(rows, budget):
+    """Greedy mirror of Muennighoff-style epoch-capped allocation:
+    rows = [(key, weight, cap)]; returns {key: (alloc, capped)}."""
+    rows = sorted(rows, key=lambda t: (t[2] / t[1], t[0]))
+    W = sum(w for _, w, _ in rows)
+    pc = pw = 0.0
+    capped, all_prev = {}, True
+    for key, w, cap in rows:
+        lam_before = (budget - pc) / (W - pw)
+        capped[key] = all_prev = all_prev and lam_before > cap / w
+        pc += cap
+        pw += w
+    csum = sum(cap for k, w, cap in rows if capped[k])
+    wsum = sum(w for k, w, cap in rows if not capped[k])
+    lam = (budget - csum) / wsum if wsum else None
+    return {k: (float(cap) if capped[k] else round(lam * w, 6),
+                capped[k])
+            for k, w, cap in rows}
+
+
+WF_ROWS = [  # (key, weight, cap) — ratios 10 / 20 / 100 / 100
+    ("a", 1.0, 10.0), ("b", 1.0, 100.0),
+    ("c", 2.0, 40.0), ("d", 4.0, 400.0),
+]
+
+
+def _wf_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "src string, weight double, cap double")
+
+
+def test_waterfill_hand_fixture(spark):
+    # budget 200: a and c cap (10 + 40), level (200-50)/5 = 30,
+    # b gets 30, d gets 120 — hand-derived, totals to the budget.
+    got = {r["src"]: (r["alloc"], r["capped"])
+           for r in curation.budget_waterfill(
+               _wf_df(spark, WF_ROWS), "src", "weight", "cap",
+               200.0).collect()}
+    assert got == {"a": (10.0, True), "c": (40.0, True),
+                   "b": (30.0, False), "d": (120.0, False)}
+    assert sum(a for a, _ in got.values()) == 200.0
+
+
+def test_waterfill_all_capped_when_budget_exceeds_caps(spark):
+    got = {r["src"]: (r["alloc"], r["capped"])
+           for r in curation.budget_waterfill(
+               _wf_df(spark, WF_ROWS), "src", "weight", "cap",
+               1000.0).collect()}
+    assert got == {k: (c, True) for k, _w, c in WF_ROWS}
+
+
+def test_waterfill_none_capped_small_budget(spark):
+    # budget 8 over W=8: level 1.0 < min ratio 10 — pure pro-rata
+    got = {r["src"]: (r["alloc"], r["capped"])
+           for r in curation.budget_waterfill(
+               _wf_df(spark, WF_ROWS), "src", "weight", "cap",
+               8.0).collect()}
+    assert got == {"a": (1.0, False), "b": (1.0, False),
+                   "c": (2.0, False), "d": (4.0, False)}
+
+
+def test_waterfill_column_budget_matches_float(spark):
+    base = _wf_df(spark, WF_ROWS)
+    tot = base.agg(F.lit(200.0).alias("__budget"))
+    via_col = {r["src"]: r["alloc"]
+               for r in curation.budget_waterfill(
+                   base.crossJoin(F.broadcast(tot)), "src", "weight",
+                   "cap", F.col("__budget")).collect()}
+    via_float = {r["src"]: r["alloc"]
+                 for r in curation.budget_waterfill(
+                     base, "src", "weight", "cap", 200.0).collect()}
+    assert via_col == via_float
+
+
+def test_waterfill_rejects_bad_input(spark):
+    base = _wf_df(spark, WF_ROWS)
+    with pytest.raises(ValueError):
+        curation.budget_waterfill(base, "src", "weight", "cap", 0.0)
+    with pytest.raises(ValueError, match="alloc"):
+        curation.budget_waterfill(base.withColumn("alloc", F.lit(1.0)),
+                                  "src", "weight", "cap", 1.0)
+
+
+def test_token_budget_mix_semantics(spark):
+    rows = QUERIES["token_budget_mix"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    budget = 2.0 * sum(r["n_tokens"] for r in rows)
+    # capped rows sit exactly at 4 epochs; nothing exceeds the cap
+    for r in rows:
+        assert r["alloc_tokens"] <= r["cap_tokens"] + 1e-6
+        if r["capped"]:
+            assert r["epochs"] == pytest.approx(4.0, abs=1e-6)
+    # the budget is exhausted whenever any source is uncapped
+    if any(not r["capped"] for r in rows):
+        assert sum(r["alloc_tokens"] for r in rows) == pytest.approx(
+            budget, abs=1e-3)
+
+
+def test_soft_dedup_weights_unit_mass_per_cluster(spark):
+    rows = QUERIES["soft_dedup_weights"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        sizes = {m["cluster_size"] for m in members}
+        assert sizes == {len(members)}
+        assert sum(m["soft_weight"] for m in members) == pytest.approx(
+            1.0, abs=1e-6)
+
+
+@pytest.mark.parametrize("name", ["token_budget_mix",
+                                  "soft_dedup_weights"])
+def test_new_curation_consumers_stay_jvm_side(spark, name):
+    plan = _plan(QUERIES[name].spark(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_mix_budget_join_is_broadcast(spark):
+    # the 1-row budget frame rides a broadcast nested loop, and the
+    # allocator's windows run on the source-count-bounded frame only
+    plan = _plan(QUERIES["token_budget_mix"].spark(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 # ---------------------------------------------------------------------------
 # hypothesis random-corpus sweeps: curation ops vs python references
 # ---------------------------------------------------------------------------
@@ -438,6 +567,30 @@ try:
             assert got[k][1] == pytest.approx(want[k][1],
                                               abs=1e-12), (vecs, k)
             assert got[k][2] == want[k][2], (vecs, k)
+
+    _wf_row = st.tuples(st.integers(1, 8), st.integers(1, 50))
+    _wf_rows = st.lists(_wf_row, min_size=1, max_size=10)
+
+    @settings(max_examples=10, deadline=None)
+    @given(_wf_rows, st.integers(1, 600))
+    def test_waterfill_random_match_reference(raw, budget):
+        rows = [(f"s{i}", float(w), float(c))
+                for i, (w, c) in enumerate(raw)]
+        spark = _hyp_spark[0]
+        got = {r["src"]: (r["alloc"], r["capped"])
+               for r in curation.budget_waterfill(
+                   _wf_df(spark, rows), "src", "weight", "cap",
+                   float(budget)).collect()}
+        want = _waterfill_py(rows, float(budget))
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][1] == want[k][1], (rows, budget, k)
+            assert got[k][0] == pytest.approx(want[k][0],
+                                              abs=1e-9), (rows, budget, k)
+        # conservation: budget exhausted unless everything capped
+        if any(not c for _a, c in want.values()):
+            assert sum(a for a, _c in got.values()) == pytest.approx(
+                float(budget), abs=1e-4)
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass

@@ -8186,3 +8186,154 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return curation.semdedup(emb, "vec_id", "embedding",
                              n_seeds=8, threshold=0.4)
+
+
+@q("token_budget_mix", """
+WITH counts AS (
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens
+    FROM documents GROUP BY source),
+wt AS (SELECT source, n_tokens,
+              CAST(CASE (('0x' || substr(md5(source), 1, 8))::BIGINT % 4)
+                   WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+                   ELSE 8 END AS DOUBLE) AS weight,
+              CAST(4 AS DOUBLE) * n_tokens AS cap
+       FROM counts),
+tot AS (SELECT CAST(2 AS DOUBLE) * sum(n_tokens) AS b,
+               sum(weight) AS wsum
+        FROM wt),
+lev AS (SELECT wt.*, tot.b, tot.wsum, cap / weight AS r,
+               COALESCE(sum(cap) OVER (
+                   ORDER BY cap / weight, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS DOUBLE)) AS pc,
+               COALESCE(sum(weight) OVER (
+                   ORDER BY cap / weight, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS DOUBLE)) AS pw
+        FROM wt, tot),
+flags AS (SELECT *,
+                 min(CASE WHEN (b - pc) / (wsum - pw) > r
+                          THEN 1 ELSE 0 END) OVER (
+                     ORDER BY r, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 = 1 AS capped
+          FROM lev),
+fin AS (SELECT *,
+               (b - COALESCE(sum(CASE WHEN capped THEN cap END) OVER (),
+                             CAST(0 AS DOUBLE)))
+               / sum(CASE WHEN NOT capped THEN weight END) OVER () AS lam
+        FROM flags)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, weight,
+       CAST(cap AS BIGINT) AS cap_tokens,
+       round(CASE WHEN capped THEN cap ELSE lam * weight END, 6)
+           AS alloc_tokens,
+       round(round(CASE WHEN capped THEN cap ELSE lam * weight END, 6)
+             / n_tokens, 6) AS epochs,
+       capped
+FROM fin
+""", doc="Data-constrained token-budget allocation (Muennighoff et "
+         "al., 'Scaling Data-Constrained Language Models', NeurIPS "
+         "2023; operators/curation.budget_waterfill): each source "
+         "gets its mixture-weight share of a 2x-unique-tokens budget "
+         "but never more than 4 epochs of its own data (the paper's "
+         "repetition ceiling); overflow redistributes among uncapped "
+         "sources by weight — the water-filling allocation solved in "
+         "CLOSED FORM via one pass of prefix sums over the ratio "
+         "ordering (no iteration). Mixture weights are a "
+         "deterministic md5 bucket of the source name standing in "
+         "for an external DoReMi/manual mixture (1/2/4/8). With "
+         "integer-valued weights/caps/budget every cap decision "
+         "compares exactly-rounded IEEE quotients of exact integers "
+         "— bit-identical across engines. The allocator runs on the "
+         "SOURCE-count-bounded frame (house bounded-window pattern); "
+         "the budget derives in-frame via a 1-row broadcast "
+         "crossJoin, no driver action; the corpus is scanned once.")
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("__nt"))
+    counts = docs.groupBy("source").agg(
+        F.sum("__nt").cast("double").alias("n_tokens"))
+    bucket = (F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10)
+               .cast("bigint") % 4)
+    wt = (counts
+          .withColumn("weight",
+                      F.when(bucket == 0, 1.0).when(bucket == 1, 2.0)
+                       .when(bucket == 2, 4.0).otherwise(8.0))
+          .withColumn("cap_tokens", F.lit(4.0) * F.col("n_tokens")))
+    # budget = 2x the corpus's unique tokens, derived from the tiny
+    # source-level counts frame: 1-row broadcast crossJoin, no action.
+    tot = wt.agg((F.lit(2.0) * F.sum("n_tokens")).alias("__budget"))
+    alloc = curation.budget_waterfill(
+        wt.crossJoin(F.broadcast(tot)), "source", "weight", "cap_tokens",
+        F.col("__budget"))
+    return alloc.select(
+        "source", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "weight", F.col("cap_tokens").cast("bigint").alias("cap_tokens"),
+        F.col("alloc").alias("alloc_tokens"),
+        F.round(F.col("alloc") / F.col("n_tokens"), 6).alias("epochs"),
+        "capped")
+
+
+@q("soft_dedup_weights", """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+        FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       FROM idx),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lab) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+assigned AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM assigned GROUP BY cluster_id)
+SELECT doc_id, cluster_id, cluster_size,
+       round(CAST(1 AS DOUBLE) / CAST(cluster_size AS DOUBLE), 9)
+           AS soft_weight
+FROM assigned JOIN csz USING (cluster_id)
+""", doc="Soft deduplication (He et al. 2024, 'SoftDedup: an "
+         "Efficient Data Reweighting Method for Speeding Up Language "
+         "Model Pre-training'): instead of DROPPING near-duplicates, "
+         "keep every document and downweight by commonness — here "
+         "the reciprocal of its near-dup cluster size, so each "
+         "duplicate cluster contributes exactly one document's worth "
+         "of sampling mass (sum of weights per cluster = 1) and "
+         "singletons keep weight 1. Reuses the full dedup_clusters "
+         "pipeline (prefix-filtered exact Jaccard pairs -> "
+         "pointer-jumped CC); the size frame joins back by "
+         "cluster_id — AQE picks broadcast vs shuffle by its actual "
+         "size (cluster count is corpus-order, NOT bounded — no "
+         "forced broadcast). The oracle reproduces the clusters with "
+         "the recursive min-label CTE and the same reciprocal.")
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", threshold=0.5).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    assigned = (docs.join(comp, docs["doc_id"] == comp["node"], "left")
+                .select("doc_id",
+                        F.coalesce("component", "doc_id")
+                         .alias("cluster_id")))
+    csz = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (assigned.join(csz, "cluster_id")
+            .select("doc_id", "cluster_id", "cluster_size",
+                    F.round(F.lit(1.0) / F.col("cluster_size"), 9)
+                     .alias("soft_weight")))
