@@ -1987,6 +1987,18 @@ def test_plan_linter_all_queries(spark):
                                 # rows by construction); the corpus
                                 # itself never crosses a single-
                                 # partition exchange
+        "dsir_select",          # sample_rank stamp runs over the
+                                # TakeOrderedAndProject result (k=100
+                                # rows by construction — the corpus-
+                                # sized frame takes the partial top-k
+                                # path, pinned by test_dsir_global_
+                                # topk_is_take_ordered_not_global_
+                                # window)
+        "token_budget_mix",     # waterfill prefix sums run over the
+                                # per-SOURCE counts frame (<= a few
+                                # dozen rows; curation.budget_
+                                # waterfill's bounded-input contract),
+                                # never the corpus
     }
     cartesian_ok = {"join_cross"}
     failures = []
