@@ -285,8 +285,23 @@ def test_dsir_global_topk_is_take_ordered_not_global_window(spark):
 
 
 def test_semdedup_assignment_broadcasts_seed_frame(spark):
-    plan = _plan(QUERIES["semdedup_prune"].spark(spark, SF_SMOKE))
+    # checkpoint=False exposes the raw assignment plan: the k-row
+    # seed frame must ride a broadcast nested loop, never a cartesian
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = _plan(curation.semdedup(emb, "vec_id", "embedding",
+                                   n_seeds=8, threshold=0.4,
+                                   checkpoint=False))
     assert "BroadcastNestedLoopJoin" in plan  # k-row build side
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_materializes_assignment_once(spark):
+    # the assigned frame feeds three consumers; the default
+    # localCheckpoint collapses them onto one materialized RDD —
+    # without it the N*k assignment subtree plans 3x (measured)
+    plan = _plan(QUERIES["semdedup_prune"].spark(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan  # no recompute
+    assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
 
 

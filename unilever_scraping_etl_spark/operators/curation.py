@@ -267,7 +267,8 @@ _SEM_RESERVED = ("__e", "__sid", "__se", "__csim", "__rn")
 def semdedup(emb: DataFrame, id_col: str, vec_col: str,
              n_seeds: int = 8, threshold: float = 0.4,
              seeds: DataFrame | None = None,
-             round_centroid: int = 6, round_pair: int = 4) -> DataFrame:
+             round_centroid: int = 6, round_pair: int = 4,
+             checkpoint: bool = True) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): assign every vector to its most
     similar cluster seed, compare pairs ONLY within a cluster, and
     mark as ``removed`` every member of a duplicate pair (rounded
@@ -294,7 +295,13 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
     pathologically hot cluster should lower target cluster size (more
     seeds) or route through dedup.embedding_near_pairs_grid within
     the cluster. Cosines fold in doubles JVM-side (functions.vectors);
-    no driver collect, no Python row path.
+    no driver collect, no Python row path. The assigned frame feeds
+    THREE consumers (both pair-join sides + the output join), and
+    Spark does not reuse the exchange across them (measured: 3x the
+    N*k assignment subtree, 8 source scans in one plan), so by
+    default it is localCheckpointed once — the graph family's
+    iteration discipline; ``checkpoint=False`` opts out (plan-shape
+    tests, or callers managing their own persistence).
     """
     require_free_columns("semdedup", emb.columns, _SEM_RESERVED)
     require_free_columns("semdedup", emb.columns,
@@ -333,6 +340,9 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
                     .alias("cluster_id"),
                    F.max("__csim").alias("centroid_sim")))
     av = asg.join(v, id_col)
+    if checkpoint:
+        av = av.localCheckpoint()
+        asg = av.select(id_col, "cluster_id", "centroid_sim")
     a, b = av.alias("a"), av.alias("b")
     pair_cos = F.round(vectors.cosine(F.col("a.__e"), F.col("b.__e")),
                        round_pair)
