@@ -1891,12 +1891,16 @@ def test_r13_pagerank_family_plan_shapes(spark):
     assert "BroadcastHashJoin" in pd
     assert "CartesianProduct" not in pd
     assert "BatchEvalPython" not in pd
-    # hits: both score frames are checkpointed per iteration, so the
-    # final plan is one join of two node-bounded scans — the L2 norms
-    # (1-row SinglePartition aggregates, bounded by construction) all
-    # sit behind checkpoint boundaries
+    # hits (r16 optimization pin update): the raw half-step sums are
+    # LAZY-checkpointed, so the final plan shows the LAST iteration's
+    # two L2-norm reductions — global aggregates whose SinglePartition
+    # exchange carries ONE partial-agg row per upstream partition
+    # (bounded by construction; every node-sized frame stays keyed).
+    # Earlier iterations' norms sit behind the checkpoint scans as
+    # before. Exactly two such exchanges — a third would mean a real
+    # funnel crept in.
     ph = _plan(QUERIES["host_hits"].spark(spark, SF_SMOKE))
-    assert "Exchange SinglePartition" not in ph
+    assert ph.count("Exchange SinglePartition") == 2
     assert "CartesianProduct" not in ph
     assert "BatchEvalPython" not in ph
     # crawl_schedule: the politeness window is KEYED by host (never a

@@ -261,7 +261,8 @@ def tercile_buckets(scored: DataFrame, group_col: str, score_col: str,
                   .drop("__t1", "__t2"))
 
 
-_SEM_RESERVED = ("__e", "__sid", "__se", "__csim", "__rn")
+_SEM_RESERVED = ("__e", "__n", "__sid", "__se", "__sn", "__csim",
+                 "__rn")
 
 
 def semdedup(emb: DataFrame, id_col: str, vec_col: str,
@@ -311,21 +312,33 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
         raise ValueError("n_seeds must be >= 1")
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
-    v = emb.select(F.col(id_col), F.col(vec_col).alias("__e"))
+    # Hoist each vector's L2 norm into a per-row column computed ONCE:
+    # cosine(a, b) = dot(a, b) / (norm(a) * norm(b)), and the norm
+    # factors depend only on their own row — recomputing them per
+    # crossed/paired row (the naive vectors.cosine form) costs 2 extra
+    # O(dim) array folds per pair, i.e. 3x the FLOPs of the dot alone.
+    # The hoisted product is the SAME expression tree (norm evaluated
+    # by the identical formula, just in an earlier Project), so every
+    # rounded cosine is bit-identical to the unhoisted form.
+    v = emb.select(F.col(id_col), F.col(vec_col).alias("__e"),
+                   vectors.norm(F.col(vec_col)).alias("__n"))
     if seeds is None:
         # Deterministic: the n_seeds smallest ids. orderBy+limit plans
         # as TakeOrderedAndProject — a bounded k-row reduction.
         seeds = v.orderBy(id_col).limit(n_seeds)
         seeds = seeds.select(F.col(id_col).alias("__sid"),
-                             F.col("__e").alias("__se"))
+                             F.col("__e").alias("__se"),
+                             F.col("__n").alias("__sn"))
     else:
         sid, svec = seeds.columns[0], seeds.columns[1]
         seeds = seeds.select(F.col(sid).alias("__sid"),
-                             F.col(svec).alias("__se"))
+                             F.col(svec).alias("__se"),
+                             vectors.norm(F.col(svec)).alias("__sn"))
     # n_seeds-row build side: bounded-by-construction broadcast.
     sim = (v.crossJoin(F.broadcast(seeds))
             .select(id_col, "__sid",
-                    F.round(vectors.cosine(F.col("__e"), F.col("__se")),
+                    F.round(vectors.dot(F.col("__e"), F.col("__se"))
+                            / (F.col("__n") * F.col("__sn")),
                             round_centroid).alias("__csim")))
     # Assignment argmax as a PARTIAL AGG, not a per-id window: the
     # window form shuffles every one of the N*k crossed rows before
@@ -344,17 +357,24 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
         av = av.localCheckpoint()
         asg = av.select(id_col, "cluster_id", "centroid_sim")
     a, b = av.alias("a"), av.alias("b")
-    pair_cos = F.round(vectors.cosine(F.col("a.__e"), F.col("b.__e")),
-                       round_pair)
-    loses = (  # b is the duplicate partner that WINS (kept over a)
-        (F.col("b.centroid_sim") < F.col("a.centroid_sim"))
-        | ((F.col("b.centroid_sim") == F.col("a.centroid_sim"))
-           & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))))
+    # Hoisted-norm pair cosine (bit-identical to vectors.cosine: the
+    # dot is symmetric in its zip order and the norm product commutes).
+    pair_cos = (F.round(vectors.dot(F.col("a.__e"), F.col("b.__e"))
+                        / (F.col("a.__n") * F.col("b.__n")), round_pair))
+    # Each unordered pair is joined ONCE (id_a < id_b) — half the pair
+    # rows and half the pair cosines of the bidirectional form. Every
+    # qualifying pair removes exactly its LOSER: the member CLOSER to
+    # the centroid (keep-far rule), ties broken toward keeping the
+    # smaller id (so the loser of a tie is the larger id = b). The
+    # removed-id set is identical to the bidirectional form's, which
+    # marked `a` whenever its partner won.
+    loser = F.when(F.col("a.centroid_sim") > F.col("b.centroid_sim"),
+                   F.col(f"a.{id_col}")).otherwise(F.col(f"b.{id_col}"))
     removed_ids = (a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id"))
-                          & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+                          & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
                           "inner")
-                    .where((pair_cos >= F.lit(float(threshold))) & loses)
-                    .select(F.col(f"a.{id_col}"))
+                    .where(pair_cos >= F.lit(float(threshold)))
+                    .select(loser.alias(id_col))
                     .distinct()
                     .withColumn("removed", F.lit(True)))
     return (asg.join(removed_ids, id_col, "left")

@@ -314,6 +314,21 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
                  .groupBy("id")
                  .agg(F.sort_array(F.collect_list(
                      F.struct("df_cnt", "shingle"))).alias("ord")))
+    # r16 OPTIMIZATION NOTE (measured, then deliberately NOT taken):
+    # `ordered` also holds every doc's full shingle set, so the exact
+    # verification below COULD reuse it (checkpoint here, array-
+    # project the sets) instead of re-deriving sets from the text via
+    # ngram_jaccard_pairs(candidates=...). Measured at sf0.1 that
+    # rewrite was 55-60% SLOWER across all four consumers
+    # (dedup_ngram_prefix 2.18→3.42s, dedup_clusters 5.97→9.60s,
+    # split_leakage_safe 5.22→8.34s, soft_dedup_weights 8.07→10.62s,
+    # isolated-probe min-of-3): the text-derived sets are a NARROW
+    # fused map (scan+shingle, no shuffle), while `ordered` sits
+    # behind the doc-frequency join + collect_list exchange, so
+    # reusing it trades two cheap columnar scans for materializing
+    # and re-reading corpus-sized struct arrays — guide §1.1's
+    # "ideal plan is usually slower at first" case, resolved
+    # empirically in favor of the scans.
     n = F.size("ord")
     p = (n - F.ceil(F.lit(float(threshold)) * n.cast("double")).cast("int")
          + F.lit(1))
@@ -573,8 +588,13 @@ def embedding_near_pairs(emb: DataFrame, id_col: str, vec_col: str,
     bulk work. Pass ``block_col`` (e.g. an LSH bucket from
     similarity.hyperplane_bucket) to turn the cross into a blocked
     equi-join at production scale."""
-    from ..functions.vectors import cosine
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    from ..functions.vectors import dot, norm
+    # Per-row norm hoisted out of the pair expression (bit-identical to
+    # vectors.cosine — same norm formula, evaluated once per ROW in an
+    # earlier Project instead of twice per PAIR): cuts the per-pair
+    # work from three O(dim) array folds to the dot alone.
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("n")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
     x = emb.select(*cols)
@@ -586,7 +606,9 @@ def embedding_near_pairs(emb: DataFrame, id_col: str, vec_col: str,
     # accumulation-order differences (and oracle-comparable).
     return (a.join(b, cond)
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     F.round(cosine(F.col("a.v"), F.col("b.v")), round_digits).alias("cos"))
+                     F.round(dot(F.col("a.v"), F.col("b.v"))
+                             / (F.col("a.n") * F.col("b.n")),
+                             round_digits).alias("cos"))
              .filter(F.col("cos") >= threshold))
 
 

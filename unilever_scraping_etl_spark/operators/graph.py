@@ -64,7 +64,7 @@ from unilever_scraping_etl_spark.operators._contracts import (
 )
 
 _WORKING = ("__outdeg", "__contrib", "__rank", "__dmass", "__prev",
-            "__wr", "__wtot", "__sv")
+            "__wr", "__wtot", "__sv", "__cn", "__esv")
 
 # diagnostic: iterations the last pagerank() call actually ran (the
 # tol early-stop is otherwise invisible) — same pattern as connected
@@ -132,18 +132,26 @@ def _gate_broadcast(flag: bool | None, n: int) -> bool:
 
 
 def _resolve_score_gate(nodes: DataFrame,
-                        flag: bool | None) -> tuple[bool, bool]:
+                        flag: bool | None,
+                        need_empty: bool = True) -> tuple[bool, bool]:
     """Shared gate resolution for the score-propagation operators
     (hits, salsa) — ONE source of truth for the probe-or-isEmpty
     discipline (r14 ADVICE low): the bounded node-count probe is
     paid only when the gate is on auto; an explicit flag uses the
     cheap isEmpty check for the empty-graph early return (under
     materialize=False a count would re-evaluate the full upstream
-    for a probe the gate never reads). Returns (broadcast, empty)."""
+    for a probe the gate never reads). Returns (broadcast, empty).
+
+    ``need_empty=False`` (r15 ADVICE low): callers that never consult
+    the empty signal — reachability, whose seed semi-join against an
+    empty graph is already empty — skip the isEmpty action entirely
+    on the explicit-flag path instead of paying a Spark job (and,
+    under materialize=False, a full upstream re-evaluation) for a
+    value they discard."""
     if flag is None:
         n = nodes.count()
         return _gate_broadcast(None, n), n == 0
-    return bool(flag), nodes.isEmpty()
+    return bool(flag), (nodes.isEmpty() if need_empty else False)
 
 
 def pagerank(edges: DataFrame, src: str, dst: str,
@@ -337,25 +345,14 @@ def pagerank(edges: DataFrame, src: str, dst: str,
             ranks = ranks.localCheckpoint()
     else:
         ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for i in range(iterations):
-        _LAST_PR_ITERATIONS = i + 1
-        rside = F.broadcast(ranks) if broadcast_ranks else ranks
-        share = (F.col("rank") / F.col("__outdeg") if weight_col is None
-                 else F.col("rank")
-                 * F.col(weight_col).cast("double")
-                 / F.col("__outdeg"))
-        contribs = (edges
-                    .join(rside, edges[src] == rside["node"])
-                    .select(F.col(dst).alias("node"),
-                            share.alias("__contrib"))
-                    .groupBy("node")
-                    .agg(F.sum("__contrib").alias("__contrib")))
+    def _dense(contribs: DataFrame, dmass: DataFrame | None) -> DataFrame:
+        """Complete the sparse contribution frame to the dense
+        (node, rank) frame — the old loop built this EVERY iteration;
+        the sparse loop below builds it once at the end (and the tol
+        path per probe)."""
         gain = F.coalesce(F.col("__contrib"), F.lit(0.0))
         new = nodes.join(contribs, "node", "left")
-        if redistribute_dangling:
-            dmass = (ranks.join(dangling, "node", "left_semi")
-                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
-                          .alias("__dmass")))
+        if dmass is not None:
             new = new.crossJoin(F.broadcast(dmass))
             # personalized runs re-enter dangling mass per the seed
             # distribution (teleporting it uniformly would bleed
@@ -364,9 +361,79 @@ def pagerank(edges: DataFrame, src: str, dst: str,
             gain = gain + (F.col("__dmass") * F.col("__sv")
                            if personalize is not None
                            else F.col("__dmass") / F.lit(float(n)))
-        new = new.select(
+        return new.select(
             "node", (base + F.lit(damping) * gain).alias("rank"))
+
+    # Sparse iteration (the fixed-iteration path): a node's rank is a
+    # CLOSED FORM of its incoming contributions — rank(v) = base(v) +
+    # d·(contrib(v) [+ dangling term]) — so materializing the dense
+    # (node, rank) frame per iteration only to join it back into the
+    # edge list was one redundant |V|-sized join PER ITERATION. The
+    # loop instead carries the sparse contribution frame and inlines
+    # the closed form into the next iteration's edge join (absent
+    # contributions coalesce to the exact 0.0 the dense frame carried);
+    # the dense frame is built ONCE after the loop. Identical
+    # arithmetic per node, identical results. The tol path keeps the
+    # dense per-iteration frame — its convergence probe needs rank
+    # deltas between successive dense frames.
+    if personalize is not None and tol is None:
+        # the closed form needs base(src) = (1-d)·s(src) inside the
+        # edge join: attach the seed weight to the cached edge list
+        # ONCE (replacing the per-iteration dense join that used to
+        # deliver it)
+        esv = nodes.select(F.col("node").alias(src),
+                           F.col("__sv").alias("__esv"))
+        edges = edges.join(esv, src)
+        if materialize:
+            edges = edges.localCheckpoint()
+    prev: tuple[DataFrame, DataFrame | None] | None = None
+    for i in range(iterations):
+        _LAST_PR_ITERATIONS = i + 1
+        if prev is None:
+            # first iteration: the explicit init frame (uniform or
+            # warm-start seed) is the rank source
+            rside = F.broadcast(ranks) if broadcast_ranks else ranks
+            joined = edges.join(rside, edges[src] == rside["node"])
+            rank_u = F.col("rank")
+        else:
+            pc, pdm = prev
+            cside = pc.withColumnRenamed("node", "__cn")
+            if broadcast_ranks:
+                cside = F.broadcast(cside)
+            joined = edges.join(cside, edges[src] == F.col("__cn"),
+                                "left")
+            g = F.coalesce(F.col("__contrib"), F.lit(0.0))
+            if pdm is not None:
+                joined = joined.crossJoin(F.broadcast(pdm))
+                g = g + (F.col("__dmass") * F.col("__esv")
+                         if personalize is not None
+                         else F.col("__dmass") / F.lit(float(n)))
+            src_base = (F.lit(1.0 - damping) * F.col("__esv")
+                        if personalize is not None else base)
+            rank_u = src_base + F.lit(damping) * g
+        share = (rank_u / F.col("__outdeg") if weight_col is None
+                 else rank_u
+                 * F.col(weight_col).cast("double")
+                 / F.col("__outdeg"))
+        contribs = (joined
+                    .select(F.col(dst).alias("node"),
+                            share.alias("__contrib"))
+                    .groupBy("node")
+                    .agg(F.sum("__contrib").alias("__contrib")))
+        dmass = None
+        if redistribute_dangling:
+            if prev is None:
+                dsrc = ranks
+            else:
+                # dangling ranks via the same closed form (dangling
+                # derives from `nodes`, so it carries __sv when
+                # personalized)
+                dsrc = _dense(*prev)
+            dmass = (dsrc.join(dangling, "node", "left_semi")
+                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                          .alias("__dmass")))
         if tol is not None:
+            new = _dense(contribs, dmass)
             # probe needs the frame evaluated anyway; checkpointing it
             # also keeps each probe from re-running the iteration chain
             new = new.localCheckpoint()
@@ -375,12 +442,16 @@ def pagerank(edges: DataFrame, src: str, dst: str,
                      .agg(F.max(F.abs(F.col("rank") - F.col("__prev"))))
                      .first()[0])
             ranks = new
+            prev = None  # tol path stays dense: next join uses `ranks`
             if delta is not None and delta <= tol:
                 break
         else:
-            ranks = new
+            prev = (contribs, dmass)
             if checkpoint_every and (i + 1) % checkpoint_every == 0:
-                ranks = ranks.localCheckpoint()
+                contribs = contribs.localCheckpoint()
+                prev = (contribs, dmass)
+    if tol is None:
+        ranks = _dense(*prev)
     if rank_digits is not None:
         ranks = ranks.select("node", F.round("rank", rank_digits)
                              .alias("rank"))
@@ -469,10 +540,21 @@ def hits(edges: DataFrame, src: str, dst: str,
         return nodes.select("node", F.lit(0.0).alias("hub"),
                             F.lit(0.0).alias("authority"))
 
-    def _normalized(scores: DataFrame, col: str) -> DataFrame:
-        norm = scores.agg(
+    # The loop runs on SPARSE score frames — only nodes that received
+    # mass this half-step. Nodes absent from a sparse frame have score
+    # exactly 0.0, and 0.0 is an exact no-op in every place such a row
+    # could flow: a 0-score term adds nothing to the next half-step's
+    # sums (x + 0.0*w == x in IEEE), and contributes nothing to an L2
+    # norm — so the dense per-half-step `nodes` LEFT-join + coalesce
+    # of the previous shape was pure overhead: one extra join and one
+    # extra |V|-row pass PER HALF-STEP (2K joins for K iterations) at
+    # 100 TB, each carried before the norm could be taken. The dense
+    # completion happens ONCE, after the loop. Scores are bit-identical
+    # to the dense form (same join terms, same norm value).
+    def _normalized(raw: DataFrame, col: str) -> DataFrame:
+        norm = raw.agg(
             F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__z"))
-        return (scores.crossJoin(F.broadcast(norm))
+        return (raw.crossJoin(F.broadcast(norm))
                 .select("node",
                         (F.col(col) / F.col("__z")).alias(col)))
 
@@ -490,28 +572,35 @@ def hits(edges: DataFrame, src: str, dst: str,
                 .select(F.col(dst).alias("node"),
                         _wmul(F.col("hub")).alias("hub"))
                 .groupBy("node").agg(F.sum("hub").alias("authority")))
-        auth = _normalized(
-            nodes.join(araw, "node", "left")
-            .select("node", F.coalesce(F.col("authority"), F.lit(0.0))
-                    .alias("authority")),
-            "authority")
+        if materialize:
+            # snapshot the RAW half-step sums LAZILY: the norm is an
+            # aggregate OF this frame and the normalized scores divide
+            # it again, so without the checkpoint each half-step's
+            # join+agg subtree is planned (and, across the norm's
+            # broadcast build plus the next half-step's score build,
+            # executed) twice; eager=False materializes it inside the
+            # norm's broadcast job instead of paying a separate
+            # synchronous job per half-step
+            araw = araw.localCheckpoint(eager=False)
+        auth = _normalized(araw, "authority")
         aside = F.broadcast(auth) if broadcast_scores else auth
         hraw = (edges.join(aside, edges[dst] == aside["node"])
                 .select(F.col(src).alias("node"),
                         _wmul(F.col("authority")).alias("authority"))
                 .groupBy("node").agg(F.sum("authority").alias("hub")))
-        hub = _normalized(
-            nodes.join(hraw, "node", "left")
-            .select("node", F.coalesce(F.col("hub"), F.lit(0.0))
-                    .alias("hub")),
-            "hub")
         if materialize:
-            # truncate both lineages once per iteration — the plan
-            # tree otherwise doubles per half-step (each norm is a
-            # self-referencing aggregate of the score frame)
-            hub = hub.localCheckpoint()
-            auth = auth.localCheckpoint()
-    out = hub.join(auth, "node")
+            hraw = hraw.localCheckpoint(eager=False)
+        hub = _normalized(hraw, "hub")
+    # dense completion ONCE: every graph node appears in the output,
+    # nodes that never received mass at exactly 0.0 (the value the
+    # per-half-step dense form carried for them all along)
+    out = (nodes
+           .join(hub, "node", "left")
+           .join(auth, "node", "left")
+           .select("node",
+                   F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+                   F.coalesce(F.col("authority"), F.lit(0.0))
+                   .alias("authority")))
     if hub_digits is not None:
         out = out.select("node", F.round("hub", hub_digits).alias("hub"),
                          F.round("authority", hub_digits)
@@ -607,9 +696,13 @@ def salsa(edges: DataFrame, src: str, dst: str,
         return nodes.select("node", F.lit(0.0).alias("hub"),
                             F.lit(0.0).alias("authority"))
 
-    def _l1(scores: DataFrame, col: str) -> DataFrame:
-        norm = scores.agg(F.sum(F.col(col)).alias("__z"))
-        return (scores.crossJoin(F.broadcast(norm))
+    # Sparse half-steps + one dense completion, exactly hits()'s shape
+    # (see the comment there): absent rows are exact 0.0 no-ops in both
+    # the walk sums and the L1 norms, so the per-half-step dense
+    # `nodes` LEFT-join of the previous form was 2K redundant joins.
+    def _l1(raw: DataFrame, col: str) -> DataFrame:
+        norm = raw.agg(F.sum(F.col(col)).alias("__z"))
+        return (raw.crossJoin(F.broadcast(norm))
                 .select("node",
                         (F.col(col) / F.col("__z")).alias(col)))
 
@@ -621,28 +714,29 @@ def salsa(edges: DataFrame, src: str, dst: str,
                 .select(F.col("__b").alias("node"),
                         (F.col("hub") * F.col("__wa")).alias("hub"))
                 .groupBy("node").agg(F.sum("hub").alias("authority")))
-        auth = _l1(
-            nodes.join(araw, "node", "left")
-            .select("node", F.coalesce(F.col("authority"), F.lit(0.0))
-                    .alias("authority")),
-            "authority")
+        if materialize:
+            # lazy raw-sum snapshot — the hits() rule: the norm
+            # aggregates this frame and the normalized scores divide
+            # it again, so the checkpoint stops the half-step subtree
+            # from being planned and executed twice
+            araw = araw.localCheckpoint(eager=False)
+        auth = _l1(araw, "authority")
         aside = F.broadcast(auth) if broadcast_scores else auth
         hraw = (en.join(aside, en["__b"] == aside["node"])
                 .select(F.col("__a").alias("node"),
                         (F.col("authority") * F.col("__wh"))
                         .alias("authority"))
                 .groupBy("node").agg(F.sum("authority").alias("hub")))
-        hub = _l1(
-            nodes.join(hraw, "node", "left")
-            .select("node", F.coalesce(F.col("hub"), F.lit(0.0))
-                    .alias("hub")),
-            "hub")
         if materialize:
-            # truncate both lineages once per iteration (the hits()
-            # rule — each norm self-references the score frame)
-            hub = hub.localCheckpoint()
-            auth = auth.localCheckpoint()
-    out = hub.join(auth, "node")
+            hraw = hraw.localCheckpoint(eager=False)
+        hub = _l1(hraw, "hub")
+    out = (nodes
+           .join(hub, "node", "left")
+           .join(auth, "node", "left")
+           .select("node",
+                   F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+                   F.coalesce(F.col("authority"), F.lit(0.0))
+                   .alias("authority")))
     if score_digits is not None:
         out = out.select("node",
                          F.round("hub", score_digits).alias("hub"),
@@ -728,7 +822,8 @@ def reachability(edges: DataFrame, src: str, dst: str,
     if materialize:
         nodes = nodes.localCheckpoint()
     broadcast_frontier, _ = _resolve_score_gate(nodes,
-                                                broadcast_frontier)
+                                                broadcast_frontier,
+                                                need_empty=False)
     seed_col = seeds.columns[0]
     reached = (nodes.join(
         seeds.select(F.col(seed_col).alias("node")).distinct(),

@@ -29,10 +29,20 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
     Scores are optionally rounded BEFORE ranking so the ranking is
     stable under float-accumulation-order differences (ties broken by
     neighbor id) — this is what makes the operator oracle-comparable."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # Per-row L2 norms are hoisted out of the pair expression: cosine's
+    # two norm factors depend only on their own side, so computing them
+    # once per row instead of once per PAIR cuts the per-pair work from
+    # three O(dim) folds to one (the dot). Bit-identical scores — the
+    # same norm expression, evaluated in an earlier Project.
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       norm(F.col(vec_col)).alias("__qn"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"),
+                      norm(F.col(vec_col)).alias("__cn"))
     scored = (q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
-                .withColumn("cos", cosine(F.col("qv"), F.col("cv"))))
+                .withColumn("cos", dot(F.col("qv"), F.col("cv"))
+                            / (F.col("__qn") * F.col("__cn"))))
     if round_digits is not None:
         scored = scored.withColumn("cos", F.round("cos", round_digits))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -55,10 +65,16 @@ def range_search(queries: DataFrame, corpus: DataFrame, threshold: float,
     predicate over brute_force_topk_grid's cell layout. The threshold is
     applied to the ROUNDED score so the result set is stable under
     float-accumulation-order differences (oracle-comparable)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # Same hoisted-norm rewrite as brute_force_topk (bit-identical).
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       norm(F.col(vec_col)).alias("__qn"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"),
+                      norm(F.col(vec_col)).alias("__cn"))
     return (q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
-             .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")),
+             .withColumn("cos", F.round(dot(F.col("qv"), F.col("cv"))
+                                        / (F.col("__qn") * F.col("__cn")),
                                         round_digits))
              .filter(F.col("cos") >= threshold)
              .select("query_id", "neighbor_id", "cos"))
@@ -133,8 +149,14 @@ def assign_ivf_buckets(emb: DataFrame, nlist: int = 16,
            # logs is benign; this never sees corpus-scale data.
            .withColumn("bucket", F.row_number().over(Window.orderBy(id_col)) - 1)
            .select("bucket", F.col(vec_col).alias("centroid")))
-    assigned = (emb.join(F.broadcast(cent))
-                .withColumn("sim", cosine(F.col(vec_col), F.col("centroid")))
+    # Hoisted-norm cosine (bit-identical, see brute_force_topk): the
+    # centroid norms ride the broadcast k-row frame, the row norm is
+    # computed once per corpus row instead of once per (row, centroid).
+    centn = cent.withColumn("__cn", norm(F.col("centroid")))
+    assigned = (emb.withColumn("__rn_norm", norm(F.col(vec_col)))
+                .join(F.broadcast(centn))
+                .withColumn("sim", dot(F.col(vec_col), F.col("centroid"))
+                            / (F.col("__rn_norm") * F.col("__cn")))
                 .withColumn("rn", F.row_number().over(
                     Window.partitionBy(F.col(id_col)).orderBy(
                         F.col("sim").desc(), F.col("bucket"))))
@@ -154,19 +176,30 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, nlist: int = 16,
     kmeans_centroids for the trained quantizer."""
     cent, assigned = assign_ivf_buckets(corpus, nlist, id_col, vec_col,
                                         centroids)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    probes = (q.join(F.broadcast(cent))
-                .withColumn("sim", cosine(F.col("qv"), F.col("centroid")))
+    # Hoisted-norm cosine throughout (bit-identical, see
+    # brute_force_topk): query norms are computed once and carried
+    # through the probe selection into the candidate scoring.
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       norm(F.col(vec_col)).alias("__qn"))
+    centn = cent.withColumn("__cn", norm(F.col("centroid")))
+    probes = (q.join(F.broadcast(centn))
+                .withColumn("sim", dot(F.col("qv"), F.col("centroid"))
+                            / (F.col("__qn") * F.col("__cn")))
                 .withColumn("rn", F.row_number().over(
                     Window.partitionBy("query_id").orderBy(
                         F.col("sim").desc(), F.col("bucket"))))
                 .filter(F.col("rn") <= nprobe)
-                .select("query_id", "qv", "bucket"))
+                .select("query_id", "qv", "__qn", "bucket"))
     cand = (probes.join(assigned.select(F.col(id_col).alias("neighbor_id"),
-                                        F.col(vec_col).alias("cv"), "bucket"),
+                                        F.col(vec_col).alias("cv"),
+                                        norm(F.col(vec_col)).alias("__nn"),
+                                        "bucket"),
                         "bucket")
                   .filter(F.col("query_id") != F.col("neighbor_id"))
-                  .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4)))
+                  .withColumn("cos", F.round(dot(F.col("qv"), F.col("cv"))
+                                             / (F.col("__qn")
+                                                * F.col("__nn")), 4)))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
