@@ -201,7 +201,10 @@ def _reach_pairs(op: str, edges: DataFrame, src: str, dst: str,
                .join(seen.select("__u", "__v"), ["__u", "__v"],
                      "left_anti"))
         if materialize:
-            nxt = nxt.localCheckpoint()
+            # LAZY (r16): the isEmpty probe materializes the snapshot
+            # in its own job — no separate synchronous checkpoint job
+            # per BFS round
+            nxt = nxt.localCheckpoint(eager=False)
             if nxt.isEmpty():  # bounded probe: one boolean per round
                 break
         _LAST_HC_ROUNDS = t
@@ -416,6 +419,13 @@ def _hyperball_scan(op: str, edges: DataFrame, src: str, dst: str,
                 .groupBy("node", "__reg")
                 .agg(F.max("__val").alias("__val")))
         if materialize:
+            # EAGER kept deliberately (r16 measured): the lazy
+            # variant (regs+acc eager=False, 34→28 jobs) read ~0.8 s
+            # SLOWER at sf0.1 isolated min-of-4 (4.07→4.89 s) — this
+            # loop runs no per-round probe, so laziness defers every
+            # round's register fold into one deep final cascade whose
+            # nested materializations beat the dedicated parallel
+            # jobs' cost. Guide §1.1: measured beats ideal.
             regs = regs.localCheckpoint()
         cur = hll_ball_estimate(regs, p)
         acc = fold(acc, t, cur, prev)

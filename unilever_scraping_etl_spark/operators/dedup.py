@@ -248,6 +248,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     (for lower thresholds). tests/test_plans_scale.py pins this
     designation."""
     if candidates is not None:
+        # r16 OPTIMIZATION NOTE (measured, deliberately NOT taken):
+        # restricting the verify-set derivation to candidate ids via a
+        # semi-join (so the shingle map runs candidate-bounded instead
+        # of corpus-wide on both join sides) measured SLOWER here at
+        # sf0.1 in both variants tried — naive (keep-set recomputed
+        # the candidate pipeline: 3.46→5.04 s steady) and with a lazy
+        # localCheckpoint of the candidates frame (3.46→4.9 s
+        # fresh-build; the materialization job + extra join plumbing
+        # outweigh the ~1.4 s of shingle work saved on a 5k-doc
+        # corpus). The narrow corpus-wide shingle map is simply cheap
+        # relative to a checkpoint barrier at this shape. At a true
+        # 100 TB corpus-to-candidate ratio the semi-join form wins;
+        # revisit if the fixture corpus grows. Guide §1.1: measured
+        # beats ideal.
         sets = df.select(F.col(id_col).alias("id"),
                          shingles(F.col(text_col), shingle_n).alias("sh"))
         a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))

@@ -435,8 +435,11 @@ def pagerank(edges: DataFrame, src: str, dst: str,
         if tol is not None:
             new = _dense(contribs, dmass)
             # probe needs the frame evaluated anyway; checkpointing it
-            # also keeps each probe from re-running the iteration chain
-            new = new.localCheckpoint()
+            # also keeps each probe from re-running the iteration
+            # chain. LAZY (r16): the delta probe right below
+            # materializes it in its own job — no separate
+            # synchronous checkpoint job per probed iteration
+            new = new.localCheckpoint(eager=False)
             delta = (new.join(ranks.withColumnRenamed("rank", "__prev"),
                               "node")
                      .agg(F.max(F.abs(F.col("rank") - F.col("__prev"))))
@@ -829,7 +832,9 @@ def reachability(edges: DataFrame, src: str, dst: str,
         seeds.select(F.col(seed_col).alias("node")).distinct(),
         "node", "left_semi"))
     if materialize:
-        reached = reached.localCheckpoint()
+        # lazy: the until_stable baseline count (or round 1's semi-join
+        # side / broadcast build) materializes it — no dedicated job
+        reached = reached.localCheckpoint(eager=False)
     global _LAST_REACH_ROUNDS, _LAST_REACH_CONVERGED
     executed, converged = 0, None
     n_prev = reached.count() if until_stable else None
@@ -841,7 +846,12 @@ def reachability(edges: DataFrame, src: str, dst: str,
                 .select(F.col("__b").alias("node")))
         reached = reached.union(step).distinct()
         if materialize:
-            reached = reached.localCheckpoint()
+            # LAZY (r16): under until_stable the count probe right
+            # below materializes the snapshot in ITS job instead of a
+            # separate synchronous one per round (the CC discipline);
+            # under fixed rounds the chain materializes once inside
+            # the consumer's action cascade.
+            reached = reached.localCheckpoint(eager=False)
         executed += 1
         if until_stable:
             n_now = reached.count()  # monotone: unchanged == closed
@@ -938,7 +948,10 @@ def label_propagation(edges: DataFrame, src: str, dst: str,
                               F.col("community").alias("l")))
             .alias("community"))
         if materialize:
-            labels = labels.localCheckpoint()
+            # LAZY (r16): materializes inside the next iteration's
+            # broadcast build (or the consumer's action) — the eager
+            # form paid one synchronous job per iteration
+            labels = labels.localCheckpoint(eager=False)
     return labels.select("node", "community")
 
 
@@ -1163,7 +1176,10 @@ def k_core(edges: DataFrame, src: str, dst: str, k: int,
         survivors = (_alive_degrees(survivors)
                      .filter(F.col("degree") >= k).select("node"))
         if materialize:
-            survivors = survivors.localCheckpoint()
+            # LAZY (r16): the stability probe (or the next round's
+            # semi-join sides) materializes the snapshot inside its
+            # own job — one job per peel round instead of two
+            survivors = survivors.localCheckpoint(eager=False)
         executed += 1
         if until_stable:
             n_now = survivors.count()  # bounded probe: one scalar
@@ -1403,7 +1419,9 @@ def core_number(edges: DataFrame, src: str, dst: str,
                                    F.col("__c")))
                      .alias("__c")))
         if materialize:
-            vals = vals.localCheckpoint()
+            # LAZY (r16): the sum probe (or next round's join side)
+            # materializes it — one job per H-index round, not two
+            vals = vals.localCheckpoint(eager=False)
         executed += 1
         if until_stable:
             # monotone non-increasing values: an unchanged sum means
