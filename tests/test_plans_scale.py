@@ -145,14 +145,15 @@ def test_dedup_embedding_lsh_guard_plan_shape(spark):
 def test_rerank_topk_plan_shape(spark):
     """The registered rerank_topk must keep the two-stage-retrieval
     cost model visible in the plan: bounded candidates through
-    broadcast payload joins (no cartesian), ONE Arrow stage for the
-    cross-scorer, and the per-query top-m as a Partial+Final
+    broadcast payload joins (no cartesian), ZERO Python stages (the
+    default cross-scorer is built-in expressions since r16 — was ONE
+    ArrowEvalPython), and the per-query top-m as a Partial+Final
     WindowGroupLimit pair around a single query_id exchange — the
     shape that makes the expensive stage scale with query load, never
     the corpus."""
     plan = _plan(QUERIES["rerank_topk"].spark(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
-    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("ArrowEvalPython") == 0
     assert plan.count("WindowGroupLimit") == 2  # Partial + Final
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastHashJoin" in plan

@@ -126,17 +126,57 @@ def test_rerank_tie_break_by_neighbor_id(spark):
 
 
 def test_rerank_plan_shape(spark):
-    """Arrow-batched scorer (never BatchEvalPython), window partitioned
-    by query (never global), no cartesian product."""
+    """Default scorer runs as BUILT-IN expressions — NO Python
+    boundary at all (r16; was an Arrow-batched pandas UDF, eliminated
+    per the guide's UDF rule since token-set F1 is expressible with
+    array functions, verified bit-identical). Window partitioned by
+    query (never global), no cartesian product."""
     docs = _mk_corpus(spark)
     cand = _mk_candidates(spark)
     df = rerank.rerank_topk(cand, docs, docs, m=2,
                             queries_id="doc_id", corpus_id="doc_id")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" in plan
+    assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition(query_id" in plan
+
+
+def test_rerank_injected_scorer_plan_is_arrow(spark):
+    """An INJECTED scorer still rides the Arrow-batched pandas-UDF
+    path (never BatchEvalPython) — the injectability contract is
+    unchanged by the builtin default."""
+    docs = _mk_corpus(spark)
+    cand = _mk_candidates(spark)
+    df = rerank.rerank_topk(cand, docs, docs, m=2,
+                            scorer=rerank.token_overlap_scorer,
+                            queries_id="doc_id", corpus_id="doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rerank_builtin_default_matches_pandas_scorer_exactly(spark):
+    """The builtin default and an explicitly injected
+    token_overlap_scorer must agree BIT-FOR-BIT (no rounding) —
+    including whitespace runs, leading/trailing whitespace, empty,
+    NULL, and case-folding payloads."""
+    rows = [(1, "apple banana cherry"), (2, "  apple\tbanana  "),
+            (3, ""), (4, None), (5, "APPLE Apple apple"),
+            (6, "a  b   c"), (7, "\n\napple\n"), (8, "date fig")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = docs.select(F.col("doc_id").alias("query_id")).crossJoin(
+        docs.select(F.col("doc_id").alias("neighbor_id")))
+    kw = dict(queries_id="doc_id", corpus_id="doc_id",
+              round_digits=None)
+    new = (rerank.rerank_topk(cand, docs, docs, m=8, **kw)
+           .toPandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    old = (rerank.rerank_topk(cand, docs, docs, m=8,
+                              scorer=rerank.token_overlap_scorer, **kw)
+           .toPandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(new, old)
 
 
 def test_retrieve_and_rerank_end_to_end(spark):
