@@ -1005,6 +1005,23 @@ def test_simhash_band_recall_complete_at_max_hamming(spark):
         assert banded == truth, f"max_hamming={h}"
 
 
+def test_connected_components_jumps_param(spark):
+    """r16 optimization knob: extra pointer jumps per round quarter the
+    label paths on CHAIN-bound graphs (rounds ~log_{2^jumps}(d)) and
+    never change the labels. Pins the measured 8 -> 5 round drop on the
+    256-chain for jumps=2 and the jumps >= 1 validation."""
+    import pytest as _pytest
+
+    d = 256
+    edges = spark.range(d).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    out = dedup.connected_components(edges, "id_a", "id_b", jumps=2)
+    assert out.filter("component = 0").count() == d + 1
+    assert dedup._LAST_CC_ROUNDS == 5, dedup._LAST_CC_ROUNDS
+    with _pytest.raises(ValueError, match="jumps must be >= 1"):
+        dedup.connected_components(edges, "id_a", "id_b", jumps=0)
+
+
 def test_connected_components_raises_when_unconverged(spark):
     # A long-diameter chain with too few rounds must raise, not return
     # silently-wrong labels (min-label propagation moves one hop/round).

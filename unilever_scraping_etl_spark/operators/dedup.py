@@ -807,7 +807,8 @@ convergence tests — not part of the operator contract."""
 
 def connected_components(edges: DataFrame, src: str, dst: str,
                          max_iterations: int = 30,
-                         algorithm: str = "pointer_jump") -> DataFrame:
+                         algorithm: str = "pointer_jump",
+                         jumps: int = 1) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     min-label propagation: every node starts labeled with
     min(own id, min neighbor id) — a free one-hop head start, since
@@ -859,7 +860,19 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     instead of d (Kiveris et al., "Connected Components in MapReduce
     and Beyond", SoCC 2014 — same round bound as large-star/small-star
     with a simpler per-round shape; r4 verdict flagged diameter-bound
-    rounds as the 100 TB risk). The jump preserves correctness: a
+    rounds as the 100 TB risk). ``jumps`` applies the shortcut that
+    many times per round — on LABEL-CHAIN-bound graphs (long paths
+    with monotone ids) paths shrink 2^jumps x per round, so rounds
+    fall to ~log_{2^jumps}(d): measured 8 -> 5 -> 4 rounds on the
+    256-chain for jumps 1/2/3. The default stays 1 because real dedup
+    pair graphs are HOP-bound, not chain-bound (r16 OPTIMIZATION,
+    measured + simulated on the sf0.1 embedding pair graph: 10 rounds
+    regardless of jumps — labels point at nearby LOCAL minima whose
+    own labels are self-referential until the true minimum arrives
+    hop by hop, so extra jumps buy nothing and each costs a
+    |nodes|-row self-join per round). For a long-diameter graph,
+    prefer ``algorithm="star"`` first; raise ``jumps`` only when
+    measurement shows label chains are the binding constraint. The jump preserves correctness: a
     node's label is always the id of a node in the SAME component
     (edges never cross components, initial labels are own ids), so
     label(label(n)) is too, and min-labels only decrease. A converged
@@ -887,6 +900,8 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     if algorithm != "pointer_jump":
         raise ValueError(f"unknown algorithm {algorithm!r}: expected "
                          f"'pointer_jump' or 'star'")
+    if jumps < 1:
+        raise ValueError("jumps must be >= 1")
     sym = directed.union(directed.select(F.col("b").alias("a"),
                                          F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint()  # reused every round — cut the upstream plan
@@ -914,17 +929,31 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         # from the same closed node set), so the left join misses only
         # when component == node already (self-label) — coalesce keeps
         # it. least() guards the (impossible by monotonicity, cheap to
-        # pin) case of a jump ever increasing a label.
-        jmp = hopped.select(F.col("node").alias("jnode"),
-                            F.col("component").alias("jcomp"))
-        new_labels = (hopped.join(
-                          jmp, hopped["component"] == jmp["jnode"], "left")
-                      .select(hopped["node"],
-                              F.least(
-                                  hopped["component"],
-                                  F.coalesce(jmp["jcomp"],
-                                             hopped["component"]))
-                               .alias("component")))
+        # pin) case of a jump ever increasing a label. Applied ``jumps``
+        # times per round (r16 optimization): each application composes
+        # the label table with itself, so label paths shrink by
+        # 2^jumps per round and convergence takes ~log_{2^jumps}(d)
+        # EDGE-JOIN rounds instead of log2(d) — each extra jump is one
+        # |nodes|-row self-join, far cheaper than the |edges|-row hop
+        # shuffle (and, locally, than a full round's job barrage) it
+        # replaces. Correctness is round-count-independent: every jump
+        # preserves "label = id of a node in the same component" and
+        # labels only decrease, so the fixed point (and the sum-based
+        # convergence test below) is the same for any jumps >= 1.
+        new_labels = hopped
+        for _ in range(jumps):
+            jmp = new_labels.select(F.col("node").alias("jnode"),
+                                    F.col("component").alias("jcomp"))
+            new_labels = (new_labels.join(
+                              jmp,
+                              new_labels["component"] == jmp["jnode"],
+                              "left")
+                          .select(new_labels["node"],
+                                  F.least(
+                                      new_labels["component"],
+                                      F.coalesce(jmp["jcomp"],
+                                                 new_labels["component"]))
+                                   .alias("component")))
         new_labels = new_labels.localCheckpoint(eager=False)
         cur = tuple(new_labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")),

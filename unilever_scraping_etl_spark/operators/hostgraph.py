@@ -436,7 +436,8 @@ def _rep_like(path: Column) -> Column:
 
 
 def robots_decisions(rules: DataFrame, urls: DataFrame, agent: str,
-                     url_col: str = "url") -> DataFrame:
+                     url_col: str = "url",
+                     materialize: bool = True) -> DataFrame:
     """Evaluate ``parse_robots`` output against a URL frontier for one
     crawler product token — RFC 9309 §2.2.1/§2.2.2 semantics:
 
@@ -468,7 +469,21 @@ def robots_decisions(rules: DataFrame, urls: DataFrame, agent: str,
     the winner is a partial-aggregatable ``min_by`` over
     ``struct(-pattern_length, rule)`` — 'allow' < 'disallow'
     byte-wise, so the struct min IS the spec's tie-break — never a
-    window over the frontier."""
+    window over the frontier.
+
+    ``materialize`` (default True; r16 OPTIMIZATION): the frontier
+    frame feeds TWO consumers here — the rule-candidate join and the
+    final decision left-join — and Catalyst's exchange reuse is free
+    to decline to share them (measured declined in frontier_plan:
+    the full sitemap-parse → canonical_url → distinct subtree,
+    interpreted-HOF-heavy, appeared twice in the physical plan), so
+    the annotated frontier is snapshotted once with a LAZY
+    localCheckpoint (it materializes inside the first consumer's
+    job — no extra synchronous job) and both consumers read the
+    snapshot. Frontier-sized, the same bound the join itself
+    carries. Skipped automatically for streaming inputs
+    (localCheckpoint is a batch-only API); pass ``False`` for
+    plan-shape tests or callers managing their own persistence."""
     require_free_columns("robots_decisions", urls.columns,
                          ("__target", "__like", "__len", "__pick",
                           "host", "allowed"), kind="output")
@@ -497,6 +512,8 @@ def robots_decisions(rules: DataFrame, urls: DataFrame, agent: str,
                          F.lit("")),
                      F.lit("/")),
                  r"^(\?)", r"/$1")))
+    if materialize and not u.isStreaming:
+        u = u.localCheckpoint(eager=False)
     cand = (u.select(url_col, "host", "__target")
             .join(F.broadcast(active), "host")
             .filter(F.like(F.col("__target"), _rep_like(F.col("path")),

@@ -2885,7 +2885,19 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.embedding_near_pairs_grid(
         emb, "vec_id", "embedding", threshold=0.4,
         n_blocks=similarity.adaptive_n_blocks(emb)).select("id_a", "id_b")
-    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    # algorithm="star" (r16 OPTIMIZATION, measured): the 0.4-threshold
+    # embedding pair graph is sparse with many local-minimum labels
+    # (268 components, diameter ~22 at sf0.1), where min-label
+    # propagation is HOP-bound — pointer jumping cannot accelerate it
+    # (10 rounds with 1, 2, or 3 jumps/round; simulated AND engine-
+    # measured) — while star contraction converges in 5 rounds.
+    # Isolated A/B at sf0.1: star 2.96-4.06 s vs pointer 5.61+ s,
+    # labels identical (both yield the component min). The ngram-pair
+    # consumers keep pointer_jump: their bushy duplicate-clique graphs
+    # converge in 2 rounds, where star's pricier rounds lose
+    # (measured, same session: 1.6-2.6 s vs 2.9-6.9 s).
+    comp = dedup.connected_components(pairs, "id_a", "id_b",
+                                      algorithm="star")
     return (emb.join(comp, emb["vec_id"] == comp["node"], "left")
             .select(emb["vec_id"],
                     F.coalesce("component", "vec_id").alias("cluster_id"))
