@@ -269,7 +269,8 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
              n_seeds: int = 8, threshold: float = 0.4,
              seeds: DataFrame | None = None,
              round_centroid: int = 6, round_pair: int = 4,
-             checkpoint: bool = True) -> DataFrame:
+             checkpoint: bool = True,
+             pairs: str = "gemm") -> DataFrame:
     """SemDeDup (Abbas et al. 2023): assign every vector to its most
     similar cluster seed, compare pairs ONLY within a cluster, and
     mark as ``removed`` every member of a duplicate pair (rounded
@@ -291,18 +292,39 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
     the assignment crossJoin is a broadcast nested loop over a
     k-row build side (k scales with corpus size / target cluster
     size in real use, k = corpus/centroid fit, never corpus-sized).
-    The pair comparison is an equi-join ON cluster_id — SemDeDup's
+    The pair comparison runs ONLY within a cluster — SemDeDup's
     entire point is that clusters bound the quadratic term; a
-    pathologically hot cluster should lower target cluster size (more
-    seeds) or route through dedup.embedding_near_pairs_grid within
-    the cluster. Cosines fold in doubles JVM-side (functions.vectors);
-    no driver collect, no Python row path. The assigned frame feeds
-    THREE consumers (both pair-join sides + the output join), and
-    Spark does not reuse the exchange across them (measured: 3x the
-    N*k assignment subtree, 8 source scans in one plan), so by
-    default it is localCheckpointed once — the graph family's
-    iteration discipline; ``checkpoint=False`` opts out (plan-shape
-    tests, or callers managing their own persistence).
+    pathologically hot cluster should lower target cluster size
+    (more seeds). ``pairs`` selects its kernel (r16 OPTIMIZATION):
+
+    - ``"gemm"`` (default): one Arrow-batched task per cluster
+      (grouped applyInPandas) whose single numpy GEMM scores the
+      block and emits each pair's loser directly — the paper's own
+      within-cluster matrix product, and the engine's established
+      BLAS lane (dedup.embedding_near_pairs_grid has shipped the
+      same kernel family against the same sequential-fold oracle
+      since r9). Measured at sf0.1 (2000 x 64, 8 clusters): the
+      pair stage fell 3.5 s -> 0.35 s — the expression form's
+      ~250k interpreted higher-order-function dot products (HOFs
+      never whole-stage-codegen) were the whole cost. The loser set
+      is unique per cluster by construction, so the cross-pair
+      ``distinct`` exchange disappears too.
+    - ``"expr"``: the previous pure-expression equi-join kernel
+      (JVM-only row path; keep for plan-shape comparisons or
+      clusters too large for one task, where the caller should
+      REALLY be raising n_seeds).
+
+    Cosines divide the raw dot by the norm product in both kernels
+    (the oracle's exact op tree); the GEMM accumulates the dot in
+    fp64 BLAS order, which the round-4 threshold absorbs on every
+    measured corpus (same exposure as the grid-GEMM dedup queries,
+    oracle-green at both scales). No driver collect anywhere. The
+    assigned frame feeds multiple consumers and Spark does not
+    reuse the exchange across them (measured: 3x the N*k assignment
+    subtree, 8 source scans in one plan), so by default it is
+    localCheckpointed once — the graph family's iteration
+    discipline; ``checkpoint=False`` opts out (plan-shape tests, or
+    callers managing their own persistence).
     """
     require_free_columns("semdedup", emb.columns, _SEM_RESERVED)
     require_free_columns("semdedup", emb.columns,
@@ -312,6 +334,8 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
         raise ValueError("n_seeds must be >= 1")
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    if pairs not in ("gemm", "expr"):
+        raise ValueError(f"pairs must be 'gemm' or 'expr', got {pairs!r}")
     # Hoist each vector's L2 norm into a per-row column computed ONCE:
     # cosine(a, b) = dot(a, b) / (norm(a) * norm(b)), and the norm
     # factors depend only on their own row — recomputing them per
@@ -356,31 +380,85 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
     if checkpoint:
         av = av.localCheckpoint()
         asg = av.select(id_col, "cluster_id", "centroid_sim")
-    a, b = av.alias("a"), av.alias("b")
-    # Hoisted-norm pair cosine (bit-identical to vectors.cosine: the
-    # dot is symmetric in its zip order and the norm product commutes).
-    pair_cos = (F.round(vectors.dot(F.col("a.__e"), F.col("b.__e"))
-                        / (F.col("a.__n") * F.col("b.__n")), round_pair))
-    # Each unordered pair is joined ONCE (id_a < id_b) — half the pair
-    # rows and half the pair cosines of the bidirectional form. Every
-    # qualifying pair removes exactly its LOSER: the member CLOSER to
-    # the centroid (keep-far rule), ties broken toward keeping the
-    # smaller id (so the loser of a tie is the larger id = b). The
-    # removed-id set is identical to the bidirectional form's, which
-    # marked `a` whenever its partner won.
-    loser = F.when(F.col("a.centroid_sim") > F.col("b.centroid_sim"),
-                   F.col(f"a.{id_col}")).otherwise(F.col(f"b.{id_col}"))
-    removed_ids = (a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id"))
-                          & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-                          "inner")
-                    .where(pair_cos >= F.lit(float(threshold)))
-                    .select(loser.alias(id_col))
-                    .distinct()
-                    .withColumn("removed", F.lit(True)))
+    if pairs == "gemm":
+        removed_ids = _semdedup_prune_gemm(av, id_col, float(threshold),
+                                           round_pair)
+    else:
+        a, b = av.alias("a"), av.alias("b")
+        # Hoisted-norm pair cosine (bit-identical to vectors.cosine:
+        # the dot is symmetric in its zip order and the norm product
+        # commutes).
+        pair_cos = (F.round(vectors.dot(F.col("a.__e"), F.col("b.__e"))
+                            / (F.col("a.__n") * F.col("b.__n")),
+                            round_pair))
+        # Each unordered pair is joined ONCE (id_a < id_b) — half the
+        # pair rows and half the pair cosines of the bidirectional
+        # form. Every qualifying pair removes exactly its LOSER: the
+        # member CLOSER to the centroid (keep-far rule), ties broken
+        # toward keeping the smaller id (so the loser of a tie is the
+        # larger id = b). The removed-id set is identical to the
+        # bidirectional form's, which marked `a` whenever its partner
+        # won.
+        loser = F.when(F.col("a.centroid_sim") > F.col("b.centroid_sim"),
+                       F.col(f"a.{id_col}")).otherwise(F.col(f"b.{id_col}"))
+        removed_ids = (a.join(b,
+                              (F.col("a.cluster_id")
+                               == F.col("b.cluster_id"))
+                              & (F.col(f"a.{id_col}")
+                                 < F.col(f"b.{id_col}")),
+                              "inner")
+                       .where(pair_cos >= F.lit(float(threshold)))
+                       .select(loser.alias(id_col))
+                       .distinct())
+    removed_ids = removed_ids.withColumn("removed", F.lit(True))
     return (asg.join(removed_ids, id_col, "left")
                .select(id_col, "cluster_id", "centroid_sim",
                        F.coalesce(F.col("removed"), F.lit(False))
                         .alias("removed")))
+
+
+def _semdedup_prune_gemm(av: DataFrame, id_col: str, threshold: float,
+                         round_pair: int) -> DataFrame:
+    """The within-cluster duplicate-pair loser set as one numpy GEMM
+    per cluster (grouped applyInPandas — the Arrow lane the plan
+    linter admits; never row-at-a-time Python). Input ``av`` carries
+    ``(id_col, cluster_id, centroid_sim, __e)``; output is one row per
+    REMOVED id, already unique (clusters partition the ids and each
+    kernel emits np.unique losers, so no cross-task distinct is
+    needed). Semantics mirror the expression kernel exactly: rows sort
+    by id inside the kernel, so for every in-cluster pair (i < j by
+    id) with round(dot/(n_i*n_j), round_pair) >= threshold the loser
+    is i when centroid_sim_i > centroid_sim_j else j (keep-far rule,
+    ties keep the smaller id). Memory per task is the cluster's
+    pair matrix — SemDeDup's own quadratic bound; a hot cluster
+    means n_seeds is too small for the corpus."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = av.select(id_col).schema[0]
+    out_schema = T.StructType([id_field])
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({id_col: pdf[id_col][:0]})
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        cs = pdf["centroid_sim"].to_numpy()
+        m = np.vstack(pdf["__e"].to_numpy()).astype("float64")
+        # __n is the JVM-side sequential-fold norm carried on the row —
+        # reusing it (rather than renorming here) keeps the cosine's op
+        # tree identical to the expression kernel's dot/(n_i*n_j)
+        # except for the GEMM's dot accumulation order.
+        n = pdf["__n"].to_numpy()
+        cos = np.round((m @ m.T) / np.outer(n, n), round_pair)
+        ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+        losers = np.where(cs[ii] > cs[jj], ids[ii], ids[jj])
+        return pd.DataFrame({id_col: np.unique(losers)})
+
+    return (av.select("cluster_id", id_col, "centroid_sim", "__e", "__n")
+            .groupBy("cluster_id")
+            .applyInPandas(lambda _k, pdf: prune(pdf), out_schema))
 
 
 _WF_RESERVED = ("__r", "__pc", "__pw", "__wsum")

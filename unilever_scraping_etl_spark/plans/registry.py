@@ -6725,7 +6725,15 @@ def _topic_authorities_oracle() -> str:
        "boundary shifts every score and fails the hash.")
 def topic_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = _host_fixture_records(spark, sf_dir, "spark_topic_")
-    edges_all = _host_edges(records)
+    # The host edge list fans out to FOUR consumers below (root
+    # out/in-neighbor joins + both induced-subgraph semi-joins), and
+    # the root set to three — each re-evaluation re-runs the WARC
+    # mapInPandas parse resp. the documents token scan, and exchange
+    # reuse does not cover the broadcast-build sides. Both frames are
+    # host-bounded (≤ 20 rows), so snapshot each once (lazy — they
+    # materialize inside the first consumer's job). r16 OPTIMIZATION:
+    # isolated probe 5.27 s / 64 jobs -> see OPTIMIZATION_r16.md.
+    edges_all = _host_edges(records).localCheckpoint(eager=False)
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     host = F.concat(F.lit("h"),
                     (F.col("doc_id") % 20).cast("string"),
@@ -6737,7 +6745,7 @@ def topic_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("m"))
                 .groupBy("host").agg(F.sum("m").alias("c")))
     roots = (per_host.orderBy(F.col("c").desc(), "host").limit(3)
-             .select("host"))
+             .select("host").localCheckpoint(eager=False))
     out_n = (edges_all
              .join(F.broadcast(roots.withColumnRenamed("host", "src")),
                    "src")
@@ -6747,7 +6755,8 @@ def topic_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "dst")
             .select(F.col("src").alias("node")))
     base = (roots.select(F.col("host").alias("node"))
-            .union(out_n).union(in_n).distinct())
+            .union(out_n).union(in_n).distinct()
+            .localCheckpoint(eager=False))
     induced = (edges_all
                .join(F.broadcast(base.withColumnRenamed("node", "src")),
                      "src", "left_semi")
@@ -8343,9 +8352,17 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id",
                         F.coalesce("component", "doc_id")
                          .alias("cluster_id")))
-    csz = assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size"))
-    return (assigned.join(csz, "cluster_id")
+    # Cluster size as a WINDOW over the same key (r16 OPTIMIZATION)
+    # instead of groupBy + join-back: the aggregate-and-rejoin form
+    # referenced `assigned` twice — and `assigned` re-derives the
+    # docs ⋈ components join each time — while the window shares one
+    # cluster_id exchange with the size computation and evaluates the
+    # upstream once. Rows identical (measured equal; isolated A/B
+    # min-of-4: 5.19 s vs 5.75 s at sf0.1).
+    w = Window.partitionBy("cluster_id")
+    return (assigned
+            .select("doc_id", "cluster_id",
+                    F.count(F.lit(1)).over(w).alias("cluster_size"))
             .select("doc_id", "cluster_id", "cluster_size",
                     F.round(F.lit(1.0) / F.col("cluster_size"), 9)
                      .alias("soft_weight")))
