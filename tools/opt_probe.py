@@ -27,7 +27,9 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plans", default=None,
-                    help="write plans/r16/<q>_<SUFFIX>.txt per query")
+                    help="write plans/<round>/<q>_<SUFFIX>.txt per query")
+    ap.add_argument("--round", default="r17",
+                    help="plans/ subdirectory for --plans output")
     args = ap.parse_args()
 
     import pandas as pd
@@ -50,7 +52,8 @@ def main() -> None:
     ten.mapInPandas(lambda it: it, "id long, g long").count()
     ten.groupBy("g").applyInPandas(lambda pdf: pdf, "id long, g long").count()
 
-    plan_dir = pathlib.Path(__file__).resolve().parent.parent / "plans" / "r16"
+    plan_dir = (pathlib.Path(__file__).resolve().parent.parent
+                / "plans" / args.round)
     if args.plans:
         plan_dir.mkdir(parents=True, exist_ok=True)
 

@@ -167,6 +167,7 @@ def main() -> None:
     certified: dict[str, tuple[int, str]] = {}
     ever_green: set[str] = set()
     last_green_wrapper: dict[str, str] = {}
+    last_green_round: dict[str, int] = {}
     for r in rounds:
         fps = fingerprints_at(shas[f"r{r}"])
         green = green_rows(REPO / f"CORRECTNESS_r{r:02d}.json")
@@ -175,6 +176,7 @@ def main() -> None:
             if name not in fps or name not in fp_now:
                 continue  # renamed/removed query with a stale green row
             last_green_wrapper[name] = fps[name][1]  # later rounds win
+            last_green_round[name] = r
             if fps[name][0] == fp_now[name][0]:
                 certified[name] = (r, fp_now[name][0])  # later rounds override
 
@@ -184,6 +186,8 @@ def main() -> None:
     green_body = "\n".join(f'    "{n}",' for n in sorted(ever_green))
     wrapper_body = "\n".join(f'    "{n}": "{f}",'
                              for n, f in sorted(last_green_wrapper.items()))
+    round_body = "\n".join(f'    "{n}": {r},'
+                           for n, r in sorted(last_green_round.items()))
     doc = (
         '"""Certification ledger for the external correctness driver.\n'
         "\n"
@@ -210,12 +214,19 @@ def main() -> None:
         "pinned-identical outputs), then certified oldest-first — so a\n"
         "rewritten query cannot be crowded out of the verification window\n"
         "by a swarm of module-edit evictions.\n"
+        "\n"
+        "LAST_GREEN_ROUND records the most recent round each query had a\n"
+        "green row, so dep-evictions can rotate LEAST-recently-verified\n"
+        "first (r16 VERDICT item 4): a query whose certificate is two\n"
+        "rounds stale outranks one re-verified last round when both are\n"
+        "evicted by the same module edit.\n"
         '"""\n')
     (REPO / "unilever_scraping_etl_spark" / "plans" / "certified.py").write_text(
         doc + "\nCERTIFIED: dict[str, tuple[int, str]] = {\n" + body + "\n}\n"
         + "\nEVER_GREEN: frozenset[str] = frozenset({\n" + green_body + "\n})\n"
         + "\nLAST_GREEN_WRAPPER_FP: dict[str, str] = {\n" + wrapper_body
-        + "\n}\n")
+        + "\n}\n"
+        + "\nLAST_GREEN_ROUND: dict[str, int] = {\n" + round_body + "\n}\n")
     print(f"certified: {len(certified)}  evicted (head of window): "
           f"{len(evicted)}")
     print("evicted:", ", ".join(evicted))

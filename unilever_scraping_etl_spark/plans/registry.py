@@ -7072,7 +7072,8 @@ def _wrapper_fp(spec: QuerySpec) -> str:
 
 
 def _ordered() -> dict[str, QuerySpec]:
-    from .certified import EVER_GREEN, LAST_GREEN_WRAPPER_FP
+    from .certified import (EVER_GREEN, LAST_GREEN_ROUND,
+                            LAST_GREEN_WRAPPER_FP)
     names = list(QUERIES)
     uncert = [n for n in names if _cert_round(n) is None]
     # Verification-window priority within the uncertified head (the
@@ -7081,12 +7082,18 @@ def _ordered() -> dict[str, QuerySpec]:
     # green — true semantic edits; (3) pure dep-module evictions, whose
     # outputs are pinned identical by tests. A module edit can evict
     # dozens at once; it must not crowd a genuine rewrite out of the
-    # window.
+    # window. Within the dep-evicted block, LEAST-recently-verified
+    # first (r16 VERDICT item 4): a query whose green certificate is
+    # two rounds stale must not be crowded out by the swarm of queries
+    # the current round's own module edits evicted — those were green
+    # one round ago and their outputs are pinned by tests.
     never = [n for n in uncert if n not in EVER_GREEN]
     rewritten = [n for n in uncert if n in EVER_GREEN
                  and LAST_GREEN_WRAPPER_FP.get(n) != _wrapper_fp(QUERIES[n])]
-    dep_evicted = [n for n in uncert if n in EVER_GREEN
-                   and n not in set(rewritten)]
+    dep_evicted = sorted((n for n in uncert if n in EVER_GREEN
+                          and n not in set(rewritten)),
+                         key=lambda n: (LAST_GREEN_ROUND.get(n, 0),
+                                        names.index(n)))
     tail = sorted((n for n in names if _cert_round(n) is not None),
                   key=lambda n: (_cert_round(n), names.index(n)))
     return {n: QUERIES[n] for n in [*never, *rewritten, *dep_evicted, *tail]}
