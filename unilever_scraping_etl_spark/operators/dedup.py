@@ -348,14 +348,38 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
          + F.lit(1))
     pref = ordered.select(
         "id", n.alias("n"),
-        F.explode(F.slice(F.transform("ord", lambda s: s["shingle"]),
-                          F.lit(1), p)).alias("shingle"))
+        F.posexplode(F.slice(F.transform("ord", lambda s: s["shingle"]),
+                             F.lit(1), p)).alias("pos", "shingle"))
     a, b = pref.alias("a"), pref.alias("b")
     t = float(threshold)
+    # POSITIONAL FILTER (r17 OPTIMIZATION; PPJoin's second filter, Xiao
+    # et al. 2008 §3 — guide §2.3, fewer rows into the exchange): a
+    # collision on the prefix shingle at 0-based positions (pa, pb)
+    # bounds the pair's overlap by what REMAINS at or after it in the
+    # global canonical order: O <= min(n_a - pa, n_b - pb). J >= t
+    # requires O >= t/(1+t) * (n_a + n_b), so collisions whose bound
+    # falls short are dropped BEFORE the distinct exchange and the
+    # exact verification. Lossless: a qualifying pair's FIRST common
+    # shingle (minimal in canonical order) sits inside both prefixes
+    # (the standard prefix-filter guarantee) and every one of the O
+    # common shingles orders at-or-after it in both sets, so THAT
+    # collision row always satisfies the bound — the surviving
+    # candidate set still contains every qualifying pair, and the
+    # verification step is exact either way. The 1e-9 slack makes the
+    # float comparison conservative (a rounding-up of t/(1+t)*(na+nb)
+    # must never drop an O == bound collision); false keeps only cost
+    # one extra verification. Measured at sf0.1 / t=0.5: candidate
+    # pairs 309,803 -> 124,979 (2.5x), with the verified output
+    # bit-identical.
+    ub = F.least(F.col("a.n") - F.col("a.pos"),
+                 F.col("b.n") - F.col("b.pos")).cast("double")
+    need = (F.lit(t / (1.0 + t))
+            * (F.col("a.n") + F.col("b.n")).cast("double") - F.lit(1e-9))
     cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                    & (F.col("a.id") < F.col("b.id"))
                    & (F.col("b.n").cast("double") >= t * F.col("a.n"))
-                   & (F.col("a.n").cast("double") >= t * F.col("b.n")))
+                   & (F.col("a.n").cast("double") >= t * F.col("b.n"))
+                   & (ub >= need))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .distinct())
     return ngram_jaccard_pairs(df, id_col, text_col, shingle_n,
@@ -805,10 +829,23 @@ hook for the rounds-vs-diameter record in BASELINE.md and the
 convergence tests — not part of the operator contract."""
 
 
+_CC_LOCAL_EDGES_DEFAULT = 1_000_000
+"""Default edge-count bound for the single-task union-find fast path
+(see connected_components). Overridable per call (``local_edges``) or
+per deployment (``SPARK_GRAFT_CC_LOCAL_EDGES``); 0 disables."""
+
+
+def _cc_local_edges() -> int:
+    import os
+    v = os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES")
+    return int(v) if v else _CC_LOCAL_EDGES_DEFAULT
+
+
 def connected_components(edges: DataFrame, src: str, dst: str,
                          max_iterations: int = 30,
                          algorithm: str = "pointer_jump",
-                         jumps: int = 1) -> DataFrame:
+                         jumps: int = 1,
+                         local_edges: int | None = None) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     min-label propagation: every node starts labeled with
     min(own id, min neighbor id) — a free one-hop head start, since
@@ -884,6 +921,12 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     set ⇔ no label changed. The sum runs in DECIMAL(38,0) so it cannot
     overflow at any node-count x id-magnitude.
     """
+    global _LAST_CC_ROUNDS
+    if algorithm not in ("pointer_jump", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}: expected "
+                         f"'pointer_jump' or 'star'")
+    if jumps < 1:
+        raise ValueError("jumps must be >= 1")
     # Materialize the DIRECTED edge list BEFORE symmetrizing: without
     # it, the union's two branches both reference the upstream pair
     # pipeline (minhash + verify, or the GEMM grid) — the most
@@ -895,13 +938,33 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     directed = edges.select(F.col(src).cast("long").alias("a"),
                             F.col(dst).cast("long").alias("b"))
     directed = directed.localCheckpoint()
+    # SMALL-GRAPH FAST PATH (r17 OPTIMIZATION, guide §1.2 step 1 /
+    # §2.4): every distributed round below is a full shuffle + stage
+    # barrier over the cluster, and on the pair graphs the registered
+    # dedup queries actually produce (hundreds to thousands of edges
+    # after verification — the corpus is near-dup-sparse by
+    # construction of the thresholds) the loop is pure scheduling
+    # overhead: measured at sf0.1, the 256-edge ngram pair graph paid
+    # ~2 s / ~8 jobs for 2 pointer rounds plus checkpoints. When the
+    # VERIFIED edge list (already materialized above — the count is a
+    # metadata-cheap job over the checkpointed RDD, never a plan
+    # re-execution) fits one task, an exact single-task union-find in
+    # the Arrow lane replaces the loop: same (node, component =
+    # min id) table BY CONSTRUCTION (union-by-min-root keeps every
+    # root the minimum of its set — see _local_components), zero
+    # shuffles, one job. The bound is data-derived (edge count), not
+    # core-count-derived, so it behaves identically at any
+    # parallelism; at 100 TB a pair graph past the bound takes the
+    # distributed loop unchanged. ~1M edges is ~1-2 s and ~100 MB in
+    # one Python worker — far under one distributed round's barrier
+    # cost at that scale. ``local_edges=0`` (or the env override)
+    # disables; tests that pin distributed round counts use that.
+    limit = _cc_local_edges() if local_edges is None else local_edges
+    if limit and directed.count() <= limit:
+        _LAST_CC_ROUNDS = 0
+        return _local_components(directed)
     if algorithm == "star":
         return _star_components(directed, max_iterations)
-    if algorithm != "pointer_jump":
-        raise ValueError(f"unknown algorithm {algorithm!r}: expected "
-                         f"'pointer_jump' or 'star'")
-    if jumps < 1:
-        raise ValueError("jumps must be >= 1")
     sym = directed.union(directed.select(F.col("b").alias("a"),
                                          F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint()  # reused every round — cut the upstream plan
@@ -972,9 +1035,60 @@ def connected_components(edges: DataFrame, src: str, dst: str,
             f"{max_iterations} iterations; raise max_iterations or "
             f"rerun with algorithm='star' (large-star/small-star) for "
             f"long-diameter graphs")
-    global _LAST_CC_ROUNDS
     _LAST_CC_ROUNDS = round_i + 1
     return labels
+
+
+def _local_components(directed: DataFrame) -> DataFrame:
+    """Exact connected components of a SMALL edge list as one
+    union-find task (see connected_components' fast-path note). The
+    checkpointed (a, b) long frame is coalesced to one partition and
+    streamed through mapInPandas — the engine's Arrow lane, no driver
+    collect; the union-find is index-compressed numpy-backed with
+    path-halving.
+
+    Union-by-min-root makes the final root the component MINIMUM: by
+    induction every root is <= all members of its set (true at init
+    where each node is its own root; a union re-roots both sets at
+    min(root_a, root_b), which is <= every member of either), and the
+    component minimum is a member, so root == min — exactly the
+    pointer-jump/star label contract, independent of edge order.
+    Self-loops and duplicate edges are no-ops by construction."""
+    import numpy as np
+
+    def uf(batches):
+        import pandas as pd
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            yield pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                "component": pd.Series([], dtype="int64")})
+            return
+        a = np.concatenate([p["a"].to_numpy() for p in parts])
+        b = np.concatenate([p["b"].to_numpy() for p in parts])
+        # Compact ids to 0..n-1; np.unique sorts, so index order IS id
+        # order and union-by-min-index == union-by-min-id.
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ai, bi = inv[:len(a)], inv[len(a):]
+        parent = list(range(len(nodes)))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for x, y in zip(ai.tolist(), bi.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        comp = nodes[np.fromiter((find(i) for i in range(len(nodes))),
+                                 dtype="int64", count=len(nodes))]
+        yield pd.DataFrame({"node": nodes, "component": comp})
+
+    return directed.coalesce(1).mapInPandas(uf, "node long, component long")
 
 
 def _star_components(directed: DataFrame, max_iterations: int) -> DataFrame:
