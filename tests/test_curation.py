@@ -243,6 +243,95 @@ def test_semdedup_matches_hand_fixture(spark):
     assert not out[3][2] and not out[4][2] and not out[5][2]
 
 
+def test_semdedup_gemm_rounds_half_up(spark):
+    """r16 ADVICE (medium): the GEMM kernel must round pair cosines
+    HALF_UP (away from zero — F.round's and the oracle's mode), not
+    numpy's default half-even. Pins the divergence case directly: a
+    pair cosine of exactly 0.25 (representable in binary) at
+    round_pair=1 rounds to 0.3 under HALF_UP (qualifying at
+    threshold 0.3) and to 0.2 under np.round (not qualifying)."""
+    import numpy as np
+
+    # Spark-side semantics we mirror:
+    assert spark.range(1).select(
+        F.round(F.lit(0.25), 1).alias("r")).first()["r"] == 0.3
+    assert float(np.round(0.25, 1)) == 0.2  # the bug this guards
+    got = curation._round_half_up(np.array([0.25, -0.25, 0.15, 1.0]), 1)
+    assert got.tolist() == [0.3, -0.3, 0.2, 1.0]  # 0.15 is not exact
+    # Kernel-level: dot = 1.0, carried norms 1.0 * 4.0 -> cos 0.25.
+    av = spark.createDataFrame(
+        [(1, 0, 0.9, [1.0, 0.0], 1.0), (2, 0, 0.1, [1.0, 0.0], 4.0)],
+        "vec_id long, cluster_id long, centroid_sim double, "
+        "__e array<double>, __n double")
+    removed = {r["vec_id"] for r in curation._semdedup_prune_gemm(
+        av, "vec_id", threshold=0.3, round_pair=1).collect()}
+    assert removed == {1}  # qualifies under HALF_UP; loser is the
+    # member closer to the centroid (keep-far rule)
+
+
+def test_semdedup_gemm_degenerate_inputs_match_expr(spark):
+    """r16 ADVICE (low): degenerate vectors must behave identically in
+    both pair kernels. NULL vectors null-propagate (their pairs never
+    qualify; the old GEMM kernel crashed in np.vstack) — parity is
+    asserted on the full output. ZERO-NORM vectors are a loud
+    DIVIDE_BY_ZERO in the shared ANSI assignment stage for BOTH
+    kernels (Spark 4 default), pinned here so a silent-semantics
+    change resurfaces."""
+    import pytest as _pytest
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+            (2, [0.9999, 0.01]), (3, [0.999, 0.02]),
+            (90, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {(r["vec_id"], r["cluster_id"], r["centroid_sim"], r["removed"])
+            for r in curation.semdedup(emb, "vec_id", "embedding", n_seeds=2,
+                                       threshold=0.995,
+                                       pairs="expr").collect()}
+    got = {(r["vec_id"], r["cluster_id"], r["centroid_sim"], r["removed"])
+           for r in curation.semdedup(emb, "vec_id", "embedding", n_seeds=2,
+                                      threshold=0.995,
+                                      pairs="gemm").collect()}
+    assert got == want
+    assert not any(v == 90 and r for v, _c, _s, r in got)  # null: never
+    assert any(r for _v, _c, _s, r in got)  # real dups still found
+    zero = spark.createDataFrame(rows[:4] + [(91, [0.0, 0.0])],
+                                 "vec_id long, embedding array<double>")
+    for kernel in ("expr", "gemm"):
+        with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            curation.semdedup(zero, "vec_id", "embedding", n_seeds=2,
+                              threshold=0.995, pairs=kernel).collect()
+
+
+def test_semdedup_gemm_blocked_path_matches(spark, monkeypatch):
+    """r16 VERDICT item 2: one deliberately hot cluster must run the
+    BLOCKED GEMM (bounded B x K pair-matrix slices, no O(K^2)
+    allocation) and still reproduce the expression kernel exactly.
+    Forces every vector into one cluster (n_seeds=1) and a tiny block
+    so the hot path is exercised, not whitelisted away."""
+    import random
+
+    rng = random.Random(7)
+    base = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    rows = []
+    for i in range(120):
+        v = [x + rng.uniform(-0.02, 0.02) for x in base[i % 3]]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setenv("SPARK_GRAFT_SEMDEDUP_BLOCK", "16")
+    blocked = sorted(map(tuple, curation.semdedup(
+        emb, "vec_id", "embedding", n_seeds=1, threshold=0.999,
+        pairs="gemm").collect()))
+    monkeypatch.delenv("SPARK_GRAFT_SEMDEDUP_BLOCK")
+    whole = sorted(map(tuple, curation.semdedup(
+        emb, "vec_id", "embedding", n_seeds=1, threshold=0.999,
+        pairs="gemm").collect()))
+    expr = sorted(map(tuple, curation.semdedup(
+        emb, "vec_id", "embedding", n_seeds=1, threshold=0.999,
+        pairs="expr").collect()))
+    assert blocked == whole == expr
+    assert any(r[3] for r in blocked)  # dups exist at this threshold
+
+
 def test_semdedup_explicit_seeds_and_validation(spark):
     emb = spark.createDataFrame(SEM_ROWS, "vec_id long, embedding array<double>")
     seeds = spark.createDataFrame([(100, [1.0, 0.0])],
