@@ -29,6 +29,14 @@ from unilever_scraping_etl_spark.session import get_session  # noqa: E402
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     m = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    # --k=N runs the FIXED-iteration sparse loop (the r16-optimized
+    # shape) for N iterations instead of tol=1e-8 to the fixed point —
+    # the bounded form the 2M-scale 8-vs-32-core scaling runs need
+    # (the tol path at 2M/10M is ~44 iterations per variant).
+    fixed_k = None
+    for a in sys.argv[1:]:
+        if a.startswith("--k="):
+            fixed_k = int(a.split("=", 1)[1])
     spark = get_session()
     u = F.pmod(F.xxhash64(F.col("id") + m), 1_000_000) / 1_000_000.0
     edges = (spark.range(m).select(
@@ -42,16 +50,25 @@ def main() -> None:
 
     def run(label, **kw):
         t = time.perf_counter()
-        out = graph.pagerank(edges, "src", "dst", iterations=200,
-                             tol=1e-8, **kw)
+        if fixed_k is not None:
+            out = graph.pagerank(edges, "src", "dst",
+                                 iterations=fixed_k, **kw)
+            it = fixed_k
+        else:
+            out = graph.pagerank(edges, "src", "dst", iterations=200,
+                                 tol=1e-8, **kw)
+            it = graph._LAST_PR_ITERATIONS
         nodes = out.count()
         wall = time.perf_counter() - t
-        it = graph._LAST_PR_ITERATIONS
+        if fixed_k is None:
+            it = graph._LAST_PR_ITERATIONS
         print(f"{label}: {it} iters, {wall:.1f} s "
               f"({wall / it:.2f} s/iter), {nodes} nodes", flush=True)
         return out
 
     run("plain          ")
+    if "--plain-only" in sys.argv:
+        return
     run("weighted       ", weight_col="w")
     seed = spark.range(100).select(F.col("id").alias("node"),
                                    F.lit(1.0).alias("wt"))
