@@ -350,6 +350,21 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, id_col: str, text_col: str,
         "id", n.alias("n"),
         F.posexplode(F.slice(F.transform("ord", lambda s: s["shingle"]),
                              F.lit(1), p)).alias("pos", "shingle"))
+    # r17 OPTIMIZATION NOTE (measured, deliberately NOT taken): both
+    # self-join sides reference `pref` and the physical plan shows the
+    # doc-frequency join + collect_list subtree planned TWICE (the
+    # collect_list aggregate appears twice, 12 source scans in one
+    # plan), so a lazy localCheckpoint of `pref` looks like the §3.3
+    # materialize-what-the-optimizer-won't-share move. Measured
+    # same-session interleaved A/B at sf0.1 (min-of-4): checkpoint
+    # 4.81 s / 10 jobs vs no-checkpoint 2.48 s / 8 jobs — the snapshot
+    # barrier serializes the two sides' derivation (which otherwise
+    # overlap across the suite's idle cores) and costs a
+    # materialize+re-read of the full prefix table, losing ~2x. Same
+    # verdict as the r16 verify-set/candidate-semi-join rewrites:
+    # the duplicated subtree is two NARROW fused pipelines, cheaper
+    # than one materialization at this shape. Revisit only with a
+    # corpus where the collect_list exchange dominates end-to-end.
     a, b = pref.alias("a"), pref.alias("b")
     t = float(threshold)
     # POSITIONAL FILTER (r17 OPTIMIZATION; PPJoin's second filter, Xiao
